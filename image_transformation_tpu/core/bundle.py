@@ -1,0 +1,171 @@
+"""Bundle I/O: the data contract between upstream segmentation and layout.
+
+A bundle directory holds ``background.png`` (RGBA, original size),
+``results.json`` (object metadata) and ``objects/*.png`` (RGBA cutouts) —
+see SURVEY.md §2.4 and /root/reference/compositor.py:25-35,
+/root/reference/agentic/utils/loaders.py:14-52.
+
+Two views are provided:
+
+- :class:`Bundle` — host-side metadata + PIL images (the PIL-compatible
+  surface the shims and orchestrator use);
+- :class:`BundleArrays` — the TPU view: one zero-padded uint8 object tensor
+  ``[N, Hmax, Wmax, 4]`` with per-object (h, w) sizes, ready for the jitted
+  compose path and batchable across bundles by padding to a common
+  (N, Hmax, Wmax).
+
+Decode stays on host (PNG codecs are not a TPU problem); everything after
+ingest is arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+@dataclass
+class ObjectMeta:
+    object_id: int
+    label: str
+    filename: str
+    width: int
+    height: int
+    bounding_box: Tuple[float, float, float, float]
+    per_label_number: int = 0
+    confidence_score: float = 0.0
+
+
+@dataclass
+class Bundle:
+    """Host view of a segmentation bundle."""
+
+    root: Path
+    objects: Dict[int, Image.Image]
+    meta: Dict[int, ObjectMeta]
+    background: Image.Image
+    items: List[dict] = field(default_factory=list)
+
+    @property
+    def results_json_path(self) -> Path:
+        return self.root / "results.json"
+
+    @property
+    def background_path(self) -> Path:
+        return self.root / "background.png"
+
+    @property
+    def objects_dir(self) -> Path:
+        return self.root / "objects"
+
+    def object_ids(self) -> List[int]:
+        return sorted(self.meta)
+
+    def id_to_label(self) -> Dict[int, str]:
+        return {oid: m.label.strip() for oid, m in self.meta.items()}
+
+    def sizes(self) -> Dict[int, Tuple[int, int]]:
+        """object_id -> (width, height), the solver's SizeMap."""
+        return {oid: (m.width, m.height) for oid, m in self.meta.items()}
+
+    def to_arrays(
+        self,
+        n_max: Optional[int] = None,
+        pad_hw: Optional[Tuple[int, int]] = None,
+        order: Optional[List[int]] = None,
+    ) -> "BundleArrays":
+        ids = order if order is not None else self.object_ids()
+        n = n_max if n_max is not None else len(ids)
+        if len(ids) > n:
+            raise ValueError(f"bundle has {len(ids)} objects > n_max={n}")
+        if pad_hw is None:
+            pad_h = max((m.height for m in self.meta.values()), default=1)
+            pad_w = max((m.width for m in self.meta.values()), default=1)
+        else:
+            pad_h, pad_w = pad_hw
+        objs = np.zeros((n, pad_h, pad_w, 4), np.uint8)
+        hw = np.zeros((n, 2), np.int32)
+        oids = np.full((n,), -1, np.int32)
+        for k, oid in enumerate(ids):
+            arr = np.asarray(self.objects[oid])
+            h, w = arr.shape[:2]
+            if h > pad_h or w > pad_w:
+                raise ValueError(
+                    f"object {oid} ({h}x{w}) exceeds pad_hw ({pad_h}x{pad_w})"
+                )
+            objs[k, :h, :w] = arr
+            hw[k] = (h, w)
+            oids[k] = oid
+        return BundleArrays(objects=objs, obj_hw=hw, object_ids=oids, n_valid=len(ids))
+
+
+@dataclass
+class BundleArrays:
+    """Device-ready padded view of a bundle's cutouts."""
+
+    objects: np.ndarray  # uint8 [N, Hmax, Wmax, 4], zero padded
+    obj_hw: np.ndarray  # int32 [N, 2] = (h, w)
+    object_ids: np.ndarray  # int32 [N], -1 for padding slots
+    n_valid: int
+
+    def index_of(self, object_id: int) -> int:
+        hits = np.nonzero(self.object_ids == object_id)[0]
+        if len(hits) == 0:
+            raise KeyError(object_id)
+        return int(hits[0])
+
+
+def ensure_bundle(root: os.PathLike) -> Path:
+    """Check the bundle directory shape, returning its Path."""
+    root = Path(root)
+    missing = [
+        p for p in ("background.png", "results.json", "objects")
+        if not (root / p).exists()
+    ]
+    if missing:
+        raise FileNotFoundError(f"bundle at {root} is missing {missing}")
+    return root
+
+
+def load_bundle(root: os.PathLike) -> Bundle:
+    """Load a bundle directory into host memory (PIL + metadata)."""
+    root = ensure_bundle(root)
+    with open(root / "results.json", "r", encoding="utf-8") as f:
+        items = json.load(f)
+    objects: Dict[int, Image.Image] = {}
+    meta: Dict[int, ObjectMeta] = {}
+    for it in items:
+        oid = int(it["object_id"])
+        img = Image.open(root / it["filename"]).convert("RGBA")
+        objects[oid] = img
+        bb = it.get("bounding_box", [0.0, 0.0, 0.0, 0.0])
+        meta[oid] = ObjectMeta(
+            object_id=oid,
+            label=str(it.get("label", "")),
+            filename=str(it["filename"]),
+            width=img.size[0],
+            height=img.size[1],
+            bounding_box=tuple(float(v) for v in bb),
+            per_label_number=int(it.get("per_label_number", 0)),
+            confidence_score=float(it.get("confidence_score", 0.0)),
+        )
+    background = Image.open(root / "background.png").convert("RGBA")
+    return Bundle(root=root, objects=objects, meta=meta, background=background, items=items)
+
+
+def load_object_images(results_json_path: os.PathLike) -> Dict[int, Image.Image]:
+    """Reference-compatible loader: results.json path -> {id: RGBA image}."""
+    results_json_path = Path(results_json_path)
+    with open(results_json_path, "r", encoding="utf-8") as f:
+        items = json.load(f)
+    base = results_json_path.parent
+    return {
+        int(it["object_id"]): Image.open(base / it["filename"]).convert("RGBA")
+        for it in items
+    }

@@ -1,0 +1,117 @@
+"""Background synthesis as on-device reductions.
+
+TPU-native equivalents of the reference background_resizing.py
+(/root/reference/background_resizing.py:11-98):
+
+- the reference's ``np.median`` over alpha-masked pixels becomes an exact
+  256-bin histogram median (scatter-add + cumulative-sum + searchsorted) —
+  no sort, fully jittable and vmappable;
+- the reference's per-column/per-row Python gradient loops become a single
+  linspace outer-product, with the same float32 arithmetic and the same
+  truncating uint8 cast.
+
+Numeric parity notes (pinned by tests):
+- ``np.median`` of an even-count uint8 sample averages the two middle order
+  statistics and the reference then truncates via ``int()`` — reproduced
+  here as ``(lo + hi) // 2`` on the two exact order statistics.
+- The gradient fill uses ``t = x / max(1, n - 1)`` and truncates
+  ``(1-t)*c1 + t*c2`` toward zero, exactly like the reference's
+  ``astype(np.uint8)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _masked_channel_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact uint8 median of ``values`` where ``mask`` is set.
+
+    values: int32 [P] in [0, 255]; mask: float32/int32 [P] of 0/1 weights.
+    Returns an int32 scalar equal to int(np.median(values[mask])).
+    """
+    counts = jnp.zeros((256,), jnp.int32).at[values].add(mask.astype(jnp.int32))
+    n = jnp.sum(counts)
+    cdf = jnp.cumsum(counts)
+    # k-th order statistic (0-based): smallest v with cdf[v] >= k+1.
+    k_lo = (n - 1) // 2
+    k_hi = n // 2
+    lo = jnp.searchsorted(cdf, k_lo + 1, side="left")
+    hi = jnp.searchsorted(cdf, k_hi + 1, side="left")
+    # np.median averages the two middle samples; int() then truncates.
+    return ((lo + hi) // 2).astype(jnp.int32)
+
+
+@jax.jit
+def masked_median_rgb(rgba_u8: jnp.ndarray) -> jnp.ndarray:
+    """Median RGB over alpha>0 pixels (falling back to all pixels).
+
+    rgba_u8: uint8 [H, W, 4]. Returns int32 [3].
+    Parity: _median_color_nontransparent (background_resizing.py:11-22).
+    """
+    flat = rgba_u8.reshape(-1, 4).astype(jnp.int32)
+    alpha_mask = (flat[:, 3] > 0).astype(jnp.int32)
+    any_opaque = jnp.any(alpha_mask > 0)
+    mask = jnp.where(any_opaque, alpha_mask, jnp.ones_like(alpha_mask))
+    meds = [_masked_channel_median(flat[:, c], mask) for c in range(3)]
+    return jnp.stack(meds)
+
+
+def _region_median_rgb(region_u8: jnp.ndarray) -> jnp.ndarray:
+    return masked_median_rgb(region_u8)
+
+
+def edge_strip_medians(rgba_u8: jnp.ndarray, strip_px: int = 8):
+    """Median colors of the 8-px left/right/top/bottom strips.
+
+    Returns (left, right, top, bottom) int32 [3] arrays.
+    Parity: _edge_strip_median_colors (background_resizing.py:36-55).
+    """
+    h, w = rgba_u8.shape[:2]
+    sl = min(strip_px, w)
+    st = min(strip_px, h)
+    left = _region_median_rgb(rgba_u8[:, :sl])
+    right = _region_median_rgb(rgba_u8[:, max(0, w - strip_px):])
+    top = _region_median_rgb(rgba_u8[:st, :])
+    bottom = _region_median_rgb(rgba_u8[max(0, h - strip_px):, :])
+    return left, right, top, bottom
+
+
+def axis_variance(c1, c2) -> float:
+    """Squared RGB distance used to pick the gradient axis."""
+    return float(sum((int(a) - int(b)) ** 2 for a, b in zip(c1, c2)))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def solid_canvas(color_rgb: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Opaque solid RGBA canvas of the given color. Returns uint8 [H, W, 4]."""
+    rgba = jnp.concatenate(
+        [color_rgb.astype(jnp.uint8), jnp.array([255], jnp.uint8)]
+    )
+    return jnp.broadcast_to(rgba, (height, width, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "horizontal"))
+def gradient_canvas(
+    c1: jnp.ndarray, c2: jnp.ndarray, height: int, width: int, horizontal: bool
+) -> jnp.ndarray:
+    """Linear gradient RGBA canvas c1 → c2 along the chosen axis.
+
+    Truncating uint8 cast and f32 lerp match the reference's per-line loop
+    (background_resizing.py:76-95) without the O(width) Python iteration.
+    """
+    n = width if horizontal else height
+    t = jnp.arange(n, dtype=jnp.float32) / max(1, n - 1)
+    c1f = c1.astype(jnp.float32)
+    c2f = c2.astype(jnp.float32)
+    ramp = (1.0 - t)[:, None] * c1f[None, :] + t[:, None] * c2f[None, :]
+    ramp_u8 = ramp.astype(jnp.uint8)  # truncation, as in the reference
+    if horizontal:
+        rgb = jnp.broadcast_to(ramp_u8[None, :, :], (height, width, 3))
+    else:
+        rgb = jnp.broadcast_to(ramp_u8[:, None, :], (height, width, 3))
+    alpha = jnp.full((height, width, 1), 255, jnp.uint8)
+    return jnp.concatenate([rgb, alpha], axis=-1)

@@ -1,0 +1,149 @@
+"""Labeled contact-sheet builder: device tiling + host text rendering.
+
+Rebuild of /root/reference/macro_placement_test.py:162-242 — a grid of
+256x256 LANCZOS thumbnails with a 72-px label band per cell, fed to the VLM
+as the object catalogue.
+
+TPU split: thumbnail resampling and grid pasting run through the exact
+compose kernel (one jitted program: every thumb is just a placement box on
+a white canvas); text labels are rasterized host-side with PIL fonts (fonts
+are not a TPU problem) and alpha-composited in the same program as a final
+layer.
+
+Geometry parity: thumbnail target sizes replicate PIL's
+``Image.thumbnail`` aspect rounding (round-half-to-nearest with
+tie-breaking toward the truer aspect). Pixel parity: identical to PIL for
+downscales < 2x (all shipped bundles); PIL's ``reduce()`` pre-pass for
+factors >= 2 is not replicated (visually indistinguishable; the sheet is
+model input, not a golden surface).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from .compose import composite_exact
+
+
+def thumbnail_size(src_wh: Tuple[int, int], max_wh: Tuple[int, int]) -> Tuple[int, int]:
+    """PIL Image.thumbnail target-size math (aspect preserved, never up)."""
+    w, h = src_wh
+    x, y = (math.floor(v) for v in max_wh)
+    if w <= x and h <= y:
+        return w, h
+    aspect = w / h
+
+    def round_aspect(number, key):
+        return max(min(math.floor(number), math.ceil(number), key=key), 1)
+
+    if x / y >= aspect:
+        x = round_aspect(y * aspect, key=lambda n: abs(aspect - n / y))
+    else:
+        y = round_aspect(x / aspect, key=lambda n: 0 if n == 0 else abs(aspect - x / n))
+    return x, y
+
+
+def _load_font(font_size: int):
+    for loader in (
+        lambda: ImageFont.truetype("DejaVuSans.ttf", size=font_size),
+        lambda: ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size=font_size
+        ),
+        lambda: ImageFont.load_default(),
+    ):
+        try:
+            return loader()
+        except Exception:
+            continue
+    return None
+
+
+def _measure_text(draw, label: str, font) -> Tuple[int, int]:
+    try:
+        bbox = draw.textbbox((0, 0), label, font=font)
+        return bbox[2] - bbox[0], bbox[3] - bbox[1]
+    except Exception:
+        return int(len(label) * 7), 12
+
+
+def build_labeled_contact_sheet(
+    objects: Dict[int, Image.Image],
+    labels: Dict[int, str],
+    thumb_size: Tuple[int, int] = (256, 256),
+    cols: int = 4,
+    label_height: int = 72,
+    font_size: int = 24,
+) -> Image.Image:
+    """Grid sheet of labeled thumbnails, ordered by object_id."""
+    ids = sorted(objects)
+    if not ids:
+        return Image.new(
+            "RGBA", (thumb_size[0], thumb_size[1] + label_height), (255, 255, 255, 255)
+        )
+
+    rows = (len(ids) + cols - 1) // cols
+    cell_w = thumb_size[0]
+    cell_h = thumb_size[1] + label_height
+    sheet_w, sheet_h = cols * cell_w, rows * cell_h
+
+    # One exact-compose program paints every thumbnail (resize + paste).
+    n = len(ids)
+    pad_h = max(o.size[1] for o in objects.values())
+    pad_w = max(o.size[0] for o in objects.values())
+    objs = np.zeros((n, pad_h, pad_w, 4), np.uint8)
+    hw = np.zeros((n, 2), np.int32)
+    boxes = np.zeros((n, 4), np.int32)
+    for k, oid in enumerate(ids):
+        arr = np.asarray(objects[oid].convert("RGBA"))
+        objs[k, : arr.shape[0], : arr.shape[1]] = arr
+        hw[k] = arr.shape[:2]
+        tw, th = thumbnail_size(objects[oid].size, thumb_size)
+        r, c = divmod(k, cols)
+        x = c * cell_w + (cell_w - tw) // 2
+        y = r * cell_h + (thumb_size[1] - th) // 2
+        boxes[k] = (x, y, x + tw, y + th)
+
+    canvas = np.full((sheet_h, sheet_w, 4), 255, np.uint8)
+    sheet_arr = np.asarray(
+        composite_exact(canvas, objs, hw, boxes, out_max_hw=(thumb_size[1], thumb_size[0]))
+    )
+    sheet = Image.fromarray(sheet_arr, "RGBA")
+
+    # Label band: host-side text rasterization.
+    draw = ImageDraw.Draw(sheet)
+    font = _load_font(font_size)
+    for k, oid in enumerate(ids):
+        label = labels.get(oid, f"id_{oid}")
+        r, c = divmod(k, cols)
+        tw, th_text = _measure_text(draw, label, font)
+        tx = c * cell_w + (cell_w - tw) // 2
+        ty = r * cell_h + thumb_size[1] + max(0, (label_height - th_text) // 2)
+        draw.text((tx, ty), label, fill=(0, 0, 0, 255), font=font)
+    return sheet
+
+
+def build_contact_sheet_from_results(
+    results_json_path: str,
+    thumb_size: Tuple[int, int] = (256, 256),
+    cols: int = 4,
+    label_height: int = 72,
+    font_size: int = 24,
+) -> Image.Image:
+    """Reference-signature convenience: results.json path -> sheet."""
+    import json
+    from pathlib import Path
+
+    results_json_path = Path(results_json_path)
+    with open(results_json_path, "r", encoding="utf-8") as f:
+        items = json.load(f)
+    objects: Dict[int, Image.Image] = {}
+    labels: Dict[int, str] = {}
+    for it in items:
+        oid = int(it["object_id"])
+        objects[oid] = Image.open(results_json_path.parent / it["filename"]).convert("RGBA")
+        labels[oid] = str(it.get("label", f"id_{oid}"))
+    return build_labeled_contact_sheet(objects, labels, thumb_size, cols, label_height, font_size)

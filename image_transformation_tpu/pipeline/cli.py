@@ -1,0 +1,100 @@
+"""CLI entry point (flag parity with the reference macro_placement_test CLI).
+
+Reference anchor: /root/reference/macro_placement_test.py:1715-1745 — same
+flags and defaults (--image, --ratio, --align center|edge, --margin 0.05,
+--api auto|ollama|nebius, --samples, --temperature 1.0, --refine-iters 10),
+same bundle resolution (<image>/../../output/<stem>). Additions: --bundle to
+point at a bundle directory directly, --api fake for a hermetic run with a
+canned planner (useful for smoke tests on hardware), and --resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from .run import run_macro_only
+
+
+def _install_fake_client(bundle_dir: Path) -> None:
+    """Wire a deterministic FakeClient: single-column layout + canned critique."""
+    from ..vlm.client import FakeClient, register_fake_client
+
+    items = json.loads((bundle_dir / "results.json").read_text())
+    children = [
+        {"object_id": int(it["object_id"]), "name": str(it.get("label", "")).strip()}
+        for it in items
+    ]
+    layout = {"root": {"type": "flex", "direction": "column", "children": children}}
+
+    def scripted(messages, **kwargs):
+        sys_text = messages[0].get("content", "") if messages else ""
+        if "critic" in sys_text.lower():
+            return {"message": {"content": "1. Overall Score: 8/10\nLooks fine. No violations."}}
+        return {"message": {"content": json.dumps(layout)}}
+
+    register_fake_client(lambda: FakeClient([scripted]))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description=(
+            "Macro placement using VLM Flex-DSL with iterative refinement "
+            "and the TPU-native deterministic compositor."
+        )
+    )
+    parser.add_argument("--image", help="Path to input image used with the auto-segmenter")
+    parser.add_argument("--bundle", help="Path to a segmentation bundle directory")
+    parser.add_argument("--ratio", required=True, help="Target aspect ratio W:H (e.g., 9:16)")
+    parser.add_argument("--align", default="center", choices=["center", "edge"])
+    parser.add_argument("--margin", type=float, default=0.05, help="Safe margin percentage (0-0.3)")
+    parser.add_argument(
+        "--api", choices=["auto", "ollama", "nebius", "fake"], default="auto",
+        help="VLM backend ('fake' runs hermetically with a canned planner)",
+    )
+    parser.add_argument("--samples", type=int, default=1)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--refine-iters", type=int, default=10)
+    parser.add_argument("--resume", action="store_true", help="Continue from the last iteration")
+    parser.add_argument("--output-root", default=None, help="Artifact root directory")
+    args = parser.parse_args(argv)
+
+    from ..core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    if args.bundle:
+        bundle_dir = Path(args.bundle).resolve()
+        original_input = None
+    elif args.image:
+        image_path = Path(args.image).resolve()
+        bundle_dir = image_path.parent.parent / "output" / image_path.stem
+        original_input = str(image_path)
+    else:
+        parser.error("one of --image or --bundle is required")
+    if not bundle_dir.exists():
+        raise FileNotFoundError(f"Expected segmentation outputs at {bundle_dir}")
+
+    api_type = args.api
+    if api_type == "fake":
+        _install_fake_client(bundle_dir)
+        api_type = "auto"
+
+    run_macro_only(
+        bundle_dir,
+        args.ratio,
+        args.align,
+        args.margin,
+        api_type=api_type,
+        samples=args.samples,
+        temperature=args.temperature,
+        refine_iters=args.refine_iters,
+        original_input_path=original_input,
+        base_output_root=Path(args.output_root) if args.output_root else None,
+        resume=args.resume,
+    )
+
+
+if __name__ == "__main__":
+    main()

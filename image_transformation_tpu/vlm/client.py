@@ -1,0 +1,395 @@
+"""VLM client seam: Nebius (OpenAI SDK) / Ollama / hermetic fakes.
+
+Interface parity with the reference api_client.py
+(/root/reference/api_client.py:28-529): the message protocol is
+``{"role", "content", "images": [b64, ...]}``, responses normalize to
+``{"message": {"content": str}}``, model defaults match
+(Qwen/Qwen2.5-VL-72B-Instruct on Nebius, llava:13b on Ollama), "auto"
+resolves by key/package availability, and a lightweight .env loader fills
+NEBIUS_API_KEY.
+
+Differences from the reference (deliberate):
+- ``tools``/``tool_choice`` are actually forwarded to the provider and
+  ``tool_calls`` surface in the normalized response (the reference silently
+  dropped them, making its agentic micro-agent dead code — SURVEY.md
+  §2.6.2);
+- :class:`FakeClient` provides canned/scripted responses so the whole
+  iterate loop runs hermetically (tests, benchmarks, fault injection).
+
+This module is pure host I/O — the device never blocks on it; the
+orchestrator overlaps VLM round-trips with device compose via async
+dispatch (see pipeline.run).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import os
+import re
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Union
+
+from PIL import Image
+
+try:
+    from openai import OpenAI
+
+    OPENAI_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    OPENAI_AVAILABLE = False
+
+try:
+    import ollama
+
+    OLLAMA_AVAILABLE = True
+except ImportError:
+    OLLAMA_AVAILABLE = False
+
+NEBIUS_BASE_URL = "https://api.studio.nebius.com/v1/"
+NEBIUS_DEFAULT_VLM = "Qwen/Qwen2.5-VL-72B-Instruct"
+NEBIUS_DEFAULT_TEXT = "openai/gpt-oss-20b"
+OLLAMA_DEFAULT_VLM = "llava:13b"
+OLLAMA_DEFAULT_TEXT = "mistral:7b"
+
+
+def load_dotenv_if_present(extra_dirs: Optional[List[Path]] = None) -> None:
+    """Set env vars from the first .env found (cwd, package dir, repo root);
+    existing variables are never overridden."""
+    candidates = [Path.cwd() / ".env"]
+    here = Path(__file__).resolve()
+    candidates += [here.parent / ".env", here.parent.parent / ".env",
+                   here.parent.parent.parent / ".env"]
+    for d in extra_dirs or []:
+        candidates.append(Path(d) / ".env")
+    try:
+        for p in candidates:
+            if not p.exists():
+                continue
+            for raw in p.read_text(encoding="utf-8").splitlines():
+                line = raw.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                k, v = line.split("=", 1)
+                key = k.strip()
+                val = v.strip().strip('"').strip("'")
+                if key and key not in os.environ:
+                    os.environ[key] = val
+            break
+    except Exception:
+        pass
+
+
+def encode_pil_b64_png(img: Image.Image) -> str:
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def prepare_image_b64_jpeg(image_path: Union[str, Path], max_side: int = 512) -> str:
+    """Downscale longest side <= max_side, JPEG q85, base64 — the reference's
+    transport-size reduction for classification images."""
+    im = Image.open(image_path).convert("RGB")
+    w, h = im.size
+    if max(w, h) > max_side:
+        s = max_side / float(max(w, h))
+        im = im.resize((max(1, int(w * s)), max(1, int(h * s))), Image.LANCZOS)
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=85)
+    return base64.b64encode(buf.getvalue()).decode("utf-8")
+
+
+def extract_json_from_content(content: str) -> Dict[str, Any]:
+    """Best-effort JSON extraction (direct parse, then outermost braces)."""
+    try:
+        return json.loads(content.strip())
+    except Exception:
+        pass
+    m = re.search(r"\{.*\}", content, re.DOTALL)
+    if m:
+        try:
+            return json.loads(m.group(0))
+        except Exception:
+            pass
+    return {"error": "Could not parse JSON from response", "content": content}
+
+
+class APIClient:
+    """Unified chat-completion client over Nebius or Ollama."""
+
+    def __init__(self, api_type: str = "auto", api_key: Optional[str] = None):
+        self.api_type = api_type
+        self.api_key = api_key
+        self.nebius_client = None
+        load_dotenv_if_present()
+
+        if api_type == "auto":
+            if OPENAI_AVAILABLE and (self.api_key or os.getenv("NEBIUS_API_KEY")):
+                self.api_type = "nebius"
+            elif OLLAMA_AVAILABLE:
+                self.api_type = "ollama"
+            else:
+                raise RuntimeError(
+                    "Neither Nebius API nor Ollama is available. Install the "
+                    "required packages and set NEBIUS_API_KEY."
+                )
+
+        if self.api_type == "nebius":
+            if not OPENAI_AVAILABLE:
+                raise RuntimeError("OpenAI package not available; pip install openai")
+            key = self.api_key or os.getenv("NEBIUS_API_KEY")
+            if not key:
+                raise RuntimeError("NEBIUS_API_KEY environment variable not set")
+            self.nebius_client = OpenAI(base_url=NEBIUS_BASE_URL, api_key=key)
+
+    # ------------------------------ core ------------------------------
+
+    def chat_completion(
+        self,
+        messages: List[Dict[str, Any]],
+        model: Optional[str] = None,
+        temperature: float = 0.0,
+        max_tokens: Optional[int] = None,
+        format: Optional[str] = None,
+        tools: Optional[List[Dict]] = None,
+        tool_choice: Optional[Union[str, Dict]] = None,
+        **kwargs,
+    ) -> Dict[str, Any]:
+        """Send a chat completion; returns {"message": {"content": str,
+        "tool_calls": [...]?}} regardless of provider."""
+        if self.api_type == "nebius":
+            return self._nebius(messages, model, temperature, max_tokens,
+                                tools, tool_choice, **kwargs)
+        if self.api_type == "ollama":
+            return self._ollama(messages, model, temperature, max_tokens,
+                                format, tools, **kwargs)
+        raise RuntimeError(f"Unknown API type: {self.api_type}")
+
+    @staticmethod
+    def _to_openai_messages(messages: List[Dict[str, Any]]) -> List[Dict]:
+        out: List[Dict] = []
+        for msg in messages:
+            role = msg["role"]
+            if role == "user" and msg.get("images"):
+                parts: List[Dict] = [{"type": "text", "text": msg["content"]}]
+                for img_b64 in msg["images"]:
+                    parts.append({
+                        "type": "image_url",
+                        "image_url": {"url": f"data:image/jpeg;base64,{img_b64}"},
+                    })
+                out.append({"role": "user", "content": parts})
+            else:
+                out.append({"role": role, "content": msg["content"]})
+        return out
+
+    def _nebius(self, messages, model, temperature, max_tokens, tools,
+                tool_choice, **kwargs) -> Dict[str, Any]:
+        params: Dict[str, Any] = {
+            "model": model or NEBIUS_DEFAULT_VLM,
+            "messages": self._to_openai_messages(messages),
+            "temperature": temperature,
+        }
+        if max_tokens:
+            params["max_tokens"] = max_tokens
+        if tools:
+            params["tools"] = tools
+            if tool_choice is not None:
+                params["tool_choice"] = tool_choice
+        response = self.nebius_client.chat.completions.create(**params)
+        choice = response.choices[0].message
+        normalized: Dict[str, Any] = {"message": {"content": choice.content or ""}}
+        if getattr(choice, "tool_calls", None):
+            normalized["message"]["tool_calls"] = [
+                {
+                    "id": tc.id,
+                    "function": {
+                        "name": tc.function.name,
+                        "arguments": tc.function.arguments,
+                    },
+                }
+                for tc in choice.tool_calls
+            ]
+        return normalized
+
+    def _ollama(self, messages, model, temperature, max_tokens, format,
+                tools, **kwargs) -> Dict[str, Any]:
+        params: Dict[str, Any] = {
+            "model": model or OLLAMA_DEFAULT_VLM,
+            "messages": messages,
+            "stream": False,
+            "options": {
+                "temperature": temperature,
+                "top_p": kwargs.get("top_p", 0.1),
+                "num_predict": max_tokens or kwargs.get("num_predict", 1024),
+            },
+        }
+        if format:
+            params["format"] = format
+        if tools:
+            params["tools"] = tools
+        if "keep_alive" in kwargs:
+            params["keep_alive"] = kwargs["keep_alive"]
+        try:
+            return ollama.chat(**params)
+        except Exception as e:
+            if "not found" in str(e) or "status code: 404" in str(e):
+                raise RuntimeError(
+                    f"Ollama model not found. Pull it first: 'ollama pull "
+                    f"{params['model']}'. Ensure 'ollama serve' is running."
+                )
+            raise
+
+    # ------------------------ high-level helpers ------------------------
+
+    def classify_object(self, object_path, system_instructions: str,
+                        user_prompt: str, max_seconds: int = 35,
+                        max_side: int = 512):
+        """Classify one cutout; returns (predicted_class, label)."""
+        image_b64 = prepare_image_b64_jpeg(object_path, max_side)
+        messages = [
+            {"role": "system", "content": system_instructions},
+            {"role": "user", "content": user_prompt, "images": [image_b64]},
+        ]
+        if self.api_type == "nebius":
+            model, temp, mt = NEBIUS_DEFAULT_VLM, 0.0, 120000
+        else:
+            model, temp, mt = OLLAMA_DEFAULT_VLM, 0, 12000
+        try:
+            response = self.chat_completion(
+                messages=messages, model=model, temperature=temp, max_tokens=mt,
+                format="json" if self.api_type == "ollama" else None,
+            )
+            content = response.get("message", {}).get("content", "").strip()
+            return self._parse_classification(content)
+        except Exception as e:
+            print(f"  .. API error on {Path(object_path).name}: {e}", flush=True)
+            return "unknown", "unknown"
+
+    @staticmethod
+    def _parse_classification(content: str):
+        try:
+            data = json.loads(content)
+            return (
+                str(data.get("class", "unknown")).strip().lower(),
+                str(data.get("label", "unknown")).strip(),
+            )
+        except Exception:
+            m = re.search(r'\{[^}]*"class"[^}]*"label"[^}]*\}', content)
+            if m:
+                try:
+                    data = json.loads(m.group())
+                    return (
+                        str(data.get("class", "unknown")).strip().lower(),
+                        str(data.get("label", "unknown")).strip(),
+                    )
+                except Exception:
+                    pass
+        return "unknown", "unknown"
+
+    def analyze_image_for_objects(self, image_path, prompt: str,
+                                  model: Optional[str] = None) -> str:
+        with open(image_path, "rb") as f:
+            image_b64 = base64.b64encode(f.read()).decode("utf-8")
+        messages = [{"role": "user", "content": prompt, "images": [image_b64]}]
+        model = model or self._default_vlm()
+        return self.chat_completion(messages=messages, model=model)["message"]["content"]
+
+    def generate_layout(self, contact_sheet: Image.Image, background_path,
+                        results_json_path, ratio: str, prompt: str,
+                        model: Optional[str] = None) -> Dict[str, Any]:
+        contact_b64 = encode_pil_b64_png(contact_sheet)
+        with open(background_path, "rb") as f:
+            background_b64 = base64.b64encode(f.read()).decode("utf-8")
+        messages = [
+            {"role": "system", "content": (
+                "You are a JSON generator. Output ONLY valid JSON matching the "
+                "exact schema provided. No markdown, no explanations, no extra text."
+            )},
+            {"role": "user", "content": prompt, "images": [contact_b64, background_b64]},
+        ]
+        model = model or self._default_vlm()
+        content = self.chat_completion(messages=messages, model=model)["message"]["content"].strip()
+        return extract_json_from_content(content)
+
+    def critique_layout(self, image_path, prompt: str,
+                        model: Optional[str] = None) -> Dict[str, Any]:
+        with open(image_path, "rb") as f:
+            image_b64 = base64.b64encode(f.read()).decode("utf-8")
+        messages = [{"role": "user", "content": prompt, "images": [image_b64]}]
+        model = model or self._default_vlm()
+        content = self.chat_completion(messages=messages, model=model)["message"]["content"]
+        return extract_json_from_content(content)
+
+    def translate_critique(self, critique: str, current_params: Dict[str, Any],
+                           prompt: str, model: Optional[str] = None) -> Dict[str, Any]:
+        messages = [{"role": "user", "content": prompt}]
+        if model is None:
+            model = NEBIUS_DEFAULT_TEXT if self.api_type == "nebius" else OLLAMA_DEFAULT_TEXT
+        content = self.chat_completion(messages=messages, model=model)["message"]["content"]
+        return extract_json_from_content(content)
+
+    def _default_vlm(self) -> str:
+        return NEBIUS_DEFAULT_VLM if self.api_type == "nebius" else OLLAMA_DEFAULT_VLM
+
+
+class FakeClient:
+    """Hermetic scripted client for tests, benchmarks and fault injection.
+
+    ``script`` is a list of responses returned in order (strings become
+    {"message": {"content": str}}); a callable receives the kwargs and
+    returns a response dict. The last entry repeats once exhausted.
+    """
+
+    api_type = "fake"
+
+    def __init__(self, script: List[Union[str, Dict, Callable]], record: bool = True):
+        if not script:
+            raise ValueError("FakeClient needs at least one scripted response")
+        self.script = list(script)
+        self.calls: List[Dict[str, Any]] = []
+        self.record = record
+        self._cursor = 0
+
+    def chat_completion(self, messages: List[Dict[str, Any]], **kwargs) -> Dict[str, Any]:
+        if self.record:
+            self.calls.append({"messages": messages, **kwargs})
+        entry = self.script[min(self._cursor, len(self.script) - 1)]
+        self._cursor += 1
+        if callable(entry):
+            entry = entry(messages=messages, **kwargs)
+        if isinstance(entry, str):
+            return {"message": {"content": entry}}
+        if isinstance(entry, Exception):
+            raise entry
+        return entry
+
+
+_api_clients: Dict[str, Any] = {}
+_fake_factory: Optional[Callable[[], Any]] = None
+
+
+def register_fake_client(factory: Optional[Callable[[], Any]]) -> None:
+    """Route get_api_client() to a fake (pass None to restore real clients).
+
+    The orchestrator and UIs resolve clients exclusively through
+    get_api_client, so this one seam makes the entire pipeline hermetic.
+    """
+    global _fake_factory
+    _fake_factory = factory
+    _api_clients.clear()
+
+
+def get_api_client(api_type: str = "auto", api_key: Optional[str] = None):
+    """Get or create a cached client keyed by (api_type, api_key)."""
+    if _fake_factory is not None:
+        key = f"fake:{api_type}:{api_key or ''}"
+        if key not in _api_clients:
+            _api_clients[key] = _fake_factory()
+        return _api_clients[key]
+    cache_key = f"{api_type}:{api_key or ''}"
+    client = _api_clients.get(cache_key)
+    if client is None:
+        client = APIClient(api_type=api_type, api_key=api_key)
+        _api_clients[cache_key] = client
+    return client
