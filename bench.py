@@ -1,0 +1,147 @@
+"""Benchmark: composited 1080p canvases/sec/chip vs the PIL reference.
+
+Headline metric (BASELINE.md): 1080p canvases composited per second on one
+TPU chip, batched compose path (vmapped scan kernel), squarespace bundle
+workload with solver-realistic downscale-only placements. ``vs_baseline``
+is the speedup over the PIL reference pipeline (per-placement LANCZOS
+resize + alpha_composite, measured here on this host since the reference
+publishes no numbers — BASELINE.json ``published: {}``).
+
+Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
+Usage: python bench.py [--batch 16] [--reps 5] [--sweep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent.resolve()
+sys.path.insert(0, str(REPO))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def pil_baseline_canvases_per_sec(bundle, boxes_per_canvas, canvas_hw, n_canvases=8):
+    """Best-of-3 PIL reference throughput (conservative for vs_baseline)."""
+    from PIL import Image
+
+    H, W = canvas_hw
+    bg = Image.new("RGBA", (W, H), (128, 128, 128, 255))
+    ids = bundle.object_ids()
+
+    def one_round() -> float:
+        t0 = time.perf_counter()
+        for i in range(n_canvases):
+            canvas = bg.copy()
+            boxes = boxes_per_canvas[i % len(boxes_per_canvas)]
+            for k, oid in enumerate(ids):
+                x1, y1, x2, y2 = (int(v) for v in boxes[k])
+                w, h = max(1, x2 - x1), max(1, y2 - y1)
+                canvas.alpha_composite(
+                    bundle.objects[oid].resize((w, h), Image.LANCZOS), dest=(x1, y1)
+                )
+        return n_canvases / (time.perf_counter() - t0)
+
+    one_round()  # warm caches
+    return max(one_round() for _ in range(3))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--pil-canvases", type=int, default=6)
+    parser.add_argument("--sweep", action="store_true", help="also run the 4-ratio sweep")
+    args = parser.parse_args()
+
+    from image_transformation_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.parallel.sweep import (
+        make_batched_compose,
+        random_downscale_boxes,
+        throughput_sweep,
+    )
+
+    log(f"devices: {jax.devices()}")
+    bundle = load_bundle(REPO / "data" / "squarespace")
+    arrays = bundle.to_arrays()
+    H, W = 1080, 1920
+    B = args.batch
+    pad_h, pad_w = arrays.objects.shape[1], arrays.objects.shape[2]
+
+    rng = np.random.default_rng(0)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 128
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+
+    step = make_batched_compose((pad_h, pad_w))
+    dev_args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+
+    def fence(x):
+        # block_until_ready does not reliably synchronize on the tunneled
+        # platform; a tiny host readback is a true execution fence (the
+        # device stream is in-order, so fencing the last call fences all).
+        np.asarray(x)
+
+    log("compiling + warmup ...")
+    t0 = time.perf_counter()
+    out, luma = step(*dev_args)
+    fence(luma)
+    log(f"first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        out, luma = step(*dev_args)
+    fence(luma)
+    dt = time.perf_counter() - t0
+    ours = B * args.reps / dt
+    log(f"tpu: {ours:.1f} canvases/sec ({dt / args.reps * 1e3:.1f} ms/batch of {B})")
+
+    log("measuring PIL reference baseline ...")
+    pil = pil_baseline_canvases_per_sec(
+        bundle, boxes, (H, W), n_canvases=args.pil_canvases
+    )
+    log(f"pil reference: {pil:.2f} canvases/sec")
+
+    if args.sweep:
+        sweep = throughput_sweep(
+            [bundle, load_bundle(REPO / "data" / "audio_book")],
+            ["9:16", "1:1", "16:9", "4:1"],
+            batch_per_ratio=8,
+            pixel_budget_size=(3840, 2160),
+        )
+        log(f"sweep: {json.dumps(sweep['ratios'])}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "composited 1080p canvases/sec/chip",
+                "value": round(ours, 2),
+                "unit": "canvases/sec",
+                "vs_baseline": round(ours / pil, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

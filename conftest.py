@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize may have imported jax already (and pinned
+# the hardware backend); override the live config too so the env vars
+# actually take effect.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: golden tests touch many distinct shapes; repeat
 # runs skip recompilation entirely.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_pytest")

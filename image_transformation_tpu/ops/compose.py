@@ -10,8 +10,11 @@ over arrays:
   actual sizes; boxes are a [N, 4] int32 array — all shapes static, so the
   whole compose jits once per (canvas, pad) geometry and vmaps over batches;
 - resizing is the MXU matmul formulation from ops.resize;
-- pasting is destination-driven: every canvas pixel gathers from the resized
-  object buffer (no dynamic-size scatter, which would block XLA fusion);
+- pasting is *windowed*: a paste is an affine shift, so instead of a
+  full-canvas gather (TPU gathers serialize — measured ~100x slower) the
+  kernel dynamic-slices the box window out of a halo-padded workspace,
+  alpha-blends it against the resized buffer, and dynamic-update-slices it
+  back — O(box) traffic per object, not O(canvas);
 - alpha-over replicates Pillow's exact fixed-point integer arithmetic
   (AlphaComposite.c, PRECISION_BITS=7) in int32, so compositing is
   bit-exact vs PIL.
@@ -21,9 +24,9 @@ Two resize-coefficient sources (see ops.resize): host-built float64 tables
 concrete host data) and in-graph float32 tables (for fully-fused programs
 with traced boxes; worst case ~1/255 from rare coefficient rounding flips).
 
-Out-of-canvas source pixels are dropped, matching PIL's source cropping for
-in-bounds ``dest``; negative dests are a caller error in the reference
-(PIL raises) and are clamped away by the solver before composing.
+Out-of-canvas pixels are dropped via the halo crop, matching PIL's source
+cropping for in-bounds ``dest``; boxes whose origin lies outside
+[-pad, canvas] are clamped onto the halo (fully off-canvas either way).
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from .resize import resize_f32
+from .resize import resize_f32, resize_with_tables
 
 _PRECISION_BITS = 7
 
@@ -66,30 +69,70 @@ def alpha_over_u8(dst: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((sa == 0)[..., None], dst, out)
 
 
+def _grow_canvas(canvas_u8: jnp.ndarray, out_max_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Pad the canvas so every blend window fits (only triggers when the
+    object pad envelope exceeds the canvas — tiny-canvas cases). The padded
+    fringe is cropped away after the scan; pixels landing there are
+    dropped, preserving the crop-to-canvas semantics."""
+    h_c, w_c = canvas_u8.shape[:2]
+    grow_h = max(0, out_max_hw[0] - h_c)
+    grow_w = max(0, out_max_hw[1] - w_c)
+    canvas_u8 = canvas_u8.astype(jnp.uint8)
+    if grow_h or grow_w:
+        canvas_u8 = jnp.pad(canvas_u8, ((0, grow_h), (0, grow_w), (0, 0)))
+    return canvas_u8
+
+
+def _blend_window(
+    canvas_u8: jnp.ndarray,
+    resized_f32: jnp.ndarray,
+    x1: jnp.ndarray,
+    y1: jnp.ndarray,
+) -> jnp.ndarray:
+    """Alpha-over ``resized_f32`` [mh, mw, 4] at (x1, y1) onto the uint8
+    canvas carry. O(mh*mw) traffic; the canvas never materializes in int32.
+
+    Requires mh <= H and mw <= W (callers pad tiny canvases up or pick a
+    smaller out_max). Destination clamping: dynamic_slice-style window
+    clamping plus a compensating source shift reproduces PIL's "crop the
+    overlay to the canvas" semantics for x1, y1 in [0, W/H]; fully
+    off-canvas or negative origins become no-ops (PIL raises on negative
+    dest — compositor.py callers pre-clamp).
+    """
+    mh, mw = resized_f32.shape[0], resized_f32.shape[1]
+    h_c, w_c = canvas_u8.shape[0], canvas_u8.shape[1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = jnp.minimum(x1c, w_c - mw)
+    ws_y = jnp.minimum(y1c, h_c - mh)
+    dx = x1c - ws_x
+    dy = y1c - ws_y
+    # Window starts at ws = x1 - dx, so window col c holds source col c - dx:
+    # front-pad the source and slice at (mh - dy, mw - dx).
+    src_pad = jnp.pad(resized_f32, ((mh, 0), (mw, 0), (0, 0)))
+    src = jax.lax.dynamic_slice(src_pad, (mh - dy, mw - dx, 0), (mh, mw, 4))
+    src = jnp.where(drop, 0.0, src)
+    window = jax.lax.dynamic_slice(canvas_u8, (ws_y, ws_x, 0), (mh, mw, 4))
+    blended = alpha_over_u8(window.astype(jnp.int32), src.astype(jnp.int32))
+    return jax.lax.dynamic_update_slice(
+        canvas_u8, blended.astype(jnp.uint8), (ws_y, ws_x, 0)
+    )
+
+
 def paste_object(
     canvas: jnp.ndarray,
     obj_f32: jnp.ndarray,
-    xy: Tuple[jnp.ndarray, jnp.ndarray],
-    wh: Tuple[jnp.ndarray, jnp.ndarray],
+    xy,
+    wh=None,
 ) -> jnp.ndarray:
-    """Destination-driven alpha-over paste.
+    """Single windowed alpha-over paste onto a uint8 canvas.
 
-    canvas: int32 [H, W, 4]; obj_f32: float32 [Hm, Wm, 4] (uint8 values,
-    zeros outside the live [h, w] region); xy = (x1, y1); wh = (w, h).
-    Pixels of the object falling outside the canvas are dropped.
+    obj_f32: float32 [mh, mw, 4] holding uint8 values, zero outside its
+    live region (zero alpha => exact dst passthrough, as in Pillow).
     """
-    h_c, w_c = canvas.shape[:2]
-    h_m, w_m = obj_f32.shape[:2]
-    x1, y1 = xy
-    w, h = wh
-    yy = jnp.arange(h_c, dtype=jnp.int32)[:, None]
-    xx = jnp.arange(w_c, dtype=jnp.int32)[None, :]
-    rel_y = yy - y1
-    rel_x = xx - x1
-    inside = (rel_y >= 0) & (rel_y < h) & (rel_x >= 0) & (rel_x < w)
-    src = obj_f32[jnp.clip(rel_y, 0, h_m - 1), jnp.clip(rel_x, 0, w_m - 1)]
-    src = jnp.where(inside[..., None], src.astype(jnp.int32), 0)
-    return alpha_over_u8(canvas, src)
+    del wh  # the zero-alpha region of obj_f32 already masks the live box
+    return _blend_window(canvas.astype(jnp.uint8), obj_f32, xy[0], xy[1])
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
@@ -101,7 +144,7 @@ def composite_canvas(
     out_max_hw: Tuple[int, int] | None = None,
     method: str = "lanczos",
 ) -> jnp.ndarray:
-    """Compose all objects onto the canvas in array order.
+    """Compose all objects onto the canvas in array order (traced sizes).
 
     canvas_u8: uint8 [H, W, 4]  — the background canvas.
     objs_u8:   uint8 [N, Hm, Wm, 4] — zero-padded RGBA cutouts.
@@ -111,12 +154,17 @@ def composite_canvas(
                it then composites as a no-op.
 
     Width/height floors at 1 px match the reference (compositor.py:17-18).
+    With downscale-only layouts (the solver never upscales) pass
+    ``out_max_hw`` = the object pad size to minimize resize work.
     """
     h_c, w_c = canvas_u8.shape[:2]
     if out_max_hw is None:
         out_max_hw = (h_c, w_c)
 
-    def step(canvas, per_obj):
+    # Resize stays inside the scan: A/B-measured faster than hoisting a
+    # batched resize (the materialized [N, mh, mw, 4] f32 buffer costs more
+    # HBM traffic than the scan serialization costs MXU idle time).
+    def step(work, per_obj):
         obj, hw, box = per_obj
         x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
         w = jnp.maximum(1, x2 - x1)
@@ -124,13 +172,11 @@ def composite_canvas(
         resized = resize_f32(
             obj.astype(jnp.float32), (hw[0], hw[1]), (h, w), out_max_hw, method
         )
-        return paste_object(canvas, resized, (x1, y1), (w, h)), None
+        return _blend_window(work, resized, x1, y1), None
 
-    # scan = z-order in array order, one traced body (fast compiles).
-    canvas, _ = jax.lax.scan(
-        step, canvas_u8.astype(jnp.int32), (objs_u8, obj_hw, boxes)
-    )
-    return canvas.astype(jnp.uint8)
+    work = _grow_canvas(canvas_u8, out_max_hw)
+    work, _ = jax.lax.scan(step, work, (objs_u8, obj_hw, boxes))
+    return work[:h_c, :w_c]
 
 
 composite_batch = jax.vmap(
@@ -139,7 +185,7 @@ composite_batch = jax.vmap(
 """vmapped compose: canvases [B,H,W,4], objects [B,N,Hm,Wm,4], sizes, boxes."""
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def composite_canvas_tables(
     canvas_u8: jnp.ndarray,
     objs_u8: jnp.ndarray,
@@ -154,22 +200,16 @@ def composite_canvas_tables(
     same_size: bool [N] — per-object PIL identity shortcut. With host-built
     tables the output is bit-exact vs the PIL pipeline.
     """
-    from .resize import resize_with_tables
+    h_c, w_c = canvas_u8.shape[:2]
 
-    def step(canvas, per_obj):
+    def step(work, per_obj):
         obj, kh, kv, same, box = per_obj
-        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-        w = jnp.maximum(1, x2 - x1)
-        h = jnp.maximum(1, y2 - y1)
         resized = resize_with_tables(obj.astype(jnp.float32), kh, kv, same)
-        return paste_object(canvas, resized, (x1, y1), (w, h)), None
+        return _blend_window(work, resized, box[0], box[1]), None
 
-    canvas, _ = jax.lax.scan(
-        step,
-        canvas_u8.astype(jnp.int32),
-        (objs_u8, kh_i32, kv_i32, same_size, boxes),
-    )
-    return canvas.astype(jnp.uint8)
+    work = _grow_canvas(canvas_u8, (kv_i32.shape[1], kh_i32.shape[1]))
+    work, _ = jax.lax.scan(step, work, (objs_u8, kh_i32, kv_i32, same_size, boxes))
+    return work[:h_c, :w_c]
 
 
 @jax.jit
@@ -189,23 +229,16 @@ def composite_canvas_tables_indexed(
     boxes and coefficient tables change per iteration — the host->device
     traffic per compose is only the small per-placement metadata.
     """
-    from .resize import resize_with_tables
+    h_c, w_c = canvas_u8.shape[:2]
 
-    def step(canvas, per_placement):
+    def step(work, per_placement):
         idx, box, kh, kv, same = per_placement
-        obj = objs_all[idx]
-        x1, y1, x2, y2 = box[0], box[1], box[2], box[3]
-        w = jnp.maximum(1, x2 - x1)
-        h = jnp.maximum(1, y2 - y1)
-        resized = resize_with_tables(obj.astype(jnp.float32), kh, kv, same)
-        return paste_object(canvas, resized, (x1, y1), (w, h)), None
+        resized = resize_with_tables(objs_all[idx].astype(jnp.float32), kh, kv, same)
+        return _blend_window(work, resized, box[0], box[1]), None
 
-    canvas, _ = jax.lax.scan(
-        step,
-        canvas_u8.astype(jnp.int32),
-        (perm, boxes, kh_i32, kv_i32, same_size),
-    )
-    return canvas.astype(jnp.uint8)
+    work = _grow_canvas(canvas_u8, (kv_i32.shape[1], kh_i32.shape[1]))
+    work, _ = jax.lax.scan(step, work, (perm, boxes, kh_i32, kv_i32, same_size))
+    return work[:h_c, :w_c]
 
 
 def composite_exact(
@@ -222,10 +255,16 @@ def composite_exact(
 
     from .resize import build_coeffs_host
 
-    h_c, w_c = canvas_u8.shape[:2]
-    if out_max_hw is None:
-        out_max_hw = (h_c, w_c)
     n, pad_h, pad_w = objs_u8.shape[0], objs_u8.shape[1], objs_u8.shape[2]
+    if out_max_hw is None:
+        # Resized buffers only need to cover the largest requested box.
+        need_h = max(
+            (max(1, int(b[3]) - int(b[1])) for b in boxes), default=1
+        )
+        need_w = max(
+            (max(1, int(b[2]) - int(b[0])) for b in boxes), default=1
+        )
+        out_max_hw = (max(need_h, pad_h), max(need_w, pad_w))
     kh = np.zeros((n, out_max_hw[1], pad_w), np.int32)
     kv = np.zeros((n, out_max_hw[0], pad_h), np.int32)
     same = np.zeros((n,), bool)

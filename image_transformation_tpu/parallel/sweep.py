@@ -1,0 +1,181 @@
+"""Batched / multi-chip rendering: vmapped compose and throughput sweeps.
+
+Implements BASELINE.json configs #3 and #5: a batch of canvases renders in
+one jitted pass (vmap over the scan-based compose), and the batch shards
+over a device mesh (``data`` axis = canvases, optional ``spatial`` axis =
+canvas rows). Per-canvas mean-luminance stats ride along as the run-level
+reduction (an actual cross-device collective when sharded).
+
+Static-shape discipline: each aspect ratio in a sweep is its own compiled
+program (canvas dims are static); bundles pad to a common (N, Hm, Wm)
+envelope so one program serves the whole fleet of bundles.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.compose import composite_canvas
+from .mesh import make_mesh
+
+
+def make_batched_compose(out_max_hw: Tuple[int, int], method: str = "lanczos"):
+    """jitted step: (canvases [B,H,W,4], objs [B,N,Hm,Wm,4], hw, boxes)
+    -> (composed [B,H,W,4], mean luminance [B])."""
+
+    def one(canvas, objs, hw, boxes):
+        return composite_canvas(canvas, objs, hw, boxes, out_max_hw, method)
+
+    @jax.jit
+    def step(canvases, objs, obj_hw, boxes):
+        out = jax.vmap(one)(canvases, objs, obj_hw, boxes)
+        luma = jnp.mean(
+            out[..., :3].astype(jnp.float32)
+            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32),
+            axis=(1, 2, 3),
+        )
+        return out, luma
+
+    return step
+
+
+batched_compose_step = make_batched_compose
+"""Alias kept for the public parallel API."""
+
+
+def sharded_compose_step(
+    mesh,
+    out_max_hw: Tuple[int, int],
+    method: str = "lanczos",
+    spatial: bool = False,
+):
+    """Multi-chip variant: canvases shard over the mesh ``data`` axis (and
+    optionally rows over ``spatial``); objects/boxes shard with their batch
+    dim; the luminance stat is a cross-device reduction XLA lowers onto ICI.
+    """
+
+    canvas_spec = P("data", "spatial") if spatial else P("data")
+    batch = NamedSharding(mesh, P("data"))
+    canvases_s = NamedSharding(mesh, canvas_spec)
+
+    def one(canvas, objs, hw, boxes):
+        return composite_canvas(canvas, objs, hw, boxes, out_max_hw, method)
+
+    @partial(
+        jax.jit,
+        in_shardings=(canvases_s, batch, batch, batch),
+        out_shardings=(canvases_s, NamedSharding(mesh, P())),
+    )
+    def step(canvases, objs, obj_hw, boxes):
+        out = jax.vmap(one)(canvases, objs, obj_hw, boxes)
+        luma = jnp.mean(
+            out[..., :3].astype(jnp.float32)
+            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32),
+            axis=(1, 2, 3),
+        )
+        # Global batch-mean: a real cross-device all-reduce when sharded.
+        return out, jnp.mean(luma, keepdims=True)
+
+    return step
+
+
+def random_downscale_boxes(
+    rng: np.random.Generator,
+    obj_hw: np.ndarray,
+    canvas_hw: Tuple[int, int],
+) -> np.ndarray:
+    """Solver-realistic random placements (downscale-only, inside canvas)."""
+    n = obj_hw.shape[0]
+    H, W = canvas_hw
+    boxes = np.zeros((n, 4), np.int32)
+    for k in range(n):
+        oh, ow = int(obj_hw[k, 0]), int(obj_hw[k, 1])
+        if oh == 0 or ow == 0:
+            continue
+        s = float(rng.uniform(0.3, 1.0))
+        s = min(s, H / oh, W / ow, 1.0)
+        w, h = max(1, int(ow * s)), max(1, int(oh * s))
+        x1 = int(rng.integers(0, max(1, W - w)))
+        y1 = int(rng.integers(0, max(1, H - h)))
+        boxes[k] = (x1, y1, x1 + w, y1 + h)
+    return boxes
+
+
+def throughput_sweep(
+    bundles,
+    ratios: List[str],
+    batch_per_ratio: int,
+    pixel_budget_size: Optional[Tuple[int, int]] = None,
+    mesh=None,
+    spatial: bool = False,
+    warmup: int = 1,
+    reps: int = 3,
+    seed: int = 0,
+) -> Dict:
+    """BASELINE config #5: bundles x ratios end-to-end composites/sec.
+
+    ``bundles`` is a list of core.bundle.Bundle. Each ratio compiles one
+    program; bundles pad to a shared envelope. Returns timing + throughput.
+    """
+    from ..layout.canvas import compute_canvas_size
+
+    rng = np.random.default_rng(seed)
+    n_max = max(len(b.meta) for b in bundles)
+    pad_h = max(m.height for b in bundles for m in b.meta.values())
+    pad_w = max(m.width for b in bundles for m in b.meta.values())
+    arrays = [b.to_arrays(n_max=n_max, pad_hw=(pad_h, pad_w)) for b in bundles]
+
+    results = {"ratios": {}, "total_canvases": 0, "total_seconds": 0.0}
+    for ratio in ratios:
+        if pixel_budget_size is not None:
+            W, H = compute_canvas_size(pixel_budget_size, ratio, verbose=False)
+        else:
+            W, H = compute_canvas_size(bundles[0].background.size, ratio, verbose=False)
+        B = batch_per_ratio
+        canvases = np.zeros((B, H, W, 4), np.uint8)
+        canvases[..., :3] = 128
+        canvases[..., 3] = 255
+        objs = np.zeros((B, n_max, pad_h, pad_w, 4), np.uint8)
+        hw = np.zeros((B, n_max, 2), np.int32)
+        boxes = np.zeros((B, n_max, 4), np.int32)
+        for i in range(B):
+            arr = arrays[i % len(arrays)]
+            objs[i] = arr.objects
+            hw[i] = arr.obj_hw
+            boxes[i] = random_downscale_boxes(rng, arr.obj_hw, (H, W))
+
+        if mesh is not None:
+            step = sharded_compose_step(mesh, (pad_h, pad_w), spatial=spatial)
+        else:
+            step = make_batched_compose((pad_h, pad_w))
+        args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+        for _ in range(warmup):
+            out, stat = step(*args)
+            np.asarray(stat)  # true execution fence (see bench.py)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out, stat = step(*args)
+        np.asarray(stat)
+        dt = time.perf_counter() - t0
+        results["ratios"][ratio] = {
+            "canvas": [W, H],
+            "batch": B,
+            "seconds_per_batch": dt / reps,
+            "canvases_per_sec": B * reps / dt,
+        }
+        results["total_canvases"] += B * reps
+        results["total_seconds"] += dt
+    results["canvases_per_sec"] = (
+        results["total_canvases"] / results["total_seconds"]
+        if results["total_seconds"]
+        else 0.0
+    )
+    return results

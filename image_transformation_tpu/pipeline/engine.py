@@ -34,8 +34,10 @@ class ComposeEngine:
         self.objs_dev = jnp.asarray(arrays.objects)
         self.pad_h = arrays.objects.shape[1]
         self.pad_w = arrays.objects.shape[2]
-        self.out_max_h = canvas_u8.shape[0]
-        self.out_max_w = canvas_u8.shape[1]
+        # The flex solver never upscales, so resized buffers (and the paste
+        # halo) only need the object pad envelope, not the canvas.
+        self.out_max_h = self.pad_h
+        self.out_max_w = self.pad_w
         self._id_to_idx = {
             int(oid): k for k, oid in enumerate(arrays.object_ids) if oid >= 0
         }
@@ -62,6 +64,12 @@ class ComposeEngine:
             x1, y1, x2, y2 = (int(v) for v in p["box"])
             boxes[k] = (x1, y1, x2, y2)
             w, h = max(1, x2 - x1), max(1, y2 - y1)
+            if w > self.out_max_w or h > self.out_max_h:
+                raise ValueError(
+                    f"placement box {w}x{h} exceeds the downscale-only "
+                    f"envelope {self.out_max_w}x{self.out_max_h}; use "
+                    "ops.compose.composite_exact for upscaling placements"
+                )
             oh, ow = (int(v) for v in self.arrays.obj_hw[idx])
             kh[k] = build_coeffs_host(ow, w, self.pad_w, self.out_max_w, self.method)
             kv[k] = build_coeffs_host(oh, h, self.pad_h, self.out_max_h, self.method)
