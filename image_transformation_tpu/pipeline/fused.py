@@ -1,0 +1,175 @@
+"""Fully-fused render: background + layout solve + compose in ONE program.
+
+BASELINE.json config #3 ("one bundle vmapped across 9:16/1:1/16:9/
+ultra-wide canvases in a single pass"): aspect-ratio variants share one
+compiled program by rendering onto a padded superset canvas with the
+*actual* (W, H) as traced data — the tensorized solver (layout/solve.py)
+takes traced canvas sizes, the compose kernel takes traced boxes, and the
+solid background is a broadcast. One vmap leg = one ratio variant (or one
+bundle); the crop to each variant's true size happens at artifact time.
+
+This is the framework's flagship device step: everything after bundle
+ingest — layout arithmetic, coefficient construction, Lanczos resampling,
+alpha compositing, render statistics — runs in a single XLA program with
+no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..layout.solve import FlexProgram, solve_program
+from ..ops.compose import composite_canvas
+
+
+def make_fused_render(
+    prog: FlexProgram,
+    canvas_max_hw: Tuple[int, int],
+    obj_pad_hw: Tuple[int, int],
+    method: str = "lanczos",
+):
+    """Build the jitted fused step for one layout structure.
+
+    Returned step signature:
+        step(canvas_wh [V,2] int32  (W, H per variant),
+             bg_color  [3] uint8    (solid background color),
+             objs      [N, Hm, Wm, 4] uint8,
+             obj_wh    [N, 2] int32 (w, h),
+             obj_known [N] bool)
+        -> (canvases [V, Hmax, Wmax, 4] uint8, boxes [V, N, 4], luma [V])
+
+    Out-of-canvas area of each padded render is garbage-by-construction
+    (solid background); crop with the per-variant (W, H) before use.
+    """
+    h_max, w_max = canvas_max_hw
+
+    def render_one(wh, bg_color, objs, obj_wh, obj_known):
+        boxes, scales = solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
+        rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
+        canvas = jnp.broadcast_to(rgba, (h_max, w_max, 4))
+        hw_swapped = obj_wh[:, ::-1]  # compose wants (h, w)
+        out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
+        luma = jnp.mean(
+            out[..., :3].astype(jnp.float32)
+            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+        )
+        return out, boxes, scales, luma
+
+    @jax.jit
+    def step(canvas_wh, bg_color, objs, obj_wh, obj_known):
+        return jax.vmap(render_one, in_axes=(0, None, None, None, None))(
+            canvas_wh, bg_color, objs, obj_wh, obj_known
+        )
+
+    return step
+
+
+def make_sharded_fused_render(
+    mesh,
+    prog: FlexProgram,
+    canvas_max_hw: Tuple[int, int],
+    obj_pad_hw: Tuple[int, int],
+    method: str = "lanczos",
+    spatial: bool = False,
+):
+    """Multi-chip fused step: variants shard over the mesh ``data`` axis
+    (canvas rows over ``spatial`` when set); object tensors replicate; the
+    global mean luminance is a cross-device all-reduce.
+
+    This is the full device step (solve -> background -> compose -> stats)
+    the production sweep runs, and what __graft_entry__.dryrun_multichip
+    validates on a virtual mesh.
+    """
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    h_max, w_max = canvas_max_hw
+    batch = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    out_spec = NamedSharding(mesh, P("data", "spatial") if spatial else P("data"))
+
+    def render_one(wh, bg_color, objs, obj_wh, obj_known):
+        boxes, scales = solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
+        rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
+        canvas = jnp.broadcast_to(rgba, (h_max, w_max, 4))
+        hw_swapped = obj_wh[:, ::-1]
+        out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
+        luma = jnp.mean(
+            out[..., :3].astype(jnp.float32)
+            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+        )
+        return out, boxes, luma
+
+    @partial(
+        jax.jit,
+        in_shardings=(batch, repl, repl, repl, repl),
+        out_shardings=(out_spec, batch, repl),
+    )
+    def step(canvas_wh, bg_color, objs, obj_wh, obj_known):
+        out, boxes, luma = jax.vmap(render_one, in_axes=(0, None, None, None, None))(
+            canvas_wh, bg_color, objs, obj_wh, obj_known
+        )
+        return out, boxes, jnp.mean(luma, keepdims=True)  # cross-device reduce
+
+    return step
+
+
+def fused_multi_ratio_render(
+    bundle,
+    root: Dict,
+    ratios: List[str],
+    method: str = "lanczos",
+):
+    """Render one bundle's layout at several ratios in a single device pass.
+
+    Returns {ratio: np.uint8 [H, W, 4]} plus the solved boxes per ratio.
+    """
+    from ..layout.canvas import compute_canvas_size
+    from ..ops.background import masked_median_rgb
+
+    sizes = [compute_canvas_size(bundle.background.size, r, verbose=False) for r in ratios]
+    w_max = max(w for w, _ in sizes)
+    h_max = max(h for _, h in sizes)
+
+    arrays = bundle.to_arrays()
+    prog = FlexProgram.from_dsl(root)
+    n = prog.n_objects
+    obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+
+    # FlexProgram rows are DSL order; map them onto the bundle arrays.
+    objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+    obj_wh = np.zeros((n, 2), np.int32)
+    known = np.zeros((n,), bool)
+    size_map = bundle.sizes()
+    for k, oid in enumerate(prog.obj_ids):
+        oid = int(oid)
+        if oid in size_map:
+            idx = arrays.index_of(oid)
+            objs[k] = arrays.objects[idx]
+            obj_wh[k] = size_map[oid]
+            known[k] = True
+
+    median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+    step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
+    out, boxes, scales, luma = step(
+        jnp.asarray(np.asarray(sizes, np.int32)),
+        median.astype(jnp.uint8),
+        jnp.asarray(objs),
+        jnp.asarray(obj_wh),
+        jnp.asarray(known),
+    )
+    out_np = np.asarray(out)
+    boxes_np = np.asarray(boxes)
+    renders = {}
+    solved = {}
+    for i, r in enumerate(ratios):
+        w, h = sizes[i]
+        renders[r] = out_np[i, :h, :w]
+        solved[r] = boxes_np[i]
+    return renders, solved
