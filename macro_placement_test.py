@@ -11,7 +11,10 @@ working.
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Dict, List, Tuple
+
+SCRIPT_DIR = Path(__file__).parent.resolve()
 
 from image_transformation_tpu.layout.flex import (  # noqa: F401
     ALLOWED_ALIGN,
