@@ -159,6 +159,52 @@ def load_bundle(root: os.PathLike) -> Bundle:
     return Bundle(root=root, objects=objects, meta=meta, background=background, items=items)
 
 
+def load_bundle_arrays(
+    root: os.PathLike,
+    n_max: Optional[int] = None,
+    pad_hw: Optional[Tuple[int, int]] = None,
+) -> Tuple[BundleArrays, List[dict]]:
+    """Fast-path ingest: results.json + threaded native PNG decode straight
+    into the padded device tensor (no PIL round-trip). Falls back to the
+    PIL loader when the native library is unavailable.
+
+    Returns (arrays, items). Object order = ascending object_id (matching
+    Bundle.to_arrays()).
+    """
+    from . import native_io
+
+    root = ensure_bundle(root)
+    with open(root / "results.json", "r", encoding="utf-8") as f:
+        items = json.load(f)
+    items = sorted(items, key=lambda it: int(it["object_id"]))
+    paths = [root / it["filename"] for it in items]
+    n = n_max if n_max is not None else len(paths)
+
+    if pad_hw is None:
+        dims = [native_io.probe_png(p) for p in paths]
+        if any(d is None for d in dims):
+            dims = None
+        if dims:
+            pad_hw = (max(h for _, h in dims), max(w for w, _ in dims))
+    result = (
+        native_io.batch_decode_into_padded(paths, n, pad_hw)
+        if pad_hw is not None
+        else None
+    )
+    if result is None:  # fallback: PIL loader
+        bundle = load_bundle(root)
+        return bundle.to_arrays(n_max=n_max, pad_hw=pad_hw), items
+
+    tensor, hw = result
+    oids = np.full((n,), -1, np.int32)
+    for k, it in enumerate(items):
+        oids[k] = int(it["object_id"])
+    arrays = BundleArrays(
+        objects=tensor, obj_hw=hw, object_ids=oids, n_valid=len(items)
+    )
+    return arrays, items
+
+
 def load_object_images(results_json_path: os.PathLike) -> Dict[int, Image.Image]:
     """Reference-compatible loader: results.json path -> {id: RGBA image}."""
     results_json_path = Path(results_json_path)

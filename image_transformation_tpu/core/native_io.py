@@ -1,0 +1,172 @@
+"""ctypes binding for the native PNG codec / batch ingest (native/png_io.cpp).
+
+The C++ library decodes bundles directly into the zero-padded device-ready
+tensor layout ([N, Hpad, Wpad, 4]) with a thread per file, and encodes
+artifact PNGs without the PIL round-trip. Every entry point degrades
+gracefully to PIL when the shared library isn't built (``make -C native``)
+or a file uses a PNG feature outside the codec's subset (16-bit,
+interlaced).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _find_library() -> Optional[Path]:
+    candidates = [
+        Path(__file__).resolve().parents[2] / "native" / "libpng_io.so",
+        Path(os.environ.get("ITPU_NATIVE_LIB", "")),
+    ]
+    for p in candidates:
+        if p and p.is_file():
+            return p
+    return None
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load and memoize the native library; None if unavailable."""
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _find_library()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    lib.png_decode_rgba.restype = ctypes.c_int
+    lib.png_decode_rgba.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.png_probe.restype = ctypes.c_int
+    lib.png_probe.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.png_encode_rgba.restype = ctypes.c_int64
+    lib.png_encode_rgba.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.png_batch_decode_into_padded.restype = ctypes.c_int
+    lib.png_batch_decode_into_padded.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def probe_png(path) -> Optional[Tuple[int, int]]:
+    """(width, height) via the native header probe; None -> fall back."""
+    lib = load_library()
+    if lib is None:
+        return None
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    if lib.png_probe(str(path).encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    return int(w.value), int(h.value)
+
+
+def decode_png_rgba(path) -> Optional[np.ndarray]:
+    """Decode one PNG to uint8 [H, W, 4]; None -> fall back to PIL."""
+    lib = load_library()
+    if lib is None:
+        return None
+    probed = probe_png(path)
+    if probed is None:
+        return None
+    w, h = probed
+    buf = np.empty((h, w, 4), np.uint8)
+    ow = ctypes.c_int32()
+    oh = ctypes.c_int32()
+    rc = lib.png_decode_rgba(
+        str(path).encode(),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.nbytes,
+        ctypes.byref(ow),
+        ctypes.byref(oh),
+    )
+    if rc != 0 or (ow.value, oh.value) != (w, h):
+        return None
+    return buf
+
+
+def encode_png_rgba(rgba: np.ndarray, path, level: int = 1) -> bool:
+    """Write uint8 [H, W, 4] as PNG; False -> caller should fall back."""
+    lib = load_library()
+    if lib is None:
+        return False
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    h, w = rgba.shape[:2]
+    cap = lib.png_encode_rgba(
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, level, None, 0
+    )
+    if cap <= 0:
+        return False
+    out = np.empty((int(cap),), np.uint8)
+    n = lib.png_encode_rgba(
+        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, level,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes,
+    )
+    if n <= 0:
+        return False
+    with open(path, "wb") as f:
+        f.write(out[: int(n)].tobytes())
+    return True
+
+
+def batch_decode_into_padded(
+    paths: Sequence, n_slots: int, pad_hw: Tuple[int, int]
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded decode of ``paths`` into ([n_slots, Hp, Wp, 4], [n_slots, 2]).
+
+    Returns None if the native library is unavailable or any file fails
+    (caller falls back to PIL for the whole batch — simplest correctness).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    pad_h, pad_w = pad_hw
+    n = len(paths)
+    if n > n_slots:
+        raise ValueError(f"{n} paths > {n_slots} slots")
+    tensor = np.zeros((n_slots, pad_h, pad_w, 4), np.uint8)
+    out_hw = np.zeros((n_slots, 2), np.int32)
+    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    rc = lib.png_batch_decode_into_padded(
+        arr, n,
+        tensor.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pad_h, pad_w,
+        out_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        return None
+    return tensor, out_hw
+
+
+def save_png(rgba: np.ndarray, path, level: int = 1) -> None:
+    """Artifact writer: native encoder with PIL fallback."""
+    if encode_png_rgba(rgba, path, level):
+        return
+    from PIL import Image
+
+    Image.fromarray(np.ascontiguousarray(rgba, np.uint8), "RGBA").save(path)

@@ -194,7 +194,9 @@ def run_macro_only(
         write_json(dirs.layout / f"layout_macro_iter_{iter_idx:02d}.json", final_json)
         draft_dev = engine.compose(final_json["placements"])
         draft_path = dirs.final / f"draft_macro_iter_{iter_idx:02d}.png"
-        Image.fromarray(np.asarray(draft_dev), "RGBA").save(draft_path)
+        from ..core.native_io import save_png
+
+        save_png(np.asarray(draft_dev), draft_path)
         save_overlay_debug(
             final_json["placements"], canvas_size,
             dirs.final / f"overlay_debug_iter_{iter_idx:02d}.png",
