@@ -1,0 +1,48 @@
+"""Fused Pallas compose kernel vs the exact XLA path (interpret mode).
+
+The compiled kernel is additionally validated bit-exact on real TPU
+hardware (see ops/compose_pallas.py STATUS); CI runs the interpreter.
+"""
+
+import numpy as np
+import pytest
+
+from image_transformation_tpu.core.bundle import load_bundle
+from image_transformation_tpu.ops.compose import composite_exact
+from image_transformation_tpu.ops.compose_pallas import (
+    composite_batch_pallas_host_tables,
+    window_extents,
+)
+from image_transformation_tpu.parallel.sweep import random_downscale_boxes
+
+
+def test_window_extents_tile_aligned():
+    mh, mw = window_extents((207, 357))
+    assert mh % 8 == 0 and mw % 128 == 0
+    assert mh >= 207 + 8 and mw >= 357 + 128
+
+
+@pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
+def test_pallas_kernel_bit_exact_vs_xla_exact(bundle_name):
+    bundle = load_bundle(f"data/{bundle_name}")
+    arrays = bundle.to_arrays()
+    H, W, B = 300, 400, 2
+    rng = np.random.default_rng(7)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 90
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    # exercise the identity shortcut and an off-canvas drop
+    boxes[0, 0] = [3, 5, 3 + arrays.obj_hw[0, 1], 5 + arrays.obj_hw[0, 0]]
+    boxes[1, 0] = [-10, -10, -10 + arrays.obj_hw[0, 1], -10 + arrays.obj_hw[0, 0]]
+
+    out = np.asarray(
+        composite_batch_pallas_host_tables(canvases, objs, hw, boxes, interpret=True)
+    )
+    for b in range(B):
+        ref = np.asarray(composite_exact(canvases[b], objs[b], hw[b], boxes[b]))
+        assert np.array_equal(out[b], ref), f"canvas {b} diverged"
