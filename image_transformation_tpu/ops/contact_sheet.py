@@ -12,10 +12,14 @@ layer.
 
 Geometry parity: thumbnail target sizes replicate PIL's
 ``Image.thumbnail`` aspect rounding (round-half-to-nearest with
-tie-breaking toward the truer aspect). Pixel parity: identical to PIL for
-downscales < 2x (all shipped bundles); PIL's ``reduce()`` pre-pass for
-factors >= 2 is not replicated (visually indistinguishable; the sheet is
-model input, not a golden surface).
+tie-breaking toward the truer aspect). Pixel parity: bit-exact at every
+downscale factor — although thumbnail passes reducing_gap=2.0, Pillow's
+RGBA premultiply wrapper recurses into resize WITHOUT it (Image.py:
+``im = im.resize(size, resample, box)``), so the reduce() pre-pass never
+runs for RGBA and thumbnailing IS the plain exact resample this module
+already uses. The Pillow-exact ``reduce()`` arithmetic is still provided
+(:func:`_reduce_np`, fixed-point reciprocal rounding) for non-alpha modes
+and documentation.
 """
 
 from __future__ import annotations
@@ -45,6 +49,59 @@ def thumbnail_size(src_wh: Tuple[int, int], max_wh: Tuple[int, int]) -> Tuple[in
     else:
         y = round_aspect(x / aspect, key=lambda n: 0 if n == 0 else abs(aspect - x / n))
     return x, y
+
+
+def _premultiply_np(rgba: np.ndarray) -> np.ndarray:
+    out = rgba.astype(np.int64)
+    a = out[..., 3:4]
+    tmp = out[..., :3] * a + 128
+    out[..., :3] = ((tmp >> 8) + tmp) >> 8
+    return out
+
+
+def _unpremultiply_np(rgba: np.ndarray) -> np.ndarray:
+    out = rgba.astype(np.int64)
+    a = out[..., 3:4]
+    rgb = np.minimum(255, (255 * out[..., :3]) // np.maximum(a, 1))
+    out[..., :3] = np.where(a == 0, out[..., :3], rgb)
+    return out
+
+
+def _reduce_np(rgba: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Pillow Image.reduce, bit-exact: block sums + the fixed-point
+    reciprocal rounding ((sum + area/2) * floor(2^24/area)) >> 24."""
+    h, w = rgba.shape[:2]
+    oh = -(-h // fy)
+    ow = -(-w // fx)
+    acc = np.add.reduceat(rgba.astype(np.int64), np.arange(0, h, fy), axis=0)
+    acc = np.add.reduceat(acc, np.arange(0, w, fx), axis=1)
+    cnt_y = np.minimum(np.arange(oh) * fy + fy, h) - np.arange(oh) * fy
+    cnt_x = np.minimum(np.arange(ow) * fx + fx, w) - np.arange(ow) * fx
+    area = (cnt_y[:, None] * cnt_x[None, :]).astype(np.int64)
+    mult = (1 << 24) // area
+    out = ((acc + (area // 2)[..., None]) * mult[..., None]) >> 24
+    return out.astype(np.uint8)
+
+
+def thumbnail_exact_u8(rgba: np.ndarray, target_wh: Tuple[int, int]) -> np.ndarray:
+    """PIL Image.thumbnail pixel parity for RGBA at any factor (host).
+
+    For RGBA, Pillow's thumbnail is exactly the premultiplied plain
+    resample at the aspect-rounded target size (see module docstring), so
+    this delegates to the exact resize kernel. Returns uint8 [th, tw, 4].
+    """
+    import jax.numpy as jnp
+
+    from .resize import resize_exact_u8
+
+    h, w = rgba.shape[:2]
+    tw, th = thumbnail_size((w, h), target_wh)
+    if (tw, th) == (w, h):
+        return rgba.copy()
+    out = resize_exact_u8(
+        jnp.asarray(rgba), (h, w), (th, tw), (max(th, h), max(tw, w))
+    )
+    return np.asarray(out)[:th, :tw]
 
 
 def _load_font(font_size: int):

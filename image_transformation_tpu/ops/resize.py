@@ -76,23 +76,33 @@ _NP_FILTERS = {"lanczos": _np_lanczos3, "bilinear": _np_bilinear}
 
 @functools.lru_cache(maxsize=4096)
 def build_coeffs_host(
-    in_size: int, out_size: int, in_max: int, out_max: int, method: str = "lanczos"
+    in_size: int,
+    out_size: int,
+    in_max: int,
+    out_max: int,
+    method: str = "lanczos",
+    box: Tuple[float, float] = (0.0, -1.0),
 ) -> np.ndarray:
     """Bit-exact Pillow coefficient table, int32 [out_max, in_max].
 
     Float64 window/normalization and the C-cast half-away-from-zero
     quantization reproduce precompute_coeffs + normalize_coeffs_8bpc.
+    ``box`` = (in0, in1) supports PIL's fractional source boxes (used by
+    the reduce() pre-pass of thumbnail); in1 < 0 means the full extent.
     """
     filt = _NP_FILTERS[method]
     out_size = max(1, out_size)
-    scale = in_size / out_size
+    in0, in1 = box
+    if in1 < 0:
+        in1 = float(in_size)
+    scale = (in1 - in0) / out_size
     filterscale = max(scale, 1.0)
     support = _SUPPORT[method] * filterscale
     ss = 1.0 / filterscale
 
     table = np.zeros((out_max, in_max), np.int32)
     for o in range(min(out_size, out_max)):
-        center = (o + 0.5) * scale
+        center = in0 + (o + 0.5) * scale
         xmin = max(0, int(center - support + 0.5))
         xmax = min(in_size, int(center + support + 0.5))
         i = np.arange(xmin, xmax, dtype=np.float64)

@@ -34,6 +34,7 @@ import numpy as np
 from PIL import Image
 
 from ..core.bundle import load_bundle
+from ..core.logging import RunLogger
 from ..core.timing import StepTimer
 from ..layout.canvas import compute_canvas_size
 from ..layout.flex import FlexError, solve_flex
@@ -134,6 +135,7 @@ def run_macro_only(
         purge_run_dir(base_out)
 
     timer = StepTimer()
+    logger = RunLogger(base_out / "events.jsonl")
     client = get_api_client(api_type, api_key=api_key)
 
     with timer.time_step("prepare"):
@@ -266,7 +268,7 @@ def run_macro_only(
             try:
                 validate(flex_raw, baseline=True)
             except (FlexError, Exception) as e:  # persist + continue (ref behavior)
-                print(f"[validate] Baseline layout failed validation: {e}")
+                logger.log("validate", f"Baseline layout failed validation: {e}", iteration=0)
                 write_text(d0.in_text / "flex_validation_error_iter_00.txt", str(e))
                 record_failed_output(d0.vlm_out / "failed_output.txt", str(e), flex_raw)
 
@@ -359,7 +361,7 @@ def run_macro_only(
             try:
                 validate(refine_raw, baseline=False)
             except Exception as e:  # retry once with validator feedback
-                print(f"[validate] Iter {i:02d} refine failed validation: {e}")
+                logger.log("validate", f"Iter {i:02d} refine failed validation: {e}", iteration=i)
                 write_text(di.in_text / f"flex_validation_error_iter_{i:02d}.txt", str(e))
                 record_failed_output(
                     di.vlm_out / f"failed_output_iter_{i:02d}.txt", str(e), refine_raw
@@ -371,7 +373,7 @@ def run_macro_only(
                 try:
                     validate(refine_raw, baseline=False)
                 except Exception as e2:  # keep artifacts, move on
-                    print(f"[validate] Iter {i:02d} refine retry failed validation: {e2}")
+                    logger.log("validate", f"Iter {i:02d} refine retry failed validation: {e2}", iteration=i, retry=True)
                     write_text(
                         di.in_text / f"flex_validation_error_iter_{i:02d}_retry.txt",
                         str(e2),
@@ -385,7 +387,7 @@ def run_macro_only(
             # Identical JSON => no structural change; skip composing (and, as
             # in the reference, leave the carried loop state untouched).
             if json.dumps(flex_raw, sort_keys=True) == json.dumps(refine_raw, sort_keys=True):
-                print(f"[refine] Iter {i:02d} produced identical JSON; skipping compose.")
+                logger.log("refine", f"Iter {i:02d} produced identical JSON; skipping compose.", iteration=i, no_change=True)
                 write_text(
                     di.in_text / f"no_change_iter_{i:02d}.txt",
                     "Refined JSON identical to previous; aborting.",
@@ -395,7 +397,7 @@ def run_macro_only(
 
         with timer.time_step(f"compose_iter_{i:02d}"):
             if "root" not in refine_raw:
-                print(f"[compose] Iter {i:02d} has no usable layout; skipping compose.")
+                logger.log("compose", f"Iter {i:02d} has no usable layout; skipping compose.", iteration=i)
                 save_loop_state(di)
                 continue
             placements_i = solve_flex(refine_raw["root"], canvas_size, sizes)
