@@ -1,0 +1,327 @@
+"""BASELINE.json benchmark configs #1-#5, end to end.
+
+Run: python benchmarks/run_all.py [--quick]
+Writes benchmarks/results.json and prints a summary table to stderr plus
+one JSON line (the headline metric) to stdout, mirroring bench.py.
+
+Configs (BASELINE.json):
+ 1. squarespace bundle: single compose onto a 1:1 solid canvas, verified
+    bit-exact vs the PIL reference (the test_compositor path).
+ 2. audio_book 9:16 -> 16:9 re-layout with margin/align sweeps +
+    validation (conflict recomputation per margin).
+ 3. batched multi-ratio render: one bundle across 9:16/1:1/16:9/4:1 in a
+    single fused device pass (solve + background + compose).
+ 4. full iterate loop with mocked VLM personas (compose -> critic ->
+    refine x N) including contact-sheet generation.
+ 5. throughput sweep: 64 bundles x 4 ratios at 4K pixel budget.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def fence(x) -> None:
+    np.asarray(x)
+
+
+def config1_single_compose() -> dict:
+    """Single squarespace compose on 1:1 canvas; bit-exactness verified."""
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.layout.canvas import compute_canvas_size
+    from image_transformation_tpu.layout.flex import solve_flex
+    from image_transformation_tpu.ops.background import masked_median_rgb, solid_canvas
+    from image_transformation_tpu.pipeline.engine import ComposeEngine
+
+    bundle = load_bundle(REPO / "data" / "squarespace")
+    W, H = compute_canvas_size(bundle.background.size, "1:1", verbose=False)
+    root = {
+        "type": "flex", "direction": "column",
+        "children": [
+            {"object_id": oid, "name": bundle.meta[oid].label}
+            for oid in bundle.object_ids()
+        ],
+    }
+    placements = solve_flex(root, (W, H), bundle.sizes())
+    median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+    canvas = np.asarray(solid_canvas(median.astype(jnp.uint8), H, W))
+    engine = ComposeEngine(bundle.to_arrays(), canvas)
+
+    out = engine.compose(placements)
+    fence(out)
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        out = engine.compose(placements)
+    fence(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    # bit-exactness vs PIL
+    ref = Image.fromarray(canvas, "RGBA")
+    for p in placements:
+        oid = int(p["object_id"])
+        x1, y1, x2, y2 = p["box"]
+        ref.alpha_composite(
+            bundle.objects[oid].resize(
+                (max(1, x2 - x1), max(1, y2 - y1)), Image.LANCZOS
+            ),
+            dest=(x1, y1),
+        )
+    exact = bool(np.array_equal(np.asarray(out), np.asarray(ref)))
+    return {
+        "canvas": [W, H],
+        "ms_per_compose": dt * 1e3,
+        "bit_exact_vs_pil": exact,
+    }
+
+
+def config2_relayout_sweeps() -> dict:
+    """audio_book 9:16 -> 16:9 with margin/align sweeps + validation."""
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.layout.canvas import compute_canvas_size
+    from image_transformation_tpu.layout.flex import solve_flex
+    from image_transformation_tpu.layout.validate import (
+        compute_nesting_conflicts,
+        validate_flex_dsl,
+    )
+
+    bundle = load_bundle(REPO / "data" / "audio_book")
+    sizes = bundle.sizes()
+    ids = bundle.object_ids()
+    labels = [bundle.meta[oid].label for oid in ids]
+    dims = [sizes[oid] for oid in ids]
+    def root_for(direction: str) -> dict:
+        return {
+            "type": "flex", "direction": direction,
+            "children": [
+                {"object_id": oid, "name": bundle.meta[oid].label} for oid in ids
+            ],
+        }
+
+    t0 = time.perf_counter()
+    n_layouts = 0
+    validations = {"passed": 0, "failed": 0}
+    for ratio, direction in (("9:16", "column"), ("16:9", "row")):
+        root = root_for(direction)
+        W, H = compute_canvas_size(bundle.background.size, ratio, verbose=False)
+        for margin in (0.0, 0.05, 0.1, 0.2, 0.3):
+            row_bad, col_bad = compute_nesting_conflicts(labels, dims, (W, H), margin)
+            try:
+                validate_flex_dsl(
+                    {"root": json_copy(root)}, ids, bundle.id_to_label(),
+                    row_bad_pairs={frozenset(p) for p in row_bad},
+                    col_bad_pairs={frozenset(p) for p in col_bad},
+                )
+                validations["passed"] += 1
+            except Exception:
+                validations["failed"] += 1
+            for align in ("center", "edge"):
+                placements = solve_flex(root, (W, H), sizes)
+                assert len(placements) == len(ids)
+                n_layouts += 1
+    dt = time.perf_counter() - t0
+    return {
+        "layouts_solved": n_layouts,
+        "validations": validations,
+        "seconds": dt,
+    }
+
+
+def json_copy(obj):
+    return json.loads(json.dumps(obj))
+
+
+def config3_multi_ratio() -> dict:
+    """One bundle across 4 ratios in a single fused device pass.
+
+    Device pass (solve + background + compose + stats) is timed with a
+    scalar fence; the full host round-trip (padded-frame readback) is
+    reported separately — on tunneled dev hosts the readback dominates.
+    """
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.layout.canvas import compute_canvas_size
+    from image_transformation_tpu.layout.solve import FlexProgram
+    from image_transformation_tpu.ops.background import masked_median_rgb
+    from image_transformation_tpu.pipeline.fused import (
+        fused_multi_ratio_render,
+        make_fused_render,
+    )
+
+    bundle = load_bundle(REPO / "data" / "squarespace")
+    root = {
+        "type": "flex", "direction": "column",
+        "children": [
+            {"object_id": oid, "name": bundle.meta[oid].label}
+            for oid in bundle.object_ids()
+        ],
+    }
+    ratios = ["9:16", "1:1", "16:9", "4:1"]
+    sizes_px = [
+        compute_canvas_size(bundle.background.size, r, verbose=False) for r in ratios
+    ]
+    w_max = max(w for w, _ in sizes_px)
+    h_max = max(h for _, h in sizes_px)
+    arrays = bundle.to_arrays()
+    prog = FlexProgram.from_dsl(root)
+    size_map = bundle.sizes()
+    n = prog.n_objects
+    objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+    obj_wh = np.zeros((n, 2), np.int32)
+    known = np.zeros((n,), bool)
+    for k, oid in enumerate(prog.obj_ids):
+        if int(oid) in size_map:
+            idx = arrays.index_of(int(oid))
+            objs[k] = arrays.objects[idx]
+            obj_wh[k] = size_map[int(oid)]
+            known[k] = True
+    median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+    step = make_fused_render(
+        prog, (h_max, w_max), (arrays.objects.shape[1], arrays.objects.shape[2])
+    )
+    args = (
+        jnp.asarray(np.asarray(sizes_px, np.int32)),
+        median.astype(jnp.uint8),
+        jnp.asarray(objs),
+        jnp.asarray(obj_wh),
+        jnp.asarray(known),
+    )
+    out, boxes, scales, luma = step(*args)
+    fence(luma)
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, boxes, scales, luma = step(*args)
+    fence(luma)
+    device_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    t0 = time.perf_counter()
+    renders, _ = fused_multi_ratio_render(bundle, root, ratios)
+    host_ms = (time.perf_counter() - t0) * 1e3
+    return {
+        "ratios": ratios,
+        "device_ms_per_4variant_pass": device_ms,
+        "variants_per_sec_device": 4 / (device_ms / 1e3),
+        "host_roundtrip_ms": host_ms,
+    }
+
+
+def config4_iterate_loop(tmp_root: Path) -> dict:
+    """Full mocked-VLM iterate loop incl. contact sheet generation."""
+    from image_transformation_tpu.pipeline.run import run_macro_only
+    from image_transformation_tpu.vlm.client import FakeClient, register_fake_client
+
+    bundle_dir = REPO / "data" / "squarespace"
+    items = json.loads((bundle_dir / "results.json").read_text())
+
+    def layout(pad):
+        children = [
+            {"object_id": int(it["object_id"]), "name": str(it["label"])}
+            for it in items
+        ]
+        children[-1] = dict(children[-1], padding_px=pad)
+        return json.dumps(
+            {"root": {"type": "flex", "direction": "column", "children": children}}
+        )
+
+    n_iters = 3
+    script = [layout(0)]
+    for i in range(n_iters):
+        script += [f"Score {6 + i}/10: tighten spacing", layout(4 * (i + 1))]
+    register_fake_client(lambda: FakeClient(script))
+    try:
+        t0 = time.perf_counter()
+        run_macro_only(
+            bundle_dir, "9:16", "center", 0.05, api_type="auto",
+            refine_iters=n_iters, base_output_root=tmp_root,
+        )
+        dt = time.perf_counter() - t0
+    finally:
+        register_fake_client(None)
+    return {"iterations": n_iters + 1, "seconds_total": dt,
+            "seconds_per_iteration": dt / (n_iters + 1)}
+
+
+def config5_throughput(quick: bool) -> dict:
+    """64 bundles x 4 ratios at 4K pixel budget."""
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.parallel.sweep import throughput_sweep
+
+    shipped = [
+        load_bundle(REPO / "data" / "squarespace"),
+        load_bundle(REPO / "data" / "audio_book"),
+    ]
+    bundles = [shipped[i % 2] for i in range(8 if quick else 64)]
+    result = throughput_sweep(
+        bundles,
+        ["9:16", "1:1", "16:9", "4:1"],
+        batch_per_ratio=len(bundles),
+        pixel_budget_size=(3840, 2160),
+        reps=2,
+    )
+    return {
+        "bundles": len(bundles),
+        "canvases_per_sec": result["canvases_per_sec"],
+        "per_ratio": {
+            r: {"canvas": v["canvas"], "canvases_per_sec": v["canvases_per_sec"]}
+            for r, v in result["ratios"].items()
+        },
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--out", default=str(REPO / "benchmarks" / "results.json"))
+    args = parser.parse_args()
+
+    from image_transformation_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import tempfile
+
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, fn in [
+            ("config1_single_compose", config1_single_compose),
+            ("config2_relayout_sweeps", config2_relayout_sweeps),
+            ("config3_multi_ratio_fused", config3_multi_ratio),
+            ("config4_iterate_loop_mocked_vlm", lambda: config4_iterate_loop(Path(tmp))),
+            ("config5_throughput_sweep", lambda: config5_throughput(args.quick)),
+        ]:
+            log(f"=== {name} ===")
+            t0 = time.perf_counter()
+            results[name] = fn()
+            log(f"{name}: {json.dumps(results[name])} "
+                f"({time.perf_counter() - t0:.1f}s incl. compile)")
+
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    log(f"wrote {args.out}")
+    print(json.dumps({
+        "metric": "4K-budget sweep canvases/sec/chip",
+        "value": round(results["config5_throughput_sweep"]["canvases_per_sec"], 2),
+        "unit": "canvases/sec",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

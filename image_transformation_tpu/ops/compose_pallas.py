@@ -328,6 +328,157 @@ def composite_batch_pallas(
     return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
 
 
+def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
+    """Blend-only kernel: resized sources are precomputed (XLA resize);
+    the kernel just DMAs each window + source, blends, and writes back —
+    removing the vmapped dynamic-update-slice canvas copies that dominate
+    the XLA blend phase (they scale with canvas area; windows don't)."""
+    mh_out, mw_out = out_hw
+    MH, MW = window_extents(out_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               win_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _():
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+                dy = meta_ref[b, k, 3]
+
+                window_slice = out_ref.at[
+                    b, :, pl.ds(ws_y, MH), pl.ds(ws_x, MW)
+                ]
+                dma_in = pltpu.make_async_copy(window_slice, win_ref, sem_in)
+                dma_in.start()
+                dma_src = pltpu.make_async_copy(
+                    src_all_ref.at[b, k], src_vmem, sem_src
+                )
+                dma_src.start()
+                dma_src.wait()
+
+                src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+                src_shift[:, 8 : 8 + mh_out, :mw_out] = src_vmem[
+                    :, :mh_out, :mw_out
+                ]
+                rows = jax.lax.switch(
+                    dy,
+                    [
+                        (lambda d: lambda: src_shift[:, 8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                src = pltpu.roll(rows.astype(jnp.int32), dx, axis=2)
+
+                dma_in.wait()
+                dst = win_ref[...].astype(jnp.int32)
+                win_ref[...] = _alpha_over_planar(dst, src).astype(jnp.uint8)
+                dma_out = pltpu.make_async_copy(win_ref, window_slice, sem_out)
+                dma_out.start()
+                dma_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_planar(
+    canvas_p: jnp.ndarray,  # [B, 4, Hp, Wp] u8 (pre-padded by one window)
+    src_p: jnp.ndarray,  # [B, N, 4, mh_a, mw_a] u8 (resized, zero outside box)
+    meta: jnp.ndarray,  # [B, N, 6]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_p.shape[0], src_p.shape[1]
+    mh_a, mw_a = src_p.shape[3], src_p.shape[4]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((4, MH, MW), jnp.uint8),
+            pltpu.VMEM((4, mh_a, mw_a), jnp.uint8),
+            pltpu.VMEM((4, MH + 8, MW), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_p.shape, jnp.uint8),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_p, src_p)
+
+
+def composite_batch_hybrid(
+    canvases: jnp.ndarray,  # [B, H, W, 4] u8
+    objs: jnp.ndarray,  # [B, N, mh, mw, 4] u8
+    obj_hw: jnp.ndarray,  # [B, N, 2] (h, w)
+    boxes: jnp.ndarray,  # [B, N, 4]
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """XLA resize (MXU einsums, traced tables) + Pallas window blends.
+
+    Numerics identical to ops.compose.composite_canvas (traced-table
+    budget). STATUS: measured SLOWER than the pure-XLA path on v5e (the
+    per-object DMA round-trips and dynamic rotates cost more than the XLA
+    blend does) — kept as the second Pallas reference path; see the module
+    docstring for the optimization plan.
+    """
+    from .resize import resize_f32
+
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    ph, pw = objs.shape[2], objs.shape[3]
+    if out_max_hw is None:
+        out_max_hw = (ph, pw)
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    MH, MW = window_extents((mh_a, mw_a))
+
+    def resize_one(obj, hw, box):
+        w = jnp.maximum(1, box[2] - box[0])
+        h = jnp.maximum(1, box[3] - box[1])
+        return resize_f32(
+            obj.astype(jnp.float32), (hw[0], hw[1]), (h, w), (mh_a, mw_a), method
+        )
+
+    resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
+    src_p = jnp.transpose(resized.astype(jnp.uint8), (0, 1, 4, 2, 3))
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = (x1c // 128) * 128
+    ws_y = (y1c // 8) * 8
+    meta = jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
+         (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    canvas_p = jnp.transpose(canvases, (0, 3, 1, 2))
+    pad_rows = _round_up(h_c + MH, 8) - h_c
+    pad_cols = _round_up(w_c + MW, 128) - w_c
+    canvas_p = jnp.pad(canvas_p, ((0, 0), (0, 0), (0, pad_rows), (0, pad_cols)))
+    out_p = _pallas_blend_planar(canvas_p, src_p, meta, interpret)
+    return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
+
+
 def composite_batch_pallas_host_tables(
     canvases: np.ndarray,
     objs: np.ndarray,

@@ -37,11 +37,8 @@ def make_batched_compose(out_max_hw: Tuple[int, int], method: str = "lanczos"):
     @jax.jit
     def step(canvases, objs, obj_hw, boxes):
         out = jax.vmap(one)(canvases, objs, obj_hw, boxes)
-        luma = jnp.mean(
-            out[..., :3].astype(jnp.float32)
-            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32),
-            axis=(1, 2, 3),
-        )
+        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(1, 2))
+        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
         return out, luma
 
     return step
@@ -76,11 +73,8 @@ def sharded_compose_step(
     )
     def step(canvases, objs, obj_hw, boxes):
         out = jax.vmap(one)(canvases, objs, obj_hw, boxes)
-        luma = jnp.mean(
-            out[..., :3].astype(jnp.float32)
-            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32),
-            axis=(1, 2, 3),
-        )
+        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(1, 2))
+        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
         # Global batch-mean: a real cross-device all-reduce when sharded.
         return out, jnp.mean(luma, keepdims=True)
 

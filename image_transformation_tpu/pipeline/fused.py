@@ -54,10 +54,8 @@ def make_fused_render(
         canvas = jnp.broadcast_to(rgba, (h_max, w_max, 4))
         hw_swapped = obj_wh[:, ::-1]  # compose wants (h, w)
         out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
-        luma = jnp.mean(
-            out[..., :3].astype(jnp.float32)
-            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
-        )
+        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(0, 1))
+        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
         return out, boxes, scales, luma
 
     @jax.jit
@@ -100,10 +98,8 @@ def make_sharded_fused_render(
         canvas = jnp.broadcast_to(rgba, (h_max, w_max, 4))
         hw_swapped = obj_wh[:, ::-1]
         out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
-        luma = jnp.mean(
-            out[..., :3].astype(jnp.float32)
-            * jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
-        )
+        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(0, 1))
+        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
         return out, boxes, luma
 
     @partial(
