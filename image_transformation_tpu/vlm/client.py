@@ -143,6 +143,20 @@ class APIClient:
                 raise RuntimeError("NEBIUS_API_KEY environment variable not set")
             self.nebius_client = OpenAI(base_url=NEBIUS_BASE_URL, api_key=key)
 
+    # ---------------- reference-surface helper methods ----------------
+
+    def _load_dotenv_if_present(self) -> None:
+        load_dotenv_if_present()
+
+    def _prepare_image_b64_for_api(self, image_path, max_side: int = 512) -> str:
+        return prepare_image_b64_jpeg(image_path, max_side)
+
+    def _encode_image_to_b64(self, img: Image.Image) -> str:
+        return encode_pil_b64_png(img)
+
+    def _extract_json_from_content(self, content: str) -> Dict[str, Any]:
+        return extract_json_from_content(content)
+
     # ------------------------------ core ------------------------------
 
     def chat_completion(

@@ -87,6 +87,39 @@ def _clamp_boxes_to_canvas(placements: List[Dict], canvas_size: Tuple[int, int])
     _clamp_boxes_impl(placements, canvas_size)
 
 
+def ensure_dir(path) -> None:
+    Path(path).mkdir(parents=True, exist_ok=True)
+
+
+def read_original_size(output_dir) -> Tuple[int, int]:
+    """(width, height) of the bundle's background.png."""
+    from PIL import Image
+
+    with Image.open(Path(output_dir) / "background.png") as im:
+        return im.size
+
+
+def _save_overlay_debug(placements: List[Dict], canvas_size: Tuple[int, int], path) -> None:
+    from image_transformation_tpu.pipeline.artifacts import save_overlay_debug
+
+    save_overlay_debug(placements, canvas_size, Path(path))
+
+
+def _compose_candidates_grid(image_paths, out_path) -> None:
+    """2x2 grid of candidate renders (legacy surface; no pipeline callers)."""
+    from PIL import Image
+
+    imgs = [Image.open(p).convert("RGBA") for p in image_paths if Path(p).exists()]
+    if not imgs:
+        return
+    ref_w, ref_h = imgs[0].size
+    grid = Image.new("RGBA", (ref_w * 2, ref_h * 2), (255, 255, 255, 255))
+    positions = [(0, 0), (ref_w, 0), (0, ref_h), (ref_w, ref_h)]
+    for im, pos in zip(imgs, positions):
+        grid.alpha_composite(im.resize((ref_w, ref_h), Image.LANCZOS), dest=pos)
+    grid.save(out_path)
+
+
 def _compute_nesting_conflicts(
     results_json_path: str, canvas_size: Tuple[int, int], margin_pct: float
 ):

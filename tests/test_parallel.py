@@ -1,0 +1,96 @@
+"""Multi-chip layer: mesh construction, sharded compose, throughput sweep.
+
+Runs on the 8 virtual CPU devices forced by conftest.py — the TPU-world
+answer to testing multi-chip without a cluster (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_transformation_tpu.core.bundle import load_bundle
+from image_transformation_tpu.ops.compose import composite_canvas
+from image_transformation_tpu.parallel.mesh import make_mesh, replicated, shard_batched
+from image_transformation_tpu.parallel.sweep import (
+    make_batched_compose,
+    random_downscale_boxes,
+    sharded_compose_step,
+    throughput_sweep,
+)
+
+
+def _batch(B, H, W, seed=0):
+    bundle = load_bundle("data/audio_book")
+    arrays = bundle.to_arrays()
+    rng = np.random.default_rng(seed)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 77
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    pad = arrays.objects.shape[1:3]
+    return canvases, objs, hw, boxes, pad
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(jax.devices()[:8], spatial=2)
+    assert mesh.devices.shape == (4, 2)
+    assert mesh.axis_names == ("data", "spatial")
+    with pytest.raises(ValueError):
+        make_mesh(jax.devices()[:6], data=4, spatial=2)
+    assert shard_batched(mesh).spec == jax.sharding.PartitionSpec("data")
+    assert replicated(mesh).spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_compose_matches_single_device():
+    canvases, objs, hw, boxes, pad = _batch(B=8, H=256, W=256)
+    dev = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+
+    single_out, single_luma = make_batched_compose(pad)(*dev)
+
+    mesh = make_mesh(jax.devices()[:8], spatial=2)
+    step = sharded_compose_step(mesh, pad, spatial=True)
+    with mesh:
+        out, luma = step(*dev)
+    assert np.array_equal(np.asarray(out), np.asarray(single_out))
+    assert np.asarray(luma)[0] == pytest.approx(
+        float(np.mean(np.asarray(single_luma))), rel=1e-5
+    )
+
+
+def test_sharded_matches_reference_compose_per_canvas():
+    canvases, objs, hw, boxes, pad = _batch(B=4, H=200, W=304, seed=3)
+    mesh = make_mesh(jax.devices()[:4], spatial=1)
+    step = sharded_compose_step(mesh, pad)
+    with mesh:
+        out, _ = step(*(jnp.asarray(x) for x in (canvases, objs, hw, boxes)))
+    for b in range(4):
+        ref = composite_canvas(
+            jnp.asarray(canvases[b]), jnp.asarray(objs[b]),
+            jnp.asarray(hw[b]), jnp.asarray(boxes[b]), pad,
+        )
+        assert np.array_equal(np.asarray(out[b]), np.asarray(ref))
+
+
+def test_throughput_sweep_smoke():
+    bundles = [load_bundle("data/squarespace"), load_bundle("data/audio_book")]
+    result = throughput_sweep(
+        bundles, ["1:1", "16:9"], batch_per_ratio=2, warmup=1, reps=1
+    )
+    assert set(result["ratios"]) == {"1:1", "16:9"}
+    assert result["canvases_per_sec"] > 0
+    assert result["total_canvases"] == 4
+
+
+def test_throughput_sweep_on_mesh():
+    bundles = [load_bundle("data/audio_book")] * 4
+    mesh = make_mesh(jax.devices()[:4], spatial=1)
+    result = throughput_sweep(
+        bundles, ["1:1"], batch_per_ratio=4, warmup=1, reps=1, mesh=mesh
+    )
+    assert result["canvases_per_sec"] > 0
