@@ -27,12 +27,21 @@ Bit-exact vs the XLA exact path (and therefore vs PIL) with host-built
 tables; traced-f32 tables carry the usual <=2/255 envelope.
 
 STATUS (v5e, batch 16 @ 1080p): correct and bit-exact on hardware, but
-currently ~4x slower than the XLA windowed path (ops.compose) — the
-serialized window DMAs and the dynamic lane rotates dominate. The XLA path
-remains the default; planned kernel work: double-buffer DMAs across
-objects, skip the rotate when (dx, dy) == 0, and per-tile grids for large
-canvases. Kept as the Pallas compute-path reference and validated in
-interpret mode on CPU plus compiled on TPU.
+currently well behind the XLA windowed path (ops.compose), at ~5 ms per
+object-step. Optimization log (all measured on hardware):
+- window-shaped DMAs -> full-width row-band DMAs (contiguous per channel
+  plane): 592 -> 406 ms/batch, so DMA fragmentation was real but minor;
+- int32 division -> exact f32-reciprocal + correction (_exact_div_i32):
+  406 -> 328 ms/batch, so the Mosaic software-division loops were also
+  only part of it;
+- remaining suspects: per-step scratch zero-fill + 8-way switch copies +
+  dynamic lane rotates of ~2 MB i32 (vector relayouts), and per-pl.when
+  region overhead. Next steps: hoist the source alignment into the XLA
+  pre-pass (emit band-aligned sources so the kernel is DMA+blend only),
+  double-buffer the band DMAs across objects, and batch several objects
+  per band when they share rows.
+The XLA path remains the default everywhere; these kernels are validated
+in interpret mode in CI and compiled bit-exact on TPU.
 """
 
 from __future__ import annotations
@@ -82,6 +91,21 @@ def _clip8(ss):
     return jnp.clip(ss >> PRECISION_BITS, 0, 255)
 
 
+def _exact_div_i32(num, den):
+    """Exact floor(num/den) for 0 <= num < 2^31, 1 <= den, num/den < 2^16.
+
+    Mosaic lowers int32 division to a software loop; an f32 reciprocal
+    multiply gets within 1 ulp of the quotient (q <= 2^16 so the f32
+    rounding error is < 0.02), and a single correction step makes it exact.
+    """
+    q = jnp.floor(
+        num.astype(jnp.float32) * (1.0 / den.astype(jnp.float32))
+    ).astype(jnp.int32)
+    r = num - q * den
+    q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q
+
+
 def _alpha_over_planar(dst_i32, src_i32):
     """Pillow-exact blend on planar [4, h, w] int32 stacks."""
     sa = src_i32[3]
@@ -89,7 +113,7 @@ def _alpha_over_planar(dst_i32, src_i32):
     blend = da * (255 - sa)
     outa255 = sa * 255 + blend
     safe = jnp.where(outa255 == 0, 1, outa255)
-    coef1 = (sa * 255 * 255 * 128) // safe
+    coef1 = _exact_div_i32(sa * (255 * 255 * 128), safe)
     coef2 = (255 * 128) - coef1
     tmp = src_i32[:3] * coef1[None] + dst_i32[:3] * coef2[None] + 0x80 * 128
     rgb = ((((tmp >> 8) + tmp) >> 8) >> 7)
@@ -178,7 +202,10 @@ def _make_kernel(n_obj: int, out_hw: Tuple[int, int]):
                 resized_p = jnp.stack(chans, axis=0)  # premultiplied int32
 
                 ra = resized_p[3]
-                rgb = jnp.minimum(255, (255 * resized_p[:3]) // jnp.maximum(ra, 1)[None])
+                rgb = jnp.minimum(
+                    255,
+                    _exact_div_i32(255 * resized_p[:3], jnp.maximum(ra, 1)[None]),
+                )
                 rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
                 resized = jnp.concatenate([rgb, ra[None]], axis=0)
 
@@ -328,16 +355,19 @@ def composite_batch_pallas(
     return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
 
 
-def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
+def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int], wp: int):
     """Blend-only kernel: resized sources are precomputed (XLA resize);
-    the kernel just DMAs each window + source, blends, and writes back —
-    removing the vmapped dynamic-update-slice canvas copies that dominate
-    the XLA blend phase (they scale with canvas area; windows don't)."""
+    the kernel DMAs a full-width ROW BAND of the canvas per object (one
+    contiguous run per channel plane — window-shaped DMAs fragment into
+    ~512-byte row segments and drown in descriptor overhead), blends the
+    object's 128-aligned lane sub-window in VMEM, and DMAs the band back.
+    This removes the vmapped dynamic-update-slice canvas copies that
+    dominate the XLA blend phase (they scale with canvas area)."""
     mh_out, mw_out = out_hw
     MH, MW = window_extents(out_hw)
 
     def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
-               win_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+               band_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
         del canvas_ref
         b = pl.program_id(0)
 
@@ -351,10 +381,8 @@ def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
                 dx = meta_ref[b, k, 2]
                 dy = meta_ref[b, k, 3]
 
-                window_slice = out_ref.at[
-                    b, :, pl.ds(ws_y, MH), pl.ds(ws_x, MW)
-                ]
-                dma_in = pltpu.make_async_copy(window_slice, win_ref, sem_in)
+                band_slice = out_ref.at[b, :, pl.ds(ws_y, MH), :]
+                dma_in = pltpu.make_async_copy(band_slice, band_ref, sem_in)
                 dma_in.start()
                 dma_src = pltpu.make_async_copy(
                     src_all_ref.at[b, k], src_vmem, sem_src
@@ -363,9 +391,7 @@ def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
                 dma_src.wait()
 
                 src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
-                src_shift[:, 8 : 8 + mh_out, :mw_out] = src_vmem[
-                    :, :mh_out, :mw_out
-                ]
+                src_shift[:, 8 : 8 + src_vmem.shape[1], :] = src_vmem[...]
                 rows = jax.lax.switch(
                     dy,
                     [
@@ -373,12 +399,20 @@ def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
                         for d in range(8)
                     ],
                 )
-                src = pltpu.roll(rows.astype(jnp.int32), dx, axis=2)
+                src = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, 0), (0, MW - rows.shape[2]))).astype(
+                        jnp.int32
+                    ),
+                    dx,
+                    axis=2,
+                )
 
                 dma_in.wait()
-                dst = win_ref[...].astype(jnp.int32)
-                win_ref[...] = _alpha_over_planar(dst, src).astype(jnp.uint8)
-                dma_out = pltpu.make_async_copy(win_ref, window_slice, sem_out)
+                dst = band_ref[:, :, pl.ds(ws_x, MW)].astype(jnp.int32)
+                band_ref[:, :, pl.ds(ws_x, MW)] = _alpha_over_planar(
+                    dst, src
+                ).astype(jnp.uint8)
+                dma_out = pltpu.make_async_copy(band_ref, band_slice, sem_out)
                 dma_out.start()
                 dma_out.wait()
 
@@ -394,6 +428,7 @@ def _pallas_blend_planar(
 ) -> jnp.ndarray:
     B, N = src_p.shape[0], src_p.shape[1]
     mh_a, mw_a = src_p.shape[3], src_p.shape[4]
+    wp = canvas_p.shape[3]
     MH, MW = window_extents((mh_a, mw_a))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -404,16 +439,16 @@ def _pallas_blend_planar(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((4, MH, MW), jnp.uint8),
+            pltpu.VMEM((4, MH, wp), jnp.uint8),  # full-width row band
             pltpu.VMEM((4, mh_a, mw_a), jnp.uint8),
-            pltpu.VMEM((4, MH + 8, MW), jnp.uint8),
+            pltpu.VMEM((4, MH + 8, mw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        _make_blend_kernel(N, (mh_a, mw_a)),
+        _make_blend_kernel(N, (mh_a, mw_a), wp),
         out_shape=jax.ShapeDtypeStruct(canvas_p.shape, jnp.uint8),
         grid_spec=grid_spec,
         input_output_aliases={1: 0},

@@ -168,24 +168,26 @@ def _split_limbs(k_i32: jnp.ndarray):
     """kk = (hi << 16) + (mid << 8) + lo with mid, lo in [0, 255].
 
     Arithmetic right-shift keeps the identity for negative coefficients.
-    Each limb-vs-uint8 matmul sum stays < 2^24, hence exact in float32.
+    Every limb fits bfloat16 exactly (8 significand bits cover [-64, 255]),
+    and the MXU multiplies bf16 operands into f32 accumulators, so the
+    limb matmuls are EXACT integer arithmetic at native bf16 speed.
     """
     hi = k_i32 >> 16
     rem = k_i32 - (hi << 16)
     mid = rem >> 8
     lo = rem - (mid << 8)
-    return hi.astype(jnp.float32), mid.astype(jnp.float32), lo.astype(jnp.float32)
+    return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
 def _limb_matmul(img_f32: jnp.ndarray, k_i32: jnp.ndarray, spec: str) -> jnp.ndarray:
-    """Exact int32 matmul Σ kk*p via three exact f32 MXU matmuls."""
+    """Exact int32 matmul Σ kk*p via three exact bf16 MXU matmuls."""
     hi, mid, lo = _split_limbs(k_i32)
+    img_bf = img_f32.astype(jnp.bfloat16)  # uint8 values: exact in bf16
     dot = functools.partial(
         jnp.einsum,
         spec,
-        img_f32,
+        img_bf,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     s_hi = dot(hi).astype(jnp.int32)
     s_mid = dot(mid).astype(jnp.int32)
