@@ -32,13 +32,38 @@ def _find_library() -> Optional[Path]:
     return None
 
 
+def _try_build() -> None:
+    """Best-effort `make -C native` when the source ships without the .so."""
+    import subprocess
+
+    native_dir = Path(__file__).resolve().parents[2] / "native"
+    if not (native_dir / "png_io.cpp").is_file():
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(native_dir)],
+            check=False,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
 def load_library() -> Optional[ctypes.CDLL]:
-    """Load and memoize the native library; None if unavailable."""
+    """Load and memoize the native library; None if unavailable.
+
+    Builds it on first use when only the C++ source is present (the .so is
+    not checked in); every caller degrades to PIL if that fails.
+    """
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
     path = _find_library()
+    if path is None:
+        _try_build()
+        path = _find_library()
     if path is None:
         return None
     try:
