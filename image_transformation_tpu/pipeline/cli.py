@@ -58,6 +58,15 @@ def main(argv=None) -> None:
     parser.add_argument("--refine-iters", type=int, default=10)
     parser.add_argument("--resume", action="store_true", help="Continue from the last iteration")
     parser.add_argument("--output-root", default=None, help="Artifact root directory")
+    parser.add_argument(
+        "--variants",
+        default=None,
+        help=(
+            "Comma-separated extra aspect ratios (e.g. 1:1,16:9,4:1): after "
+            "the run, re-render the final layout at every ratio in ONE fused "
+            "device pass (solve+background+compose) into variants/"
+        ),
+    )
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compile_cache
@@ -81,7 +90,7 @@ def main(argv=None) -> None:
         _install_fake_client(bundle_dir)
         api_type = "auto"
 
-    run_macro_only(
+    base_out = run_macro_only(
         bundle_dir,
         args.ratio,
         args.align,
@@ -94,6 +103,43 @@ def main(argv=None) -> None:
         base_output_root=Path(args.output_root) if args.output_root else None,
         resume=args.resume,
     )
+
+    if args.variants:
+        ratios = [args.ratio] + [
+            r.strip() for r in args.variants.split(",") if r.strip()
+        ]
+        render_variants(bundle_dir, base_out, ratios)
+
+
+def render_variants(bundle_dir: Path, base_out: Path, ratios) -> Path:
+    """Re-render the run's final layout at several ratios in one fused pass."""
+    from ..core.bundle import load_bundle
+    from ..core.native_io import save_png
+    from ..pipeline.artifacts import latest_iteration
+    from ..pipeline.fused import fused_multi_ratio_render
+
+    last = latest_iteration(base_out)
+    if last is None:
+        raise FileNotFoundError(f"no iterations under {base_out}")
+    flex_json = None
+    for idx in range(last, -1, -1):
+        state = base_out / f"iteration_{idx:02d}" / "layout_json" / "loop_state.json"
+        if state.exists():
+            flex_json = json.loads(state.read_text()).get("flex_raw")
+            if flex_json and "root" in flex_json:
+                break
+    if not flex_json or "root" not in flex_json:
+        raise RuntimeError(f"no solved layout found under {base_out}")
+
+    bundle = load_bundle(bundle_dir)
+    renders, _boxes = fused_multi_ratio_render(bundle, flex_json["root"], ratios)
+    out_dir = base_out / "variants"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for ratio, arr in renders.items():
+        path = out_dir / f"variant_{ratio.replace(':', 'x')}.png"
+        save_png(arr, path)
+        print(f"[variants] {ratio}: {arr.shape[1]}x{arr.shape[0]} -> {path}")
+    return out_dir
 
 
 if __name__ == "__main__":

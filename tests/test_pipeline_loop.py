@@ -146,3 +146,26 @@ def test_draft_matches_pil_reference_end_to_end(tmp_path):
             dest=(x1, y1),
         )
     assert np.array_equal(got, np.asarray(canvas))
+
+
+def test_variants_fused_rerender(tmp_path):
+    from image_transformation_tpu.pipeline.cli import render_variants
+
+    script = [_layout()]
+    base = _run(tmp_path, script, refine_iters=0)
+    out_dir = render_variants(BUNDLE, base, ["9:16", "1:1", "16:9"])
+    sizes = {}
+    for ratio, wh in [("9x16", (369, 657)), ("1x1", (492, 492)), ("16x9", (657, 369))]:
+        p = out_dir / f"variant_{ratio}.png"
+        assert p.exists()
+        im = Image.open(p)
+        sizes[ratio] = im.size
+        assert im.size == wh
+    # the 9:16 variant re-renders the same layout the loop composed
+    loop_draft = np.asarray(
+        Image.open(base / "iteration_00/final_product/draft_macro_iter_00.png")
+    )
+    variant = np.asarray(Image.open(out_dir / "variant_9x16.png"))
+    assert variant.shape == loop_draft.shape
+    diff = np.abs(variant.astype(int) - loop_draft.astype(int))
+    assert diff.max() <= 2  # fused path uses traced coefficient tables
