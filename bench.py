@@ -57,8 +57,8 @@ def pil_baseline_canvases_per_sec(bundle, boxes_per_canvas, canvas_hw, n_canvase
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=16)
-    parser.add_argument("--reps", type=int, default=5)
-    parser.add_argument("--pil-canvases", type=int, default=6)
+    parser.add_argument("--reps", type=int, default=20)
+    parser.add_argument("--pil-canvases", type=int, default=8)
     parser.add_argument("--sweep", action="store_true", help="also run the 4-ratio sweep")
     args = parser.parse_args()
 
