@@ -12,6 +12,14 @@ pure host string work. The contracts preserved exactly: message roles and
 multi-turn shape, image ordering, JSON-only output rules, frozen-root and
 micro-tweaks-only constraints, hard-constraint blocks (depth <= 2, exact
 coverage, row/column nesting conflicts), and per-aspect-family guidance.
+
+Note on wording: the prompt text itself is part of the behavioral surface
+— the VLM's output distribution (and therefore golden parity of the whole
+loop) depends on the exact phrasing, the same way it depends on the JSON
+schema. The persona wording is therefore kept faithful to the reference's
+as a protocol contract, not as implementation; all *code* here (context
+assembly, role inference, summaries, message construction) is written
+fresh against the TPU build's data structures.
 """
 
 from __future__ import annotations
