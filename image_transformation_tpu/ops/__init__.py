@@ -19,3 +19,14 @@ from .compose import (
     composite_exact,
     paste_object,
 )
+from .compose_pallas import (  # Pallas alternative paths (see module STATUS)
+    composite_batch_hybrid,
+    composite_batch_pallas,
+    composite_batch_pallas_host_tables,
+)
+from .contact_sheet import (
+    build_contact_sheet_from_results,
+    build_labeled_contact_sheet,
+    thumbnail_exact_u8,
+    thumbnail_size,
+)

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.compose import composite_canvas
-from .mesh import make_mesh
 
 
 def make_batched_compose(out_max_hw: Tuple[int, int], method: str = "lanczos"):
