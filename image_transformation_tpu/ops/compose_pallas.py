@@ -26,22 +26,27 @@ sequential, preserving it.
 Bit-exact vs the XLA exact path (and therefore vs PIL) with host-built
 tables; traced-f32 tables carry the usual <=2/255 envelope.
 
-STATUS (v5e, batch 16 @ 1080p): correct and bit-exact on hardware, but
-currently well behind the XLA windowed path (ops.compose), at ~5 ms per
-object-step. Optimization log (all measured on hardware):
-- window-shaped DMAs -> full-width row-band DMAs (contiguous per channel
-  plane): 592 -> 406 ms/batch, so DMA fragmentation was real but minor;
-- int32 division -> exact f32-reciprocal + correction (_exact_div_i32):
-  406 -> 328 ms/batch, so the Mosaic software-division loops were also
-  only part of it;
-- remaining suspects: per-step scratch zero-fill + 8-way switch copies +
-  dynamic lane rotates of ~2 MB i32 (vector relayouts), and per-pl.when
-  region overhead. Next steps: hoist the source alignment into the XLA
-  pre-pass (emit band-aligned sources so the kernel is DMA+blend only),
-  double-buffer the band DMAs across objects, and batch several objects
-  per band when they share rows.
-The XLA path remains the default everywhere; these kernels are validated
-in interpret mode in CI and compiled bit-exact on TPU.
+STATUS (v5e). Three generations of kernels live here, all bit-exact and
+interpret-tested in CI:
+1. composite_batch_pallas (fully fused resize+blend, planar): correct on
+   hardware but slow (~5 ms/object-step) and ~29 min to compile.
+2. composite_batch_hybrid (XLA resize + planar-u8 blend kernel): the
+   planar layout forced NHWC<->planar uint8 transposes in the wrapper
+   (~300 ms/batch!) and fragmented DMAs.
+3. composite_batch_hybrid_packed (XLA resize + PACKED-u32 blend): the RGBA
+   quartet bitcasts to one u32 lane, so there are NO transposes, windows
+   are single-plane contiguous, and channels unpack with shifts. This
+   MATCHES OR BEATS the pure-XLA path at 1080p (14.1 vs 16 ms per batch of
+   16) with bit-identical output. Two key discoveries, measured:
+   - embedding the pallas_call in the producer jit made XLA schedule it
+     ~25x slower; running producer and kernel as separate dispatches fixed
+     it (~60 us extra launch cost);
+   - the remaining ~10 ms/batch of kernel time is per-step overhead
+     (serialized DMA latencies + rotate/switch relayouts), not bandwidth:
+     shrinking band DMAs 5x changed little. Next: double-buffer DMAs
+     across objects with an overlap-hazard check (ROADMAP).
+The XLA windowed path (ops.compose) remains the default; the packed hybrid
+is the drop-in faster option for large-batch 1080p workloads.
 """
 
 from __future__ import annotations
@@ -512,6 +517,203 @@ def composite_batch_hybrid(
     canvas_p = jnp.pad(canvas_p, ((0, 0), (0, 0), (0, pad_rows), (0, pad_cols)))
     out_p = _pallas_blend_planar(canvas_p, src_p, meta, interpret)
     return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
+
+
+def _unpack_rgba_u32(v_i32):
+    """Packed little-endian RGBA u32 (as int32 bits) -> (r, g, b, a) int32."""
+    r = v_i32 & 255
+    g = (v_i32 >> 8) & 255
+    b = (v_i32 >> 16) & 255
+    a = (v_i32 >> 24) & 255
+    return r, g, b, a
+
+
+def _pack_rgba_u32(r, g, b, a):
+    return r | (g << 8) | (b << 16) | (a << 24)
+
+
+def _alpha_over_packed(dst_v, src_v):
+    """Pillow-exact blend on packed-u32 pixels (int32 bit patterns)."""
+    dr, dg, db, da = _unpack_rgba_u32(dst_v)
+    sr, sg, sb, sa = _unpack_rgba_u32(src_v)
+    blend = da * (255 - sa)
+    outa255 = sa * 255 + blend
+    safe = jnp.where(outa255 == 0, 1, outa255)
+    coef1 = _exact_div_i32(sa * (255 * 255 * 128), safe)
+    coef2 = (255 * 128) - coef1
+
+    def chan(s, d):
+        tmp = s * coef1 + d * coef2 + 0x80 * 128
+        return ((((tmp >> 8) + tmp) >> 8) >> 7)
+
+    a_num = outa255 + 0x80
+    out_a = ((a_num >> 8) + a_num) >> 8
+    out = _pack_rgba_u32(chan(sr, dr), chan(sg, dg), chan(sb, db), out_a)
+    return jnp.where(sa == 0, dst_v, out)
+
+
+def _make_blend_kernel_packed(n_obj: int, src_hw: Tuple[int, int]):
+    """Packed-u32 blend kernel: one canvas plane, contiguous band DMAs,
+    channel unpack via shifts — no layout transposes anywhere."""
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               band_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _():
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+                dy = meta_ref[b, k, 3]
+
+                window_slice = out_ref.at[
+                    b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)
+                ]
+                dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
+                dma_in.start()
+                dma_src = pltpu.make_async_copy(
+                    src_all_ref.at[b, k], src_vmem, sem_src
+                )
+                dma_src.start()
+                dma_src.wait()
+
+                src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+                src_shift[8 : 8 + mh_a, :] = src_vmem[...]
+                rows = jax.lax.switch(
+                    dy,
+                    [
+                        (lambda d: lambda: src_shift[8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                src = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+
+                dma_in.wait()
+                band_ref[...] = _alpha_over_packed(band_ref[...], src)
+                dma_out = pltpu.make_async_copy(band_ref, window_slice, sem_out)
+                dma_out.start()
+                dma_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_packed(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed RGBA (pre-padded)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed (zero outside box)
+    meta: jnp.ndarray,  # [B, N, 6]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((MH + 8, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_packed(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
+def _hybrid_producer(canvases, objs, obj_hw, boxes, out_max_hw, method):
+    """Resize all objects + build packed canvas/meta for the blend kernel."""
+    from .resize import resize_f32
+
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+
+    def resize_one(obj, hw, box):
+        w = jnp.maximum(1, box[2] - box[0])
+        h = jnp.maximum(1, box[3] - box[1])
+        return resize_f32(
+            obj.astype(jnp.float32), (hw[0], hw[1]), (h, w), (mh_a, mw_a), method
+        )
+
+    resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
+    src_v = jax.lax.bitcast_convert_type(resized.astype(jnp.uint8), jnp.int32)
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = (x1c // 128) * 128
+    ws_y = (y1c // 8) * 8
+    meta = jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
+         (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)  # [B, H, W]
+    pad_rows = _round_up(h_c + MH, 8) - h_c
+    pad_cols = _round_up(w_c + MW, 128) - w_c
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, pad_rows), (0, pad_cols)))
+    return canvas_v, src_v, meta
+
+
+def composite_batch_hybrid_packed(
+    canvases: jnp.ndarray,  # [B, H, W, 4] u8
+    objs: jnp.ndarray,  # [B, N, mh, mw, 4] u8
+    obj_hw: jnp.ndarray,  # [B, N, 2] (h, w)
+    boxes: jnp.ndarray,  # [B, N, 4]
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """XLA resize + packed-u32 Pallas window blends, zero transposes.
+
+    Pixels stay in NHWC memory order throughout: the RGBA quartet bitcasts
+    to one u32 lane (free), so the kernel sees a single [H, W] plane with
+    contiguous band rows and unpacks channels with shifts. Numerics match
+    ops.compose.composite_canvas (traced-table budget).
+
+    The producer and the kernel run as SEPARATE jit programs: embedding the
+    pallas_call inside the producer program made XLA schedule it ~25x
+    slower (copies/layout constraints around the custom call); two
+    dispatches cost ~60 us on the tunnel and keep both parts fast.
+    """
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    ph, pw = objs.shape[2], objs.shape[3]
+    if out_max_hw is None:
+        out_max_hw = (ph, pw)
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+
+    canvas_v, src_v, meta = _hybrid_producer(
+        canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
+    )
+    out_v = _pallas_blend_packed(canvas_v, src_v, meta, interpret)
+    return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
 
 
 def composite_batch_pallas_host_tables(
