@@ -45,8 +45,14 @@ interpret-tested in CI:
      (serialized DMA latencies + rotate/switch relayouts), not bandwidth:
      shrinking band DMAs 5x changed little. Next: double-buffer DMAs
      across objects with an overlap-hazard check (ROADMAP).
-The XLA windowed path (ops.compose) remains the default; the packed hybrid
-is the drop-in faster option for large-batch 1080p workloads.
+A double-buffered variant (_pallas_blend_packed_pipelined: grid over
+objects, fori over canvases so consecutive steps never alias) is correct
+but measured NO faster (14.6 vs 14.1 ms) — per-step compute (zero-fill +
+row-switch + lane-rotate + blend) dominates the DMA latency it hides, so
+the simpler kernel stays default (pipelined=False). Next lever: hoist the
+source alignment shifts into the XLA producer.
+The XLA windowed path (ops.compose) remains the default for library calls;
+bench.py defaults to the packed hybrid (fastest measured).
 """
 
 from __future__ import annotations
@@ -606,6 +612,132 @@ def _make_blend_kernel_packed(n_obj: int, src_hw: Tuple[int, int]):
     return kernel
 
 
+def _make_blend_kernel_packed_pipelined(n_batch: int, src_hw: Tuple[int, int]):
+    """Packed-u32 blend with double-buffered DMAs.
+
+    Grid iterates OBJECTS; a fori_loop walks the batch, so consecutive
+    steps touch different canvases and the next step's window/source DMAs
+    overlap the current blend with no aliasing hazard (same-canvas object
+    ordering is preserved by the sequential grid + an epilogue wait).
+    """
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               win_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        k = pl.program_id(0)
+
+        def window_dma(b, slot, to_vmem):
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+            if to_vmem:
+                return pltpu.make_async_copy(
+                    window_slice, win_ref.at[slot], sem_in.at[slot]
+                )
+            return pltpu.make_async_copy(
+                win_ref.at[slot], window_slice, sem_out.at[slot]
+            )
+
+        def src_dma(b, slot):
+            return pltpu.make_async_copy(
+                src_all_ref.at[b, k], src_vmem.at[slot], sem_src.at[slot]
+            )
+
+        # Prologue: fetch for b = 0.
+        window_dma(0, 0, True).start()
+        src_dma(0, 0).start()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            nslot = 1 - slot
+
+            # Reuse of buffer nslot requires its previous write-back done.
+            @pl.when(b > 0)
+            def _():
+                window_dma(b - 1, nslot, False).wait()
+
+            @pl.when(b + 1 < n_batch)
+            def _():
+                window_dma(b + 1, nslot, True).start()
+                src_dma(b + 1, nslot).start()
+
+            window_dma(b, slot, True).wait()
+            src_dma(b, slot).wait()
+
+            dx = meta_ref[b, k, 2]
+            dy = meta_ref[b, k, 3]
+            valid = meta_ref[b, k, 5] > 0
+
+            def compute(s):
+                # static slot index: dynamic-dim vector loads/stores lower
+                # to slow relayouts, so branch instead
+                src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+                src_shift[8 : 8 + mh_a, :] = src_vmem[s]
+                rows = jax.lax.switch(
+                    dy,
+                    [
+                        (lambda d: lambda: src_shift[8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                src = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                # invalid object => zero source (alpha 0) => dst passthrough
+                src = jnp.where(valid, src, 0)
+                win_ref[s] = _alpha_over_packed(win_ref[s], src)
+
+            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
+            window_dma(b, slot, False).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
+        # Epilogue: last write-back must land before the next grid step
+        # touches this canvas's next object (and before program end).
+        last = n_batch - 1
+        window_dma(last, jax.lax.rem(last, 2), False).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_packed_pipelined(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed RGBA (pre-padded)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed
+    meta: jnp.ndarray,  # [B, N, 6]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, MH, MW), jnp.int32),
+            pltpu.VMEM((2, mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((MH + 8, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_packed_pipelined(B, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_blend_packed(
     canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed RGBA (pre-padded)
@@ -689,6 +821,7 @@ def composite_batch_hybrid_packed(
     out_max_hw: Tuple[int, int] | None = None,
     method: str = "lanczos",
     interpret: bool = False,
+    pipelined: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -712,7 +845,8 @@ def composite_batch_hybrid_packed(
     canvas_v, src_v, meta = _hybrid_producer(
         canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
     )
-    out_v = _pallas_blend_packed(canvas_v, src_v, meta, interpret)
+    blend = _pallas_blend_packed_pipelined if pipelined else _pallas_blend_packed
+    out_v = blend(canvas_v, src_v, meta, interpret)
     return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
 
 

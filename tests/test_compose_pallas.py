@@ -83,3 +83,37 @@ def test_packed_hybrid_matches_xla_traced_path(bundle_name):
         jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
     )
     assert np.array_equal(out, ref)
+
+
+def test_packed_hybrid_pipelined_matches(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose import composite_canvas
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_hybrid_packed,
+    )
+
+    bundle = load_bundle("data/audio_book")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 280, 360, 3
+    rng = np.random.default_rng(21)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+    out = np.asarray(
+        composite_batch_hybrid_packed(*dev, interpret=True, pipelined=True)
+    )
+    ref = np.asarray(
+        jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+    )
+    assert np.array_equal(out, ref)
