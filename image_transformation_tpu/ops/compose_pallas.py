@@ -49,8 +49,13 @@ A double-buffered variant (_pallas_blend_packed_pipelined: grid over
 objects, fori over canvases so consecutive steps never alias) is correct
 but measured NO faster (14.6 vs 14.1 ms) — per-step compute (zero-fill +
 row-switch + lane-rotate + blend) dominates the DMA latency it hides, so
-the simpler kernel stays default (pipelined=False). Next lever: hoist the
-source alignment shifts into the XLA producer.
+the simpler kernel stays default (pipelined=False).
+A fourth variant (composite_batch_aligned) bakes the (dy, dx) window shift
+into the resize coefficient tables so the kernel is pure DMA+blend — also
+correct, but the producer's resize matmuls grow to the full window extent
+(224x512 vs 208x384 tables) and the net is SLOWER (20.6 ms). To win it
+needs dx folded into ws_x at finer DMA granularity or lane-rotate-free
+windows; recorded for round 2.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py defaults to the packed hybrid (fastest measured).
 """
@@ -610,6 +615,178 @@ def _make_blend_kernel_packed(n_obj: int, src_hw: Tuple[int, int]):
                 dma_out.wait()
 
     return kernel
+
+
+def _make_blend_kernel_aligned(n_batch: int):
+    """Minimal packed blend: sources arrive pre-aligned to their window
+    (the shift is baked into the resize tables by the producer), so each
+    step is DMA-in, blend, DMA-out — double-buffered across the batch
+    (grid iterates objects; consecutive steps touch different canvases)."""
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               win_ref, src_vmem, sem_in, sem_src, sem_out):
+        del canvas_ref
+        k = pl.program_id(0)
+        MH, MW = win_ref.shape[1], win_ref.shape[2]
+
+        def window_dma(b, slot, to_vmem):
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+            if to_vmem:
+                return pltpu.make_async_copy(
+                    window_slice, win_ref.at[slot], sem_in.at[slot]
+                )
+            return pltpu.make_async_copy(
+                win_ref.at[slot], window_slice, sem_out.at[slot]
+            )
+
+        def src_dma(b, slot):
+            return pltpu.make_async_copy(
+                src_all_ref.at[b, k], src_vmem.at[slot], sem_src.at[slot]
+            )
+
+        window_dma(0, 0, True).start()
+        src_dma(0, 0).start()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            nslot = 1 - slot
+
+            @pl.when(b > 0)
+            def _():
+                window_dma(b - 1, nslot, False).wait()
+
+            @pl.when(b + 1 < n_batch)
+            def _():
+                window_dma(b + 1, nslot, True).start()
+                src_dma(b + 1, nslot).start()
+
+            window_dma(b, slot, True).wait()
+            src_dma(b, slot).wait()
+            valid = meta_ref[b, k, 5] > 0
+
+            def compute(s):
+                src = jnp.where(valid, src_vmem[s], 0)
+                win_ref[s] = _alpha_over_packed(win_ref[s], src)
+
+            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
+            window_dma(b, slot, False).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
+        last = n_batch - 1
+        window_dma(last, jax.lax.rem(last, 2), False).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_aligned(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (pre-padded)
+    src_v: jnp.ndarray,  # [B, N, MH, MW] int32 packed, window-aligned
+    meta: jnp.ndarray,  # [B, N, 6]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N, MH, MW = src_v.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, MH, MW), jnp.int32),
+            pltpu.VMEM((2, MH, MW), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_aligned(B),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
+def _hybrid_producer_aligned(canvases, objs, obj_hw, boxes, out_max_hw, method):
+    """Resize every object DIRECTLY into its window-aligned position: the
+    (dy, dx) in-window shift is baked into the coefficient tables (free);
+    PIL's identity-size shortcut becomes a shifted copy."""
+    from .resize import resize_f32_shifted
+
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = (x1c // 128) * 128
+    ws_y = (y1c // 8) * 8
+    dxs = x1c - ws_x
+    dys = y1c - ws_y
+
+    def resize_one(obj, hw, box, dy, dx):
+        w = jnp.maximum(1, box[2] - box[0])
+        h = jnp.maximum(1, box[3] - box[1])
+        objf = obj.astype(jnp.float32)
+        resized = resize_f32_shifted(
+            objf, (hw[0], hw[1]), (h, w), (dy, dx), (MH, MW), method
+        )
+        # PIL identity shortcut: plain copy, shifted into position.
+        ph, pw = obj.shape[0], obj.shape[1]
+        ident = jax.lax.dynamic_update_slice(
+            jnp.zeros((MH, MW, 4), jnp.float32), objf, (dy, dx, 0)
+        )
+        same = (w == hw[1]) & (h == hw[0])
+        return jnp.where(same, ident, resized)
+
+    aligned = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes, dys, dxs)
+    src_v = jax.lax.bitcast_convert_type(aligned.astype(jnp.uint8), jnp.int32)
+
+    meta = jnp.stack(
+        [ws_x, ws_y, dxs, dys, jnp.zeros_like(x1), (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
+    pad_rows = _round_up(h_c + MH, 8) - h_c
+    pad_cols = _round_up(w_c + MW, 128) - w_c
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, pad_rows), (0, pad_cols)))
+    return canvas_v, src_v, meta
+
+
+def composite_batch_aligned(
+    canvases: jnp.ndarray,
+    objs: jnp.ndarray,
+    obj_hw: jnp.ndarray,
+    boxes: jnp.ndarray,
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fastest compose path: shift-baked XLA resize + minimal packed-u32
+    double-buffered Pallas blends (pure DMA+blend per step)."""
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    ph, pw = objs.shape[2], objs.shape[3]
+    if out_max_hw is None:
+        out_max_hw = (ph, pw)
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    canvas_v, src_v, meta = _hybrid_producer_aligned(
+        canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
+    )
+    out_v = _pallas_blend_aligned(canvas_v, src_v, meta, interpret)
+    return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
 
 
 def _make_blend_kernel_packed_pipelined(n_batch: int, src_hw: Tuple[int, int]):

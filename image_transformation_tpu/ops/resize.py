@@ -125,20 +125,25 @@ def resample_coeff_matrix(
     in_max: int,
     out_max: int,
     method: str = "lanczos",
+    out_offset=0,
 ) -> jnp.ndarray:
     """Float32 [out_max, in_max] normalized coefficient matrix for traced
-    sizes. Rows >= out_size and taps >= in_size are zero."""
+    sizes. Rows outside [out_offset, out_offset + out_size) and taps >=
+    in_size are zero — a nonzero (traced) ``out_offset`` bakes a
+    destination shift into the table for free (used to emit window-aligned
+    sources for the Pallas blend kernels)."""
     filt = _FILTERS[method]
     support0 = _SUPPORT[method]
 
     in_f = jnp.asarray(in_size).astype(jnp.float32)
     out_f = jnp.maximum(jnp.asarray(out_size).astype(jnp.float32), 1.0)
+    off = jnp.asarray(out_offset).astype(jnp.float32)
     scale = in_f / out_f
     filterscale = jnp.maximum(scale, 1.0)
     support = support0 * filterscale
     inv_fs = 1.0 / filterscale
 
-    o = jnp.arange(out_max, dtype=jnp.float32)[:, None]
+    o = jnp.arange(out_max, dtype=jnp.float32)[:, None] - off
     i = jnp.arange(in_max, dtype=jnp.float32)[None, :]
     center = (o + 0.5) * scale
 
@@ -149,7 +154,7 @@ def resample_coeff_matrix(
     w = filt((i - center + 0.5) * inv_fs) * window.astype(jnp.float32)
     wsum = jnp.sum(w, axis=1, keepdims=True)
     w = w / jnp.where(wsum != 0.0, wsum, 1.0)
-    return w * (o < out_f).astype(jnp.float32)
+    return w * ((o >= 0) & (o < out_f)).astype(jnp.float32)
 
 
 def quantize_coeffs(w_f32: jnp.ndarray) -> jnp.ndarray:
@@ -158,8 +163,40 @@ def quantize_coeffs(w_f32: jnp.ndarray) -> jnp.ndarray:
     return jnp.trunc(scaled + jnp.where(w_f32 < 0, -0.5, 0.5)).astype(jnp.int32)
 
 
-def build_coeffs_traced(in_size, out_size, in_max, out_max, method="lanczos"):
-    return quantize_coeffs(resample_coeff_matrix(in_size, out_size, in_max, out_max, method))
+def build_coeffs_traced(in_size, out_size, in_max, out_max, method="lanczos",
+                        out_offset=0):
+    return quantize_coeffs(
+        resample_coeff_matrix(in_size, out_size, in_max, out_max, method, out_offset)
+    )
+
+
+def resize_f32_shifted(
+    img_f32: jnp.ndarray,
+    in_hw,
+    out_hw,
+    out_offset_hw,
+    out_max_hw: Tuple[int, int],
+    method: str = "lanczos",
+) -> jnp.ndarray:
+    """Like :func:`resize_f32` but the live output region starts at
+    ``out_offset_hw`` (traced) inside the static buffer — the shift is
+    baked into the coefficient tables at zero extra cost. The PIL
+    identity-size shortcut is handled by the caller (it needs a shifted
+    copy, not a resample)."""
+    in_h, in_w = in_hw
+    out_h, out_w = out_hw
+    off_y, off_x = out_offset_hw
+    out_max_h, out_max_w = out_max_hw
+    in_max_h, in_max_w = img_f32.shape[0], img_f32.shape[1]
+    channels = img_f32.shape[2]
+
+    src = premultiply_rgba(img_f32).astype(jnp.float32) if channels == 4 else img_f32
+    kh = build_coeffs_traced(in_w, out_w, in_max_w, out_max_w, method, off_x)
+    kv = build_coeffs_traced(in_h, out_h, in_max_h, out_max_h, method, off_y)
+    out = resample_fixed(src, kh, kv)
+    if channels == 4:
+        out = unpremultiply_rgba(out).astype(jnp.float32)
+    return out
 
 
 # ----------------------- exact fixed-point resample -----------------------

@@ -117,3 +117,34 @@ def test_packed_hybrid_pipelined_matches(tmp_path):
         jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
     )
     assert np.array_equal(out, ref)
+
+
+def test_aligned_variant_matches(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose import composite_canvas
+    from image_transformation_tpu.ops.compose_pallas import composite_batch_aligned
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 300, 400, 2
+    rng = np.random.default_rng(31)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    boxes[0, 0] = [3, 5, 3 + arrays.obj_hw[0, 1], 5 + arrays.obj_hw[0, 0]]
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+    out = np.asarray(composite_batch_aligned(*dev, interpret=True))
+    ref = np.asarray(
+        jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+    )
+    assert np.array_equal(out, ref)
