@@ -30,3 +30,4 @@ from .contact_sheet import (
     thumbnail_exact_u8,
     thumbnail_size,
 )
+from .compose_pallas import composite_batch_aligned  # noqa: E402
