@@ -57,6 +57,14 @@ def main(argv=None) -> None:
     parser.add_argument("--temperature", type=float, default=1.0)
     parser.add_argument("--refine-iters", type=int, default=10)
     parser.add_argument("--resume", action="store_true", help="Continue from the last iteration")
+    parser.add_argument(
+        "--background", choices=["solid", "gradient"], default="solid",
+        help=(
+            "Canvas synthesis: 'solid' = median color (reference behavior); "
+            "'gradient' = edge-strip linear gradient (the reference's "
+            "fill_gradient, exposed as a first-class option)"
+        ),
+    )
     parser.add_argument("--output-root", default=None, help="Artifact root directory")
     parser.add_argument(
         "--variants",
@@ -102,6 +110,7 @@ def main(argv=None) -> None:
         original_input_path=original_input,
         base_output_root=Path(args.output_root) if args.output_root else None,
         resume=args.resume,
+        background=args.background,
     )
 
     if args.variants:

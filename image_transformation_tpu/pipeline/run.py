@@ -102,6 +102,7 @@ def run_macro_only(
     refiner_custom_design_rules: Optional[str] = None,
     base_output_root: Optional[Path] = None,
     resume: bool = False,
+    background: str = "solid",
 ) -> Path:
     """Run the full macro-placement loop for one bundle. Returns the run dir."""
     print("\n=== Running macro placement with Flex DSL and iterative refinement ===")
@@ -113,6 +114,8 @@ def run_macro_only(
     from ..layout.canvas import parse_ratio as _parse_ratio
 
     _parse_ratio(ratio)
+    if background not in ("solid", "gradient"):
+        raise PipelineError(f"unknown background mode: {background!r}")
     root_out = Path(base_output_root) if base_output_root else Path.cwd() / "output_macro_placement"
     base_out = root_out / output_dir.name
 
@@ -161,16 +164,39 @@ def run_macro_only(
             "samples": samples,
             "temperature": temperature,
             "refine_iters": refine_iters,
+            "background": background,
         }
 
     with timer.time_step("contact_sheet"):
         sheet = build_labeled_contact_sheet(bundle.objects, id_to_label)
 
-    # Solid background canvas: on-device median + broadcast.
+    # Background canvas, synthesized on device. "solid" is the reference's
+    # only mode (run_macro_only always calls fill_solid); "gradient" exposes
+    # the reference's API-complete-but-uncalled fill_gradient
+    # (/root/reference/background_resizing.py:63-98) as a first-class option.
     import jax.numpy as jnp
 
-    median_rgb = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
-    canvas_dev = solid_canvas(median_rgb.astype(jnp.uint8), canvas_size[1], canvas_size[0])
+    bg_arr = jnp.asarray(np.asarray(bundle.background))
+    if background == "gradient":
+        from ..ops.background import axis_variance, edge_strip_medians, gradient_canvas
+
+        left, right, top, bottom = (
+            tuple(int(x) for x in np.asarray(c)) for c in edge_strip_medians(bg_arr)
+        )
+        horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
+        c1, c2 = (left, right) if horizontal else (top, bottom)
+        canvas_dev = gradient_canvas(
+            jnp.asarray(np.array(c1, np.uint8)),
+            jnp.asarray(np.array(c2, np.uint8)),
+            canvas_size[1], canvas_size[0], horizontal,
+        )
+    elif background == "solid":
+        median_rgb = masked_median_rgb(bg_arr)
+        canvas_dev = solid_canvas(
+            median_rgb.astype(jnp.uint8), canvas_size[1], canvas_size[0]
+        )
+    else:
+        raise PipelineError(f"unknown background mode: {background!r}")
     canvas_np = np.asarray(canvas_dev)
     canvas_img = Image.fromarray(canvas_np, "RGBA")
 

@@ -1,0 +1,88 @@
+"""Fleet runner tests: multi-bundle x multi-ratio matrix on the virtual mesh."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_transformation_tpu.pipeline.fleet import main as fleet_main, run_fleet
+
+BUNDLES = [Path("data/squarespace"), Path("data/audio_book")]
+RATIOS = ["9:16", "1:1", "16:9"]
+
+
+def test_fleet_renders_full_matrix(tmp_path):
+    summary = run_fleet(BUNDLES, RATIOS, output_root=tmp_path)
+    assert set(summary["bundles"]) == {"squarespace", "audio_book"}
+    for b in BUNDLES:
+        for r in RATIOS:
+            p = tmp_path / b.name / f"variant_{r.replace(':', 'x')}.png"
+            assert p.exists(), p
+            w, h = Image.open(p).size
+            exp_w, exp_h = summary["bundles"][b.name]["canvas_sizes"][r]
+            assert (w, h) == (exp_w, exp_h)
+        assert (tmp_path / b.name / "boxes.json").exists()
+        assert summary["bundles"][b.name]["layout_source"] == "fallback:column"
+    assert summary["total_canvases"] == len(BUNDLES) * len(RATIOS)
+    assert json.loads((tmp_path / "fleet_summary.json").read_text())
+
+
+def test_fleet_sharded_matches_single_device(tmp_path):
+    from image_transformation_tpu.parallel.mesh import make_mesh
+
+    single = run_fleet(BUNDLES[:1], RATIOS, output_root=tmp_path / "single")
+    mesh = make_mesh()  # 8 virtual CPU devices
+    sharded = run_fleet(BUNDLES[:1], RATIOS, output_root=tmp_path / "mesh", mesh=mesh)
+    assert sharded["devices"] == 8
+    for r in RATIOS:
+        name = f"variant_{r.replace(':', 'x')}.png"
+        a = np.asarray(Image.open(tmp_path / "single" / "squarespace" / name))
+        b = np.asarray(Image.open(tmp_path / "mesh" / "squarespace" / name))
+        assert np.array_equal(a, b), r
+    assert single["total_canvases"] == sharded["total_canvases"]
+
+
+def test_fleet_explicit_layout_and_bundle_local_layout(tmp_path):
+    # explicit layout file: photo only, row
+    layout = {"root": {"type": "flex", "direction": "row",
+                       "children": [{"object_id": 2, "name": "photo"}]}}
+    layout_path = tmp_path / "layout.json"
+    layout_path.write_text(json.dumps(layout))
+    s = run_fleet(BUNDLES[:1], ["1:1"], output_root=tmp_path / "explicit",
+                  layout_json=layout_path)
+    assert s["bundles"]["squarespace"]["layout_source"].startswith("file:")
+    used = json.loads(
+        (tmp_path / "explicit" / "squarespace" / "fleet_layout_used.json").read_text()
+    )
+    assert used == layout
+
+    # bundle-local fleet_layout.json beats the fallback
+    bdir = tmp_path / "bundle_copy"
+    import shutil
+
+    shutil.copytree(BUNDLES[0], bdir)
+    (bdir / "fleet_layout.json").write_text(json.dumps(layout))
+    s2 = run_fleet([bdir], ["1:1"], output_root=tmp_path / "local")
+    assert s2["bundles"]["bundle_copy"]["layout_source"] == "bundle:fleet_layout.json"
+
+
+def test_fleet_cli_smoke(tmp_path, capsys):
+    fleet_main([
+        "--bundles", "data/squarespace",
+        "--ratios", "1:1,16:9",
+        "--output-root", str(tmp_path),
+        "--reps", "2",
+    ])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["bundles"] == 1
+    assert out["total_canvases"] == 4  # 2 ratios x 2 reps
+
+
+def test_fleet_rejects_layout_without_root(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"direction": "row"}))
+    with pytest.raises(ValueError):
+        run_fleet(BUNDLES[:1], ["1:1"], output_root=tmp_path, layout_json=bad)

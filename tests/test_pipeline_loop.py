@@ -169,3 +169,31 @@ def test_variants_fused_rerender(tmp_path):
     assert variant.shape == loop_draft.shape
     diff = np.abs(variant.astype(int) - loop_draft.astype(int))
     assert diff.max() <= 2  # fused path uses traced coefficient tables
+
+
+def test_gradient_background_mode(tmp_path):
+    """--background gradient synthesizes the canvas with fill_gradient's
+    exact semantics (edge-strip medians + lower-variance axis)."""
+    script = [_layout()]
+    base = _run(tmp_path, script, refine_iters=0, background="gradient")
+    canvas = np.asarray(
+        Image.open(base / "iteration_00/vlm_input_image/canvas.png")
+    )
+
+    import background_resizing as ref_shim
+
+    expected = np.asarray(
+        ref_shim.fill_gradient(str(BUNDLE / "background.png"), (canvas.shape[1], canvas.shape[0]))
+    )
+    assert np.array_equal(canvas, expected)
+    # metadata records the mode
+    meta = json.loads(
+        (base / "iteration_00/vlm_input_text/run_metadata.json").read_text()
+    )
+    assert meta["background"] == "gradient"
+
+
+def test_unknown_background_mode_rejected(tmp_path):
+    script = [_layout()]
+    with pytest.raises(PipelineError):
+        _run(tmp_path, script, refine_iters=0, background="plaid")
