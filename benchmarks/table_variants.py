@@ -54,7 +54,7 @@ def main():
     approx = np.polynomial.polynomial.polyval(xs**2 / 4.5 - 1.0, pow_coef)
     fit_err = np.max(np.abs(approx - lanczos3_f64(xs)))
     log(f"cheb deg {deg}: max fit err {fit_err:.3e}")
-    POW = jnp.asarray(pow_coef.astype(np.float32))
+    POW = [float(c) for c in pow_coef.astype(np.float32)]
 
     def filt_base(x):
         ax = jnp.abs(x)
@@ -75,7 +75,7 @@ def main():
 
     def filt_cheb(x):
         t = x * x * (1.0 / 4.5) - 1.0
-        acc = jnp.full_like(t, float(POW[-1]))
+        acc = jnp.full_like(t, POW[-1])
         for c in reversed(POW[:-1]):
             acc = acc * t + c
         return jnp.where(jnp.abs(x) < 3.0, acc, 0.0)

@@ -915,6 +915,160 @@ def _pallas_blend_packed_pipelined(
     )(meta, canvas_v, src_v)
 
 
+def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
+    """Clamped-window packed blend (v2 of the packed kernel).
+
+    Window origins clamp to the canvas interior instead of relying on a
+    one-window canvas pre-pad (which cost a ~200 MB padded-copy in the
+    producer and a cropping copy after). Consequences handled here:
+
+    - dy/dx now range up to the window extent, not (8, 128): rows shift via
+      a %8-aligned dynamic load + the static 8-way fine slice; columns roll
+      as before but lanes < dx mask to zero (they would otherwise receive
+      the wrap-around of object columns that fall off the canvas' right
+      edge — exactly the columns PIL's crop discards);
+    - the shift scratch zero-fills ONCE per grid program (the object region
+      is fully overwritten every step; the old kernel re-zeroed per step).
+    """
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               band_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _():
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+                dy = meta_ref[b, k, 3]
+
+                window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+                dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
+                dma_in.start()
+                dma_src = pltpu.make_async_copy(
+                    src_all_ref.at[b, k], src_vmem, sem_src
+                )
+                dma_src.start()
+                dma_src.wait()
+
+                # Object lives at static rows [MH, MH+mh_a); rows above and
+                # below are zeros (initialized once, never written).
+                src_shift[MH : MH + mh_a, :] = src_vmem[...]
+                fine = jax.lax.rem(dy, 8)
+                coarse8 = dy - fine  # multiple of 8, 0..MH-8
+                # View rows [0, MH) must equal buffer rows [MH-dy, MH-dy+MH):
+                # load MH+8 rows from the %8 start, fine-shift statically.
+                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+                tall = src_shift[pl.ds(start8, MH + 8), :]
+                rows = jax.lax.switch(
+                    fine,
+                    [
+                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                rolled = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+                src = jnp.where(lane >= dx, rolled, 0)
+
+                dma_in.wait()
+                band_ref[...] = _alpha_over_packed(band_ref[...], src)
+                dma_out = pltpu.make_async_copy(band_ref, window_slice, sem_out)
+                dma_out.start()
+                dma_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_packed_clamped(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed (zero outside box)
+    meta: jnp.ndarray,  # [B, N, 6] (ws clamped to the canvas interior)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_packed_clamped(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
+def _hybrid_producer_clamped(canvases, objs, obj_hw, boxes, out_max_hw, method):
+    """Like _hybrid_producer but with window origins clamped to the canvas
+    interior: the canvas pads only to DMA tile alignment (%8 rows, %128
+    cols, and at least one window), not by a whole window extent."""
+    from .resize import resize_f32
+
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+    hp = max(_round_up(h_c, 8), MH)
+    wp = max(_round_up(w_c, 128), MW)
+
+    def resize_one(obj, hw, box):
+        w = jnp.maximum(1, box[2] - box[0])
+        h = jnp.maximum(1, box[3] - box[1])
+        return resize_f32(
+            obj.astype(jnp.float32), (hw[0], hw[1]), (h, w), (mh_a, mw_a), method
+        )
+
+    resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
+    src_v = jax.lax.bitcast_convert_type(resized.astype(jnp.uint8), jnp.int32)
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
+    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
+    meta = jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
+         (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)  # [B, H, W]
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
+    return canvas_v, src_v, meta
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_blend_packed(
     canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed RGBA (pre-padded)
@@ -999,6 +1153,7 @@ def composite_batch_hybrid_packed(
     method: str = "lanczos",
     interpret: bool = False,
     pipelined: bool = False,
+    clamped: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -1019,6 +1174,12 @@ def composite_batch_hybrid_packed(
     mh_a = _round_up(out_max_hw[0], 8)
     mw_a = _round_up(out_max_hw[1], 128)
 
+    if clamped:
+        canvas_v, src_v, meta = _hybrid_producer_clamped(
+            canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
+        )
+        out_v = _pallas_blend_packed_clamped(canvas_v, src_v, meta, interpret)
+        return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
     canvas_v, src_v, meta = _hybrid_producer(
         canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
     )

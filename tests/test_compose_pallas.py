@@ -148,3 +148,85 @@ def test_aligned_variant_matches(tmp_path):
         jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
     )
     assert np.array_equal(out, ref)
+
+
+@pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
+def test_clamped_packed_matches_xla_traced_path(bundle_name):
+    """v2 clamped-window kernel: no one-window canvas pre-pad; boxes pinned
+    at the right/bottom edges exercise the large-dy/dx clamping paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_hybrid_packed,
+    )
+
+    bundle = load_bundle(f"data/{bundle_name}")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 1080, 1920, 3
+    rng = np.random.default_rng(13)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 70
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    # edge stress: object flush against the bottom-right corner (window
+    # clamps, dy/dx become large), hanging off the right edge (wrap columns
+    # must be cropped), off the bottom edge, and a negative-origin drop.
+    oh0, ow0 = int(arrays.obj_hw[0, 0]), int(arrays.obj_hw[0, 1])
+    boxes[0, 0] = [W - ow0, H - oh0, W, H]
+    boxes[1, 0] = [W - ow0 // 2, H - oh0 // 2, W + ow0 // 2, H + oh0 // 2]
+    boxes[2, 0] = [-3, 40, -3 + ow0, 40 + oh0]
+    if boxes.shape[1] > 1:
+        oh1, ow1 = int(arrays.obj_hw[1, 0]), int(arrays.obj_hw[1, 1])
+        boxes[0, 1] = [W - ow1, 0, W, oh1]          # top-right corner
+        boxes[1, 1] = [0, H - oh1, ow1, H]          # bottom-left corner
+        boxes[2, 1] = [W - 1, H - 1, W - 1 + ow1, H - 1 + oh1]  # 1px visible
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+    out = np.asarray(composite_batch_hybrid_packed(*dev, interpret=True, clamped=True))
+    from image_transformation_tpu.ops.compose import composite_canvas
+
+    ref = np.asarray(
+        jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+    )
+    assert np.array_equal(out, ref)
+
+
+def test_clamped_packed_tiny_canvas():
+    """Canvas smaller than one window: pads up to the window extent."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose import composite_canvas
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_hybrid_packed,
+    )
+
+    bundle = load_bundle("data/audio_book")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 120, 200, 2
+    rng = np.random.default_rng(5)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+    out = np.asarray(composite_batch_hybrid_packed(*dev, interpret=True, clamped=True))
+    ref = np.asarray(
+        jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+    )
+    assert np.array_equal(out, ref)
