@@ -39,3 +39,47 @@ def test_repo_ships_reference_entry_files():
         "utils/timing.py", "utils/labels.py", "Dockerfile", "requirements.txt",
     ):
         assert (root / name).exists(), name
+
+
+def test_console_browser_lists_and_shows(tmp_path, capsys):
+    """The textual fallback UI browses a real run's artifact tree."""
+    import json
+
+    import pytest
+
+    from image_transformation_tpu.pipeline.run import run_macro_only
+    from image_transformation_tpu.ui.console import list_runs, main, show_run
+    from image_transformation_tpu.vlm.client import FakeClient, register_fake_client
+
+    items = json.loads((__import__("pathlib").Path("data/squarespace") / "results.json").read_text())
+    children = [{"object_id": int(it["object_id"]), "name": it["label"]} for it in items]
+    layout = json.dumps({"root": {"type": "flex", "direction": "column", "children": children}})
+    register_fake_client(lambda: FakeClient([layout, "Score 7/10 ok", layout]))
+    try:
+        base = run_macro_only(
+            "data/squarespace", "9:16", "center", 0.05,
+            api_type="auto", refine_iters=1, base_output_root=tmp_path,
+        )
+    finally:
+        register_fake_client(None)
+
+    runs = list_runs(tmp_path)
+    assert runs and runs[0]["stem"] == "squarespace"
+    report = show_run(tmp_path, "squarespace")
+    it0 = report["iterations"][0]
+    assert it0["draft"] and it0["placements"]
+    assert report["time_log"] and "compose_baseline" in report["time_log"]
+    # iteration 1 repeated the JSON -> no-change marker, no draft
+    it1 = report["iterations"][1]
+    assert it1.get("no_change") and it1["draft"] is None
+
+    main(["--root", str(tmp_path), "list"])
+    main(["--root", str(tmp_path), "show", "squarespace"])
+    out = capsys.readouterr().out
+    assert "squarespace" in out and "iteration 00" in out and "compose_baseline" in out
+    main(["--root", str(tmp_path), "show", "squarespace", "--iter", "0", "--json"])
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["iterations"][0]["iteration"] == 0
+
+    with pytest.raises(FileNotFoundError):
+        show_run(tmp_path, "missing_stem")
