@@ -8,7 +8,7 @@ resize + alpha_composite, measured here on this host since the reference
 publishes no numbers — BASELINE.json ``published: {}``).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
-Usage: python bench.py [--batch 16] [--reps 5] [--sweep]
+Usage: python bench.py [--batch 64] [--reps 5] [--sweep]
 """
 
 from __future__ import annotations
@@ -56,7 +56,7 @@ def pil_baseline_canvases_per_sec(bundle, boxes_per_canvas, canvas_hw, n_canvase
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=16)
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--reps", type=int, default=20)
     parser.add_argument("--pil-canvases", type=int, default=8)
     parser.add_argument("--sweep", action="store_true", help="also run the 4-ratio sweep")
@@ -102,14 +102,21 @@ def main() -> None:
     )
 
     def make_pallas_step():
+        import jax as _jax
+
         from image_transformation_tpu.ops.compose_pallas import (
             composite_batch_hybrid_packed,
         )
 
+        @_jax.jit
+        def fence_stat(out):
+            # tiny fence stat; jitted so the slice+sum never forces an
+            # eager relayout of the kernel's aliased output buffer
+            return jnp.sum(out[:, 0, :128].astype(jnp.int32), axis=1)
+
         def step(c, o, h_, b):
-            out = composite_batch_hybrid_packed(c, o, h_, b)
-            # tiny contiguous fence stat (strided slices would relayout)
-            return out, jnp.sum(out[:, 0].astype(jnp.int32), axis=(1, 2))
+            out = composite_batch_hybrid_packed(c, o, h_, b, clamped=True)
+            return out, fence_stat(out)
 
         return step
 

@@ -159,5 +159,71 @@ def main():
     }))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--clamped" not in sys.argv:
     main()
+
+
+def clamped_vs_default():
+    """Compare the clamped-window kernel path vs the default on hardware."""
+    from image_transformation_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.parallel.sweep import random_downscale_boxes
+    from image_transformation_tpu.ops import compose_pallas as cp
+
+    log(f"devices: {jax.devices()}")
+    bundle = load_bundle(REPO / "data" / "squarespace")
+    arrays = bundle.to_arrays()
+    H, W, B = 1080, 1920, 16
+    rng = np.random.default_rng(0)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 128
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    jc, jo, jh, jb = (jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+
+    @jax.jit
+    def fence_sum(out):
+        return jnp.sum(out[:, 0, :128].astype(jnp.int32))
+
+    variants = (
+        ("clamped", {"clamped": True}),
+        ("clamped_pipe", {"clamped": True, "pipelined": True}),
+    )
+
+    def make_full(kw):
+        def full(c, o, h_, b):
+            out = cp.composite_batch_hybrid_packed(c, o, h_, b, **kw)
+            return out, fence_sum(out)
+
+        return full
+
+    fns = {name: make_full(kw) for name, kw in variants}
+    outs = {
+        name: np.asarray(fn(jc, jo, jh, jb)[0][:2, ::3, ::7])
+        for name, fn in fns.items()
+    }
+    # interleaved rounds, min per variant (tunnel noise is ~±0.7 ms/run)
+    best = {name: float("inf") for name, _ in variants}
+    for rnd in range(5):
+        for name, fn in fns.items():
+            ms = timeit(fn, (jc, jo, jh, jb), reps=20)
+            best[name] = min(best[name], ms)
+            log(f"round {rnd} {name:8s}: {ms:6.2f} ms/batch")
+    results = {k: round(v, 2) for k, v in best.items()}
+    eq = all(np.array_equal(outs["default"], o) for o in outs.values())
+    log(f"outputs equal (subsample): {eq}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__" and "--clamped" in sys.argv:
+    clamped_vs_default()
+    sys.exit(0)

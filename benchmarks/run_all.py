@@ -290,6 +290,7 @@ def config5_throughput(quick: bool) -> dict:
         batch_per_ratio=len(bundles),
         pixel_budget_size=(3840, 2160),
         reps=2,
+        kernel="pallas",  # clamped packed blend (XLA fallback on failure)
     )
     return {
         "bundles": len(bundles),

@@ -56,8 +56,23 @@ correct, but the producer's resize matmuls grow to the full window extent
 (224x512 vs 208x384 tables) and the net is SLOWER (20.6 ms). To win it
 needs dx folded into ws_x at finer DMA granularity or lane-rotate-free
 windows; recorded for round 2.
+Round-1 continuation (same chip, interleaved min-of-5 measurements,
+benchmarks/bisect_resize.py --clamped):
+5. CLAMPED windows (clamped=True, _pallas_blend_packed_clamped): window
+   origins clamp to the canvas interior, so the producer pads the canvas
+   to tile alignment only instead of a full window extent (~200 MB padded
+   copy at 1080p gone) and the final crop is a bitcast; large dy handled
+   by a %8 dynamic row load + static fine slice, large dx by the existing
+   roll + a >=dx lane mask (the wrap columns are exactly PIL's cropped
+   ones); the shift scratch zero-fills once per program. 8.33 -> 7.19
+   ms/batch, bit-identical. THIS IS THE BENCH DEFAULT now.
+6. ROW-BAKED (rowbaked=True, _pallas_blend_rowbaked): dy additionally
+   folded into the V-pass tables so the kernel is DMA+roll+mask+blend
+   with no shift scratch at all — correct but 8.04 ms: the producer's
+   shifted resize (MH-row tables/sources + identity dynamic_slice) costs
+   more than the kernel shift it removes. Kept for reference.
 The XLA windowed path (ops.compose) remains the default for library calls;
-bench.py defaults to the packed hybrid (fastest measured).
+bench.py uses the clamped packed hybrid (fastest measured).
 """
 
 from __future__ import annotations
@@ -992,6 +1007,138 @@ def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
     return kernel
 
 
+def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
+    """Clamped-window blend with double-buffered DMAs.
+
+    Grid iterates OBJECTS; a fori_loop walks the batch (consecutive steps
+    touch different canvases, so prefetching the next step's window/source
+    overlaps the current blend with no aliasing hazard). Same clamped
+    geometry as _make_blend_kernel_packed_clamped: %8 dynamic row load +
+    static fine slice for large dy, post-roll lane mask for large dx.
+    """
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               win_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        def window_dma(b, slot, to_vmem):
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+            if to_vmem:
+                return pltpu.make_async_copy(
+                    window_slice, win_ref.at[slot], sem_in.at[slot]
+                )
+            return pltpu.make_async_copy(
+                win_ref.at[slot], window_slice, sem_out.at[slot]
+            )
+
+        def src_dma(b, slot):
+            return pltpu.make_async_copy(
+                src_all_ref.at[b, k], src_vmem.at[slot], sem_src.at[slot]
+            )
+
+        window_dma(0, 0, True).start()
+        src_dma(0, 0).start()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            nslot = 1 - slot
+
+            @pl.when(b > 0)
+            def _():
+                window_dma(b - 1, nslot, False).wait()
+
+            @pl.when(b + 1 < n_batch)
+            def _():
+                window_dma(b + 1, nslot, True).start()
+                src_dma(b + 1, nslot).start()
+
+            window_dma(b, slot, True).wait()
+            src_dma(b, slot).wait()
+
+            dx = meta_ref[b, k, 2]
+            dy = meta_ref[b, k, 3]
+            valid = meta_ref[b, k, 5] > 0
+
+            def compute(s):
+                src_shift[MH : MH + mh_a, :] = src_vmem[s]
+                # invalid (dropped) objects can carry dy == MH, which would
+                # push start8 negative; compute is unguarded here (the
+                # result is masked by `valid`), so clamp.
+                dy_c = jnp.minimum(dy, MH - 1)
+                fine = jax.lax.rem(dy_c, 8)
+                coarse8 = dy_c - fine
+                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+                tall = src_shift[pl.ds(start8, MH + 8), :]
+                rows = jax.lax.switch(
+                    fine,
+                    [
+                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                rolled = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+                src = jnp.where((lane >= dx) & valid, rolled, 0)
+                win_ref[s] = _alpha_over_packed(win_ref[s], src)
+
+            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
+            window_dma(b, slot, False).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
+        last = n_batch - 1
+        window_dma(last, jax.lax.rem(last, 2), False).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_clamped_pipelined(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed
+    meta: jnp.ndarray,  # [B, N, 6] (ws clamped to the canvas interior)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, MH, MW), jnp.int32),
+            pltpu.VMEM((2, mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_clamped_pipelined(B, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_blend_packed_clamped(
     canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
@@ -1026,6 +1173,153 @@ def _pallas_blend_packed_clamped(
         input_output_aliases={1: 0},
         interpret=interpret,
     )(meta, canvas_v, src_v)
+
+
+def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
+    """v3 packed blend: clamped windows + row shift baked by the producer.
+
+    The producer resizes each object directly to its window-aligned ROW
+    position (dy folded into the V-pass coefficient table for free — the
+    source tensor is [MH, mw_a], rows outside [dy, dy+h) zero), so each
+    kernel step is just: DMA window + source, lane-roll by dx, mask the
+    wrap, blend, DMA back. No shift scratch, no row switch.
+    """
+    mh_src, mw_a = src_hw  # mh_src == MH already
+    MH, MW = window_extents_rowbaked(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               band_ref, src_vmem, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _():
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+
+                window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+                dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
+                dma_in.start()
+                dma_src = pltpu.make_async_copy(
+                    src_all_ref.at[b, k], src_vmem, sem_src
+                )
+                dma_src.start()
+                dma_src.wait()
+
+                rolled = pltpu.roll(
+                    jnp.pad(src_vmem[...], ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+                src = jnp.where(lane >= dx, rolled, 0)
+
+                dma_in.wait()
+                band_ref[...] = _alpha_over_packed(band_ref[...], src)
+                dma_out = pltpu.make_async_copy(band_ref, window_slice, sem_out)
+                dma_out.start()
+                dma_out.wait()
+
+    return kernel
+
+
+def window_extents_rowbaked(src_hw: Tuple[int, int]) -> Tuple[int, int]:
+    """Row-baked sources already span the full window height."""
+    mh_src, mw_a = src_hw
+    return mh_src, _round_up(mw_a + 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_rowbaked(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
+    src_v: jnp.ndarray,  # [B, N, MH, mw_a] int32 packed, rows window-aligned
+    meta: jnp.ndarray,  # [B, N, 6]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_src, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents_rowbaked((mh_src, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((mh_src, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_rowbaked(N, (mh_src, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
+def _hybrid_producer_rowbaked(canvases, objs, obj_hw, boxes, out_max_hw, method):
+    """Producer for the row-baked kernel: each object resamples DIRECTLY to
+    its in-window row offset (dy folded into the V coefficient table —
+    zero extra matmul cost beyond MH/mh_a ~ 4% more table rows); the PIL
+    identity-size shortcut becomes a row-shifted copy."""
+    from .resize import resize_f32_shifted
+
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+    hp = max(_round_up(h_c, 8), MH)
+    wp = max(_round_up(w_c, 128), MW)
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
+    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
+    dxs = x1c - ws_x
+    dys = y1c - ws_y
+
+    def resize_one(obj, hw, box, dy):
+        w = jnp.maximum(1, box[2] - box[0])
+        h = jnp.maximum(1, box[3] - box[1])
+        objf = obj.astype(jnp.float32)
+        resized = resize_f32_shifted(
+            objf, (hw[0], hw[1]), (h, w), (dy, 0), (MH, mw_a), method
+        )
+        # Identity copy shifted to row dy, with bottom-of-window crop
+        # semantics (dynamic_update_slice would CLAMP the start and
+        # mis-position objects near the canvas bottom — slice out of a
+        # top-padded buffer instead, which never clamps).
+        big = jnp.pad(
+            objf,
+            ((MH, MH - obj.shape[0]), (0, mw_a - obj.shape[1]), (0, 0)),
+        )
+        ident = jax.lax.dynamic_slice(big, (MH - dy, 0, 0), (MH, mw_a, 4))
+        same = (w == hw[1]) & (h == hw[0])
+        return jnp.where(same, ident, resized)
+
+    resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes, dys)
+    src_v = jax.lax.bitcast_convert_type(resized.astype(jnp.uint8), jnp.int32)
+
+    meta = jnp.stack(
+        [ws_x, ws_y, dxs, dys, jnp.zeros_like(x1), (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
+    return canvas_v, src_v, meta
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
@@ -1154,6 +1448,7 @@ def composite_batch_hybrid_packed(
     interpret: bool = False,
     pipelined: bool = False,
     clamped: bool = False,
+    rowbaked: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -1174,11 +1469,21 @@ def composite_batch_hybrid_packed(
     mh_a = _round_up(out_max_hw[0], 8)
     mw_a = _round_up(out_max_hw[1], 128)
 
+    if rowbaked:
+        canvas_v, src_v, meta = _hybrid_producer_rowbaked(
+            canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
+        )
+        out_v = _pallas_blend_rowbaked(canvas_v, src_v, meta, interpret)
+        return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
     if clamped:
         canvas_v, src_v, meta = _hybrid_producer_clamped(
             canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
         )
-        out_v = _pallas_blend_packed_clamped(canvas_v, src_v, meta, interpret)
+        blend_c = (
+            _pallas_blend_clamped_pipelined if pipelined
+            else _pallas_blend_packed_clamped
+        )
+        out_v = blend_c(canvas_v, src_v, meta, interpret)
         return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
     canvas_v, src_v, meta = _hybrid_producer(
         canvases, objs, obj_hw, boxes, (mh_a, mw_a), method

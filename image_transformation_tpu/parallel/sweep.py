@@ -26,21 +26,50 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops.compose import composite_canvas
 
 
-def make_batched_compose(out_max_hw: Tuple[int, int], method: str = "lanczos"):
+def make_batched_compose(
+    out_max_hw: Tuple[int, int], method: str = "lanczos", kernel: str = "xla"
+):
     """jitted step: (canvases [B,H,W,4], objs [B,N,Hm,Wm,4], hw, boxes)
-    -> (composed [B,H,W,4], mean luminance [B])."""
+    -> (composed [B,H,W,4], mean luminance [B]).
+
+    kernel="pallas" routes the blend through the clamped-window packed-u32
+    Pallas kernel (the bench.py headline path — fastest measured, identical
+    numerics); "xla" is the pure-XLA windowed path (also the fallback
+    whenever the Pallas call fails, e.g. on the CPU interpreter-less
+    backend)."""
+
+    @jax.jit
+    def luma_stat(out):
+        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(1, 2))
+        return chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 
     def one(canvas, objs, hw, boxes):
         return composite_canvas(canvas, objs, hw, boxes, out_max_hw, method)
 
     @jax.jit
-    def step(canvases, objs, obj_hw, boxes):
+    def xla_step(canvases, objs, obj_hw, boxes):
         out = jax.vmap(one)(canvases, objs, obj_hw, boxes)
-        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(1, 2))
-        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
-        return out, luma
+        return out, luma_stat(out)
 
-    return step
+    if kernel != "pallas":
+        return xla_step
+
+    from ..ops.compose_pallas import composite_batch_hybrid_packed
+
+    fell_back = [False]
+
+    def pallas_step(canvases, objs, obj_hw, boxes):
+        if not fell_back[0]:
+            try:
+                out = composite_batch_hybrid_packed(
+                    canvases, objs, obj_hw, boxes, out_max_hw, method, clamped=True
+                )
+                return out, luma_stat(out)
+            except Exception:  # noqa: BLE001 - no Mosaic on this backend
+                fell_back[0] = True  # latch: don't re-attempt compilation
+        return xla_step(canvases, objs, obj_hw, boxes)
+
+    return pallas_step
 
 
 batched_compose_step = make_batched_compose
@@ -112,6 +141,7 @@ def throughput_sweep(
     warmup: int = 1,
     reps: int = 3,
     seed: int = 0,
+    kernel: str = "xla",
 ) -> Dict:
     """BASELINE config #5: bundles x ratios end-to-end composites/sec.
 
@@ -148,7 +178,7 @@ def throughput_sweep(
         if mesh is not None:
             step = sharded_compose_step(mesh, (pad_h, pad_w), spatial=spatial)
         else:
-            step = make_batched_compose((pad_h, pad_w))
+            step = make_batched_compose((pad_h, pad_w), kernel=kernel)
         args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
         for _ in range(warmup):
             out, stat = step(*args)

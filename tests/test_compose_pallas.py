@@ -150,8 +150,13 @@ def test_aligned_variant_matches(tmp_path):
     assert np.array_equal(out, ref)
 
 
+@pytest.mark.parametrize("mode", [
+    {"clamped": True},
+    {"clamped": True, "pipelined": True},
+    {"rowbaked": True},
+])
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
-def test_clamped_packed_matches_xla_traced_path(bundle_name):
+def test_clamped_packed_matches_xla_traced_path(bundle_name, mode):
     """v2 clamped-window kernel: no one-window canvas pre-pad; boxes pinned
     at the right/bottom edges exercise the large-dy/dx clamping paths."""
     import jax
@@ -190,7 +195,7 @@ def test_clamped_packed_matches_xla_traced_path(bundle_name):
         jnp.asarray(x)
         for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
     )
-    out = np.asarray(composite_batch_hybrid_packed(*dev, interpret=True, clamped=True))
+    out = np.asarray(composite_batch_hybrid_packed(*dev, interpret=True, **mode))
     from image_transformation_tpu.ops.compose import composite_canvas
 
     ref = np.asarray(
@@ -230,3 +235,7 @@ def test_clamped_packed_tiny_canvas():
         jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
     )
     assert np.array_equal(out, ref)
+    out_rb = np.asarray(
+        composite_batch_hybrid_packed(*dev, interpret=True, rowbaked=True)
+    )
+    assert np.array_equal(out_rb, ref)

@@ -94,3 +94,38 @@ def test_throughput_sweep_on_mesh():
         bundles, ["1:1"], batch_per_ratio=4, warmup=1, reps=1, mesh=mesh
     )
     assert result["canvases_per_sec"] > 0
+
+
+def test_batched_compose_pallas_kernel_falls_back_on_cpu():
+    """kernel='pallas' must produce identical results on backends without
+    Mosaic (falls back to the XLA path after one failed attempt)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.parallel.sweep import (
+        make_batched_compose,
+        random_downscale_boxes,
+    )
+
+    bundle = load_bundle("data/audio_book")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 200, 256, 2
+    rng = np.random.default_rng(3)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    args = tuple(jnp.asarray(x) for x in (canvases, objs, hw.astype(np.int32),
+                                          boxes.astype(np.int32)))
+    out_x, luma_x = make_batched_compose(pad, kernel="xla")(*args)
+    step_p = make_batched_compose(pad, kernel="pallas")
+    out_p, luma_p = step_p(*args)
+    out_p2, _ = step_p(*args)  # second call exercises the latched fallback
+    assert np.array_equal(np.asarray(out_x), np.asarray(out_p))
+    assert np.array_equal(np.asarray(out_p), np.asarray(out_p2))
+    assert np.allclose(np.asarray(luma_x), np.asarray(luma_p))
