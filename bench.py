@@ -1,8 +1,10 @@
 """Benchmark: composited 1080p canvases/sec/chip vs the PIL reference.
 
 Headline metric (BASELINE.md): 1080p canvases composited per second on one
-TPU chip, batched compose path (vmapped scan kernel), squarespace bundle
-workload with solver-realistic downscale-only placements. ``vs_baseline``
+TPU chip, batched compose path (XLA limb-matmul resize + clamped-window
+packed-u32 Pallas blend; --kernel xla selects the pure-XLA windowed path),
+squarespace bundle workload with solver-realistic downscale-only
+placements. ``vs_baseline``
 is the speedup over the PIL reference pipeline (per-placement LANCZOS
 resize + alpha_composite, measured here on this host since the reference
 publishes no numbers — BASELINE.json ``published: {}``).

@@ -219,7 +219,7 @@ def clamped_vs_default():
             best[name] = min(best[name], ms)
             log(f"round {rnd} {name:8s}: {ms:6.2f} ms/batch")
     results = {k: round(v, 2) for k, v in best.items()}
-    eq = all(np.array_equal(outs["default"], o) for o in outs.values())
+    eq = all(np.array_equal(list(outs.values())[0], o) for o in outs.values())
     log(f"outputs equal (subsample): {eq}")
     print(json.dumps(results))
 

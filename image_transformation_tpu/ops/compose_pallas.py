@@ -71,6 +71,10 @@ benchmarks/bisect_resize.py --clamped):
    with no shift scratch at all — correct but 8.04 ms: the producer's
    shifted resize (MH-row tables/sources + identity dynamic_slice) costs
    more than the kernel shift it removes. Kept for reference.
+7. CLAMPED + double-buffered (clamped=True pipelined=True,
+   _pallas_blend_clamped_pipelined): measured NET NEUTRAL again (7.22 vs
+   7.21 ms min-of-5) — per-step compute (row load + roll + mask + blend,
+   ~42 us/object-step at B=16) still dominates the DMA latency it hides.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py uses the clamped packed hybrid (fastest measured).
 """
