@@ -65,7 +65,10 @@ benchmarks/bisect_resize.py --clamped):
    by a %8 dynamic row load + static fine slice, large dx by the existing
    roll + a >=dx lane mask (the wrap columns are exactly PIL's cropped
    ones); the shift scratch zero-fills once per program. 8.33 -> 7.19
-   ms/batch, bit-identical. THIS IS THE BENCH DEFAULT now.
+   ms/batch, bit-identical (blend geometry; since the traced resample
+   moved to the HIGHEST-precision f32 dot, cross-PROGRAM comparisons of
+   full composes are +-1 at rounding boundaries — the kernel tests pin
+   geometry with the exact limb resample). THIS IS THE BENCH DEFAULT now.
 6. ROW-BAKED (rowbaked=True, _pallas_blend_rowbaked): dy additionally
    folded into the V-pass tables so the kernel is DMA+roll+mask+blend
    with no shift scratch at all — correct but 8.04 ms: the producer's
@@ -502,8 +505,9 @@ def composite_batch_hybrid(
 ) -> jnp.ndarray:
     """XLA resize (MXU einsums, traced tables) + Pallas window blends.
 
-    Numerics identical to ops.compose.composite_canvas (traced-table
-    budget). STATUS: measured SLOWER than the pure-XLA path on v5e (the
+    Numerics match ops.compose.composite_canvas (traced-table budget;
+    +-1 at rounding boundaries across differently-compiled programs since
+    the traced resample is an f32 HIGHEST dot). STATUS: measured SLOWER than the pure-XLA path on v5e (the
     per-object DMA round-trips and dynamic rotates cost more than the XLA
     blend does) — kept as the second Pallas reference path; see the module
     docstring for the optimization plan.

@@ -211,7 +211,7 @@ def resize_f32_shifted(
     src = premultiply_rgba(img_f32).astype(jnp.float32) if channels == 4 else img_f32
     kh = build_coeffs_traced(in_w, out_w, in_max_w, out_max_w, method, off_x)
     kv = build_coeffs_traced(in_h, out_h, in_max_h, out_max_h, method, off_y)
-    out = resample_fixed(src, kh, kv)
+    out = resample_fixed_traced(src, kh, kv)
     if channels == 4:
         out = unpremultiply_rgba(out).astype(jnp.float32)
     return out
@@ -278,6 +278,43 @@ def resample_fixed(
     return _clip8(ss_v).astype(jnp.float32)
 
 
+def resample_fixed_traced(
+    img_u8f: jnp.ndarray, kh_i32: jnp.ndarray, kv_i32: jnp.ndarray
+) -> jnp.ndarray:
+    """Traced-path resample: ONE f32 dot per pass at HIGHEST precision.
+
+    The exact 3-limb formulation materializes 3x-wide f32 intermediates
+    (2x ~245 MB per 64-object 1080p batch, HLO-verified the dominant HBM
+    traffic); a single f32xf32 dot at Precision.HIGHEST (bf16_6x on the
+    MXU) is ~1e-5-of-a-rounding-step accurate — far below the traced
+    coefficient-table deviation — and measured 4.96 -> 4.08 ms/batch
+    (benchmarks/resample_precision.py).
+
+    NOT a substitute for :func:`resample_fixed` on the host-exact path:
+    the f32 sum of the true int32 accumulator (<= 2^30) carries up to ~64
+    absolute error, and uniform-color regions sit exactly on >>22 rounding
+    boundaries, so the exact path would flip there. Traced tables already
+    deviate by far more than 1.5e-5 of a step, so here the dot error is
+    invisible.
+
+    Arithmetic notes: multiplying by 2^-22 is exponent-exact, floor ==
+    Pillow's arithmetic >> for negatives, and the inter-pass clip keeps
+    uint8-exact f32 values.
+    """
+    inv = 1.0 / (1 << PRECISION_BITS)
+
+    def one_pass(img, k_i32, spec):
+        ss = jnp.einsum(
+            spec, img, k_i32.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ) + float(_HALF)
+        return jnp.clip(jnp.floor(ss * inv), 0, 255)
+
+    tmp = one_pass(img_u8f, kh_i32, "hic,oi->hoc")
+    return one_pass(tmp, kv_i32, "hwc,oh->owc")
+
+
 # ----------------------- RGBA premultiplied handling -----------------------
 
 def premultiply_rgba(img: jnp.ndarray) -> jnp.ndarray:
@@ -305,15 +342,19 @@ def resize_with_tables(
     kh_i32: jnp.ndarray,
     kv_i32: jnp.ndarray,
     same_size,
+    traced: bool = False,
 ) -> jnp.ndarray:
     """Resample uint8-valued f32 [Hm,Wm,C] with given tables; RGBA inputs
     take the premultiplied path. ``same_size`` (bool scalar, may be traced)
-    selects PIL's plain-copy shortcut."""
+    selects PIL's plain-copy shortcut. ``traced=True`` uses the faster
+    HIGHEST-precision f32 resample (traced-table callers only — see
+    resample_fixed_traced); the default limb path is bit-exact."""
     channels = img_f32.shape[2]
     out_max_h, out_max_w = kv_i32.shape[0], kh_i32.shape[0]
 
+    resample = resample_fixed_traced if traced else resample_fixed
     src = premultiply_rgba(img_f32).astype(jnp.float32) if channels == 4 else img_f32
-    out = resample_fixed(src, kh_i32, kv_i32)
+    out = resample(src, kh_i32, kv_i32)
     if channels == 4:
         out = unpremultiply_rgba(out).astype(jnp.float32)
 
@@ -346,7 +387,7 @@ def resize_f32(
     same = (jnp.asarray(out_h) == jnp.asarray(in_h)) & (
         jnp.asarray(out_w) == jnp.asarray(in_w)
     )
-    return resize_with_tables(img_f32, kh, kv, same)
+    return resize_with_tables(img_f32, kh, kv, same, traced=True)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))

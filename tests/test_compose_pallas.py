@@ -16,6 +16,22 @@ from image_transformation_tpu.ops.compose_pallas import (
 from image_transformation_tpu.parallel.sweep import random_downscale_boxes
 
 
+@pytest.fixture
+def exact_traced_resample(monkeypatch):
+    """Pin the traced-path resample to the bit-exact limb math.
+
+    The production traced path uses the HIGHEST-precision f32 resample,
+    whose reduction order differs between compiled programs (vmap vs scan)
+    — so cross-PROGRAM comparisons can flip +-1 at rounding boundaries.
+    The kernel-vs-XLA equality tests exist to pin the BLEND geometry
+    bit-exactly, so they force the order-independent integer resample in
+    both programs; test_hp_resample_close_to_limb covers the f32 envelope.
+    """
+    from image_transformation_tpu.ops import resize as rz
+
+    monkeypatch.setattr(rz, "resample_fixed_traced", rz.resample_fixed)
+
+
 def test_window_extents_tile_aligned():
     mh, mw = window_extents((207, 357))
     assert mh % 8 == 0 and mw % 128 == 0
@@ -49,7 +65,7 @@ def test_pallas_kernel_bit_exact_vs_xla_exact(bundle_name):
 
 
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
-def test_packed_hybrid_matches_xla_traced_path(bundle_name):
+def test_packed_hybrid_matches_xla_traced_path(bundle_name, exact_traced_resample):
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +101,7 @@ def test_packed_hybrid_matches_xla_traced_path(bundle_name):
     assert np.array_equal(out, ref)
 
 
-def test_packed_hybrid_pipelined_matches(tmp_path):
+def test_packed_hybrid_pipelined_matches(tmp_path, exact_traced_resample):
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +135,7 @@ def test_packed_hybrid_pipelined_matches(tmp_path):
     assert np.array_equal(out, ref)
 
 
-def test_aligned_variant_matches(tmp_path):
+def test_aligned_variant_matches(tmp_path, exact_traced_resample):
     import jax
     import jax.numpy as jnp
 
@@ -156,7 +172,7 @@ def test_aligned_variant_matches(tmp_path):
     {"rowbaked": True},
 ])
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
-def test_clamped_packed_matches_xla_traced_path(bundle_name, mode):
+def test_clamped_packed_matches_xla_traced_path(bundle_name, mode, exact_traced_resample):
     """v2 clamped-window kernel: no one-window canvas pre-pad; boxes pinned
     at the right/bottom edges exercise the large-dy/dx clamping paths."""
     import jax
@@ -204,7 +220,7 @@ def test_clamped_packed_matches_xla_traced_path(bundle_name, mode):
     assert np.array_equal(out, ref)
 
 
-def test_clamped_packed_tiny_canvas():
+def test_clamped_packed_tiny_canvas(exact_traced_resample):
     """Canvas smaller than one window: pads up to the window extent."""
     import jax
     import jax.numpy as jnp
@@ -239,3 +255,50 @@ def test_clamped_packed_tiny_canvas():
         composite_batch_hybrid_packed(*dev, interpret=True, rowbaked=True)
     )
     assert np.array_equal(out_rb, ref)
+
+
+def test_hp_resample_close_to_limb():
+    """The HIGHEST-precision traced resample stays within +-2 of the exact
+    limb path on COMPOSITED output (its f32 sums flip the final rounding
+    only at exact >>22 boundaries; unpremultiply amplification at tiny
+    alpha is re-weighted away by the blend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops import resize as rz
+    from image_transformation_tpu.ops.compose import composite_canvas
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 300, 400, 4
+    rng = np.random.default_rng(17)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 70
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+
+    def run():
+        return np.asarray(
+            jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+        )
+
+    out_hp = run()
+    real = rz.resample_fixed_traced
+    rz.resample_fixed_traced = rz.resample_fixed
+    try:
+        jax.clear_caches()
+        out_limb = run()
+    finally:
+        rz.resample_fixed_traced = real
+        jax.clear_caches()
+    diff = np.abs(out_hp.astype(int) - out_limb.astype(int))
+    assert diff.max() <= 2, diff.max()
