@@ -159,7 +159,7 @@ def main():
     }))
 
 
-if __name__ == "__main__" and "--clamped" not in sys.argv:
+if __name__ == "__main__" and "--clamped" not in sys.argv and "--anatomy" not in sys.argv:
     main()
 
 
@@ -196,7 +196,7 @@ def clamped_vs_default():
 
     variants = (
         ("clamped", {"clamped": True}),
-        ("clamped_pipe", {"clamped": True, "pipelined": True}),
+        ("band", {"band": True}),
     )
 
     def make_full(kw):
@@ -226,4 +226,147 @@ def clamped_vs_default():
 
 if __name__ == "__main__" and "--clamped" in sys.argv:
     clamped_vs_default()
+    sys.exit(0)
+
+
+def blend_step_anatomy():
+    """Isolate per-step costs inside the clamped blend kernel by timing
+    crippled variants (DMA-only, no-roll, no-blend). Wrong outputs — timing
+    only."""
+    from image_transformation_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.parallel.sweep import random_downscale_boxes
+    from image_transformation_tpu.ops import compose_pallas as cp
+
+    log(f"devices: {jax.devices()}")
+    bundle = load_bundle(REPO / "data" / "squarespace")
+    arrays = bundle.to_arrays()
+    H, W, B = 1080, 1920, 16
+    pad_h, pad_w = arrays.objects.shape[1], arrays.objects.shape[2]
+    mh_a = cp._round_up(pad_h, 8)
+    mw_a = cp._round_up(pad_w, 128)
+    MH, MW = cp.window_extents((mh_a, mw_a))
+    rng = np.random.default_rng(0)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    jc, jo, jh, jb = (jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+    cv, sv, meta = cp._hybrid_producer_clamped(jc, jo, jh, jb, (mh_a, mw_a), "lanczos")
+    fence(meta)
+    N = sv.shape[1]
+
+    def make_variant(do_roll, do_blend, do_shift):
+        def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+                   band_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+            del canvas_ref
+            b = pl.program_id(0)
+
+            @pl.when(b == 0)
+            def _():
+                src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+            for k in range(N):
+                valid = meta_ref[b, k, 5] > 0
+
+                @pl.when(valid)
+                def _():
+                    ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                    ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                    dx = meta_ref[b, k, 2]
+                    dy = meta_ref[b, k, 3]
+                    window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+                    dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
+                    dma_in.start()
+                    dma_src = pltpu.make_async_copy(src_all_ref.at[b, k], src_vmem, sem_src)
+                    dma_src.start()
+                    dma_src.wait()
+
+                    if do_shift:
+                        src_shift[MH:MH + mh_a, :] = src_vmem[...]
+                        fine = jax.lax.rem(dy, 8)
+                        coarse8 = dy - fine
+                        start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+                        tall = src_shift[pl.ds(start8, MH + 8), :]
+                        rows = jax.lax.switch(
+                            fine,
+                            [(lambda d: lambda: tall[8 - d: 8 - d + MH, :])(d)
+                             for d in range(8)],
+                        )
+                    else:
+                        rows = jnp.pad(src_vmem[...], ((0, MH - mh_a), (0, 0)))
+                    padded = jnp.pad(rows, ((0, 0), (0, MW - mw_a)))
+                    if do_roll:
+                        lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+                        src = jnp.where(lane >= dx, pltpu.roll(padded, dx, axis=1), 0)
+                    else:
+                        src = padded
+                    dma_in.wait()
+                    if do_blend:
+                        band_ref[...] = cp._alpha_over_packed(band_ref[...], src)
+                    else:
+                        band_ref[...] = band_ref[...] | (src & 0)
+                    dma_out = pltpu.make_async_copy(band_ref, window_slice, sem_out)
+                    dma_out.start()
+                    dma_out.wait()
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(B,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((MH, MW), jnp.int32),
+                pltpu.VMEM((mh_a, mw_a), jnp.int32),
+                pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+                pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        )
+
+        @functools.partial(jax.jit)
+        def run(canvas_v, src_v, m):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+                grid_spec=grid_spec,
+                input_output_aliases={1: 0},
+            )(m, canvas_v, src_v)
+
+        return run
+
+    @jax.jit
+    def fence_sum(out):
+        return jnp.sum(out[:, 0, :128])
+
+    for name, kw in (
+        ("full", dict(do_roll=True, do_blend=True, do_shift=True)),
+        ("no_roll", dict(do_roll=False, do_blend=True, do_shift=True)),
+        ("no_shift", dict(do_roll=True, do_blend=True, do_shift=False)),
+        ("no_blend", dict(do_roll=True, do_blend=False, do_shift=True)),
+        ("dma_only", dict(do_roll=False, do_blend=False, do_shift=False)),
+    ):
+        run = make_variant(**kw)
+        best = float("inf")
+        def f(c, s, m):
+            out = run(c, s, m)
+            return out, fence_sum(out)
+        for _ in range(3):
+            best = min(best, timeit(f, (cv, sv, meta), reps=20))
+        log(f"{name:9s}: {best:6.2f} ms/batch ({best / (B * N) * 1e3:5.1f} us/step)")
+
+
+if __name__ == "__main__" and "--anatomy" in sys.argv:
+    blend_step_anatomy()
     sys.exit(0)

@@ -78,6 +78,15 @@ benchmarks/bisect_resize.py --clamped):
    _pallas_blend_clamped_pipelined): measured NET NEUTRAL again (7.22 vs
    7.21 ms min-of-5) — per-step compute (row load + roll + mask + blend,
    ~42 us/object-step at B=16) still dominates the DMA latency it hides.
+8. Step anatomy (bisect_resize.py --anatomy): DMA-only 29 us/step, +shift
+   +roll +blend adds only ~5 us — the kernel is DMA-issue/latency bound,
+   which also explains why double-buffering is neutral (the scalar core
+   serializes DMA issues).
+9. BAND DMAs (band=True, _pallas_blend_band): full-width row bands are one
+   contiguous descriptor vs 216 row segments, but 4x the bytes — measured
+   SLOWER (6.62 vs 6.35 ms min-of-5 after the hp-resample + fused-u8-cast
+   producer), so window slices are not descriptor-bound. Clamped stays
+   default.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py uses the clamped packed hybrid (fastest measured).
 """
@@ -1015,6 +1024,112 @@ def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
     return kernel
 
 
+def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int], wp: int):
+    """Clamped-window blend with full-width ROW-BAND DMAs.
+
+    The window-slice DMA of the clamped kernel fragments into MH row-segment
+    descriptors (a [MH, MW] slice of the [Hp, Wp] canvas plane is 216
+    non-contiguous 2 KB runs) — measured ~29 us/object-step of pure DMA cost
+    vs ~5 us of compute. A full-width band out_ref[b, ws_y:ws_y+MH, :] is
+    ONE contiguous run: 4x the bytes, 1/216 the descriptors. The blend then
+    targets the 128-aligned lane sub-window of the band in VMEM.
+    """
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               band_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _():
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+                dy = meta_ref[b, k, 3]
+
+                band_slice = out_ref.at[b, pl.ds(ws_y, MH), :]
+                dma_in = pltpu.make_async_copy(band_slice, band_ref, sem_in)
+                dma_in.start()
+                dma_src = pltpu.make_async_copy(
+                    src_all_ref.at[b, k], src_vmem, sem_src
+                )
+                dma_src.start()
+                dma_src.wait()
+
+                src_shift[MH : MH + mh_a, :] = src_vmem[...]
+                fine = jax.lax.rem(dy, 8)
+                coarse8 = dy - fine
+                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+                tall = src_shift[pl.ds(start8, MH + 8), :]
+                rows = jax.lax.switch(
+                    fine,
+                    [
+                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                rolled = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+                src = jnp.where(lane >= dx, rolled, 0)
+
+                dma_in.wait()
+                dst = band_ref[:, pl.ds(ws_x, MW)]
+                band_ref[:, pl.ds(ws_x, MW)] = _alpha_over_packed(dst, src)
+                dma_out = pltpu.make_async_copy(band_ref, band_slice, sem_out)
+                dma_out.start()
+                dma_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_band(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed
+    meta: jnp.ndarray,  # [B, N, 6] (ws clamped to the canvas interior)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    wp = canvas_v.shape[2]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, wp), jnp.int32),  # full-width row band
+            pltpu.VMEM((mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_band(N, (mh_a, mw_a), wp),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
 def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
     """Clamped-window blend with double-buffered DMAs.
 
@@ -1346,12 +1461,15 @@ def _hybrid_producer_clamped(canvases, objs, obj_hw, boxes, out_max_hw, method):
     def resize_one(obj, hw, box):
         w = jnp.maximum(1, box[2] - box[0])
         h = jnp.maximum(1, box[3] - box[1])
+        # cast inside the vmapped fn: the u8 convert fuses into the final
+        # resize fusion (a separate astype materialized the f32 buffer,
+        # ~82 MB/batch of extra round-trip)
         return resize_f32(
             obj.astype(jnp.float32), (hw[0], hw[1]), (h, w), (mh_a, mw_a), method
-        )
+        ).astype(jnp.uint8)
 
     resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
-    src_v = jax.lax.bitcast_convert_type(resized.astype(jnp.uint8), jnp.int32)
+    src_v = jax.lax.bitcast_convert_type(resized, jnp.int32)
 
     x1 = boxes[..., 0]
     y1 = boxes[..., 1]
@@ -1457,6 +1575,7 @@ def composite_batch_hybrid_packed(
     pipelined: bool = False,
     clamped: bool = False,
     rowbaked: bool = False,
+    band: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -1483,14 +1602,16 @@ def composite_batch_hybrid_packed(
         )
         out_v = _pallas_blend_rowbaked(canvas_v, src_v, meta, interpret)
         return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
-    if clamped:
+    if clamped or band:
         canvas_v, src_v, meta = _hybrid_producer_clamped(
             canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
         )
-        blend_c = (
-            _pallas_blend_clamped_pipelined if pipelined
-            else _pallas_blend_packed_clamped
-        )
+        if band:
+            blend_c = _pallas_blend_band
+        elif pipelined:
+            blend_c = _pallas_blend_clamped_pipelined
+        else:
+            blend_c = _pallas_blend_packed_clamped
         out_v = blend_c(canvas_v, src_v, meta, interpret)
         return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
     canvas_v, src_v, meta = _hybrid_producer(

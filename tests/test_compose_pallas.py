@@ -169,6 +169,7 @@ def test_aligned_variant_matches(tmp_path, exact_traced_resample):
 @pytest.mark.parametrize("mode", [
     {"clamped": True},
     {"clamped": True, "pipelined": True},
+    {"band": True},
     {"rowbaked": True},
 ])
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
