@@ -196,7 +196,7 @@ def clamped_vs_default():
 
     variants = (
         ("clamped", {"clamped": True}),
-        ("band", {"band": True}),
+        ("batchsrc", {"batchsrc": True}),
     )
 
     def make_full(kw):

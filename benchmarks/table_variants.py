@@ -163,5 +163,75 @@ def main():
         log(f"{name:7s} build: {ms:6.2f} ms / 64-object batch (H+V)")
 
 
+def staged():
+    """Stage-by-stage cost of the traced table build (poly filter)."""
+    import time
+
+    from image_transformation_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    from image_transformation_tpu.ops import resize as rz
+
+    in_w, pad_w, mw_a = 357, 357, 384
+    in_h, pad_h, mh_a = 207, 207, 208
+    rng = np.random.default_rng(0)
+    hw = jnp.asarray(
+        np.stack([rng.integers(1, 208, 64), rng.integers(1, 358, 64)], axis=1
+                 ).astype(np.int32)
+    )
+
+    def build_staged(stage, in_size, out_size, in_max, out_max):
+        in_f = jnp.asarray(in_size).astype(jnp.float32)
+        out_f = jnp.maximum(jnp.asarray(out_size).astype(jnp.float32), 1.0)
+        scale = in_f / out_f
+        filterscale = jnp.maximum(scale, 1.0)
+        support = 3.0 * filterscale
+        inv_fs = 1.0 / filterscale
+        o = jnp.arange(out_max, dtype=jnp.float32)[:, None]
+        i = jnp.arange(in_max, dtype=jnp.float32)[None, :]
+        center = (o + 0.5) * scale
+        w = rz._filter_lanczos3((i - center + 0.5) * inv_fs)
+        if stage == "filter":
+            return w
+        xmin = jnp.clip(jnp.trunc(center - support + 0.5), 0.0, in_f)
+        xmax = jnp.clip(jnp.trunc(center + support + 0.5), 0.0, in_f)
+        w = w * ((i >= xmin) & (i < xmax)).astype(jnp.float32)
+        if stage == "window":
+            return w
+        wsum = jnp.sum(w, axis=1, keepdims=True)
+        w = w / jnp.where(wsum != 0.0, wsum, 1.0)
+        w = w * ((o >= 0) & (o < out_f)).astype(jnp.float32)
+        if stage == "normalize":
+            return w
+        scaled = w * float(1 << 22)
+        return jnp.trunc(scaled + jnp.where(w < 0, -0.5, 0.5)).astype(jnp.int32)
+
+    for stage in ("filter", "window", "normalize", "quantize"):
+        @jax.jit
+        def tables(hw_, _s=stage):
+            def one(pair):
+                kh = build_staged(_s, in_w, pair[1], pad_w, mw_a)
+                kv = build_staged(_s, in_h, pair[0], pad_h, mh_a)
+                return jnp.sum(kh.astype(jnp.float32)) + jnp.sum(kv.astype(jnp.float32))
+            return jnp.sum(jax.vmap(one)(hw_))
+
+        out = tables(hw)
+        np.asarray(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(30):
+                out = tables(hw)
+            np.asarray(out)
+            best = min(best, (time.perf_counter() - t0) / 30 * 1e3)
+        log(f"stage {stage:9s}: {best:6.2f} ms / 64-object batch (H+V)")
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--staged" in _sys.argv:
+        staged()
+    else:
+        main()

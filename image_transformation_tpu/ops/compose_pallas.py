@@ -1024,6 +1024,107 @@ def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
     return kernel
 
 
+def _make_blend_kernel_clamped_batchsrc(n_obj: int, src_hw: Tuple[int, int]):
+    """Clamped blend with ONE source DMA per canvas.
+
+    The kernel is DMA-issue bound (STATUS item 8); all N object sources of
+    a canvas are contiguous in HBM, so fetching them in a single
+    [N, mh_a, mw_a] copy saves 2(N-1) DMA ops per canvas vs per-object
+    fetches, overlapped with the first window fetch.
+    """
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               band_ref, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        dma_src = pltpu.make_async_copy(src_all_ref.at[b], src_vmem, sem_src)
+        dma_src.start()
+        dma_src.wait()
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _(k=k):
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+                dy = meta_ref[b, k, 3]
+
+                window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+                dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
+                dma_in.start()
+
+                src_shift[MH : MH + mh_a, :] = src_vmem[k]
+                fine = jax.lax.rem(dy, 8)
+                coarse8 = dy - fine
+                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+                tall = src_shift[pl.ds(start8, MH + 8), :]
+                rows = jax.lax.switch(
+                    fine,
+                    [
+                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
+                        for d in range(8)
+                    ],
+                )
+                rolled = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+                src = jnp.where(lane >= dx, rolled, 0)
+
+                dma_in.wait()
+                band_ref[...] = _alpha_over_packed(band_ref[...], src)
+                dma_out = pltpu.make_async_copy(band_ref, window_slice, sem_out)
+                dma_out.start()
+                dma_out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_clamped_batchsrc(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed
+    meta: jnp.ndarray,  # [B, N, 6]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((N, mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_clamped_batchsrc(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
 def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int], wp: int):
     """Clamped-window blend with full-width ROW-BAND DMAs.
 
@@ -1576,6 +1677,7 @@ def composite_batch_hybrid_packed(
     clamped: bool = False,
     rowbaked: bool = False,
     band: bool = False,
+    batchsrc: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -1602,11 +1704,13 @@ def composite_batch_hybrid_packed(
         )
         out_v = _pallas_blend_rowbaked(canvas_v, src_v, meta, interpret)
         return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
-    if clamped or band:
+    if clamped or band or batchsrc:
         canvas_v, src_v, meta = _hybrid_producer_clamped(
             canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
         )
-        if band:
+        if batchsrc:
+            blend_c = _pallas_blend_clamped_batchsrc
+        elif band:
             blend_c = _pallas_blend_band
         elif pipelined:
             blend_c = _pallas_blend_clamped_pipelined

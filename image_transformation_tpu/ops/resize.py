@@ -44,19 +44,21 @@ _SUPPORT = {"lanczos": 3.0, "bilinear": 1.0}
 # ------------------------- filters (f32, in-graph) -------------------------
 
 # lanczos3(x) = 3 sin(pi x) sin(pi x/3) / (pi x)^2 is an even analytic
-# function; a degree-18 polynomial in u = x^2 (Chebyshev fit on u in [0, 9],
-# converted to the power basis for Horner) reproduces it to 1.7e-15 in f64
-# and 5.2e-7 with f32 coefficients — the same order as f32 sin() error, and
-# measured to give IDENTICAL max quantized-table deviation vs the host-exact
-# builder (213/2^22 on the bench size sweep). Horner costs ~18 FMAs/entry
-# vs two transcendental sin() expansions: table construction measured
-# 2.27 -> 1.21 ms per 64-object batch on v5e (benchmarks/table_variants.py).
+# function; a polynomial in u = x^2 (Chebyshev fit on u in [0, 9], converted
+# to the power basis for Horner) replaces two transcendental sin()
+# expansions per entry. Degree 12 already reaches the f32-evaluation floor
+# (max err 5.4e-7 ~ 2 quantized-table units — same as degree 18, same order
+# as f32 sin() error) and measured IDENTICAL max quantized-table deviation
+# vs the host-exact builder (213/2^22 on the bench size sweep). Table
+# construction measured 2.27 (sin) -> 1.21 (deg-18) -> ~1.0 ms (deg-12) per
+# 64-object batch on v5e (benchmarks/table_variants.py, --staged: the
+# Horner eval dominates the build).
 _LANCZOS3_POLY_U = (
-    0.019992724, 0.1293457, -0.4305644, 0.26830783, 0.33365604,
-    -0.6404382, 0.49259326, -0.23596813, 0.08006741, -0.020552218,
-    0.004160513, -0.0006840754, 9.340757e-05, -1.0779367e-05,
-    1.0663123e-06, -9.150937e-08, 6.9485644e-09, -4.6551354e-10,
-    1.16214234e-11,
+    0.019992724061012268, 0.12934572994709015, -0.43056443333625793,
+    0.2683068513870239, 0.3336562514305115, -0.6404303312301636,
+    0.4925920069217682, -0.2359950840473175, 0.08007098734378815,
+    -0.020507415756583214, 0.004155285656452179, -0.0007197138038463891,
+    9.71919289440848e-05,
 )
 
 

@@ -170,6 +170,7 @@ def test_aligned_variant_matches(tmp_path, exact_traced_resample):
     {"clamped": True},
     {"clamped": True, "pipelined": True},
     {"band": True},
+    {"batchsrc": True},
     {"rowbaked": True},
 ])
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
