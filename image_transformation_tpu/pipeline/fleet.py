@@ -203,6 +203,73 @@ def run_fleet(
     return summary
 
 
+def install_generic_fake_client() -> None:
+    """Register a bundle-agnostic hermetic VLM: plans a single column of
+    whatever objects the prompt's summary lists (parsed back from the
+    ``id=N, name='...'`` lines personas emit), critiques with a canned
+    score. Lets one registration serve a whole fleet of different bundles.
+    """
+    import re
+
+    from ..vlm.client import FakeClient, register_fake_client
+
+    def scripted(messages, **kwargs):
+        text = "\n".join(
+            m.get("content", "") for m in messages if isinstance(m.get("content"), str)
+        )
+        if "critic" in (messages[0].get("content", "") if messages else "").lower():
+            return {"message": {"content": "1. Overall Score: 8/10\nNo violations."}}
+        ids = sorted({int(m) for m in re.findall(r"id=(\d+),", text)})
+        names = dict(re.findall(r"id=(\d+), name='([^']*)'", text))
+        layout = {"root": {"type": "flex", "direction": "column", "children": [
+            {"object_id": i, "name": names.get(str(i), "")} for i in ids
+        ]}}
+        return {"message": {"content": json.dumps(layout)}}
+
+    register_fake_client(lambda: FakeClient([scripted]))
+
+
+def run_fleet_loops(
+    bundle_dirs: Sequence[Path],
+    ratio: str,
+    align: str = "center",
+    margin: float = 0.05,
+    parallel: int = 4,
+    base_output_root: Optional[Path] = None,
+    **run_kwargs,
+) -> Dict[str, Dict]:
+    """Run the FULL iterate loop (planner->critic->refiner->compose) for
+    many bundles concurrently.
+
+    The reference runs one sequential loop per CLI invocation; its
+    wall-clock is dominated by VLM round-trips (tens of seconds each —
+    SURVEY §3.1). Threads overlap the network waits across bundles while
+    the device work (already asynchronous dispatches) interleaves on the
+    chip. Artifact trees are per-bundle, so runs never collide.
+
+    Returns {bundle_stem: {"output": str} | {"error": str}}.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .run import run_macro_only
+
+    results: Dict[str, Dict] = {}
+
+    def one(bundle_dir: Path) -> None:
+        try:
+            out = run_macro_only(
+                bundle_dir, ratio, align, margin,
+                base_output_root=base_output_root, **run_kwargs,
+            )
+            results[bundle_dir.name] = {"output": str(out)}
+        except Exception as e:  # noqa: BLE001 - per-bundle isolation
+            results[bundle_dir.name] = {"error": str(e)}
+
+    with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
+        list(pool.map(one, map(Path, bundle_dirs)))
+    return results
+
+
 def _discover_bundles(root: Path) -> List[Path]:
     found = []
     for child in sorted(root.iterdir()):
@@ -232,6 +299,21 @@ def main(argv=None) -> None:
                         help="Shard ratio variants over all visible devices")
     parser.add_argument("--reps", type=int, default=1)
     parser.add_argument("--no-save", action="store_true")
+    parser.add_argument(
+        "--full-loop", action="store_true",
+        help=(
+            "Run the COMPLETE iterate loop (planner/critic/refiner via the "
+            "VLM) per bundle, overlapped across --parallel threads, instead "
+            "of rendering saved/fallback layouts. Uses the first --ratios "
+            "entry."
+        ),
+    )
+    parser.add_argument("--parallel", type=int, default=4)
+    parser.add_argument(
+        "--api", choices=["auto", "ollama", "nebius", "fake"], default="auto",
+        help="--full-loop VLM backend; 'fake' is hermetic (generic planner)",
+    )
+    parser.add_argument("--refine-iters", type=int, default=10)
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compile_cache
@@ -244,6 +326,24 @@ def main(argv=None) -> None:
         bundle_dirs = _discover_bundles(Path(args.bundles_root))
     else:
         parser.error("one of --bundles or --bundles-root is required")
+
+    ratios = [r.strip() for r in args.ratios.split(",") if r.strip()]
+    if args.full_loop:
+        api_type = args.api
+        if api_type == "fake":
+            install_generic_fake_client()
+            api_type = "auto"
+        results = run_fleet_loops(
+            bundle_dirs, ratios[0], parallel=args.parallel,
+            refine_iters=args.refine_iters, api_type=api_type,
+            base_output_root=Path(args.output_root),
+        )
+        print(json.dumps({
+            "bundles": len(results),
+            "ok": sum(1 for r in results.values() if "output" in r),
+            "errors": {k: v["error"] for k, v in results.items() if "error" in v},
+        }))
+        return
 
     mesh = None
     if args.mesh:
@@ -258,7 +358,7 @@ def main(argv=None) -> None:
 
     summary = run_fleet(
         bundle_dirs,
-        [r.strip() for r in args.ratios.split(",") if r.strip()],
+        ratios,
         output_root=Path(args.output_root),
         layout_json=Path(args.layout_json) if args.layout_json else None,
         mesh=mesh,

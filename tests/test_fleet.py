@@ -86,3 +86,70 @@ def test_fleet_rejects_layout_without_root(tmp_path):
     bad.write_text(json.dumps({"direction": "row"}))
     with pytest.raises(ValueError):
         run_fleet(BUNDLES[:1], ["1:1"], output_root=tmp_path, layout_json=bad)
+
+
+def test_fleet_loops_runs_full_pipelines_concurrently(tmp_path):
+    """run_fleet_loops: overlapped iterate loops, one artifact tree each."""
+    import re
+
+    from image_transformation_tpu.pipeline.fleet import run_fleet_loops
+    from image_transformation_tpu.vlm.client import FakeClient, register_fake_client
+
+    def scripted(messages, **kwargs):
+        text = "\n".join(
+            m.get("content", "") for m in messages if isinstance(m.get("content"), str)
+        )
+        ids = sorted({int(m) for m in re.findall(r"id=(\d+),", text)})
+        names = dict(re.findall(r"id=(\d+), name='([^']*)'", text))
+        layout = {"root": {"type": "flex", "direction": "column", "children": [
+            {"object_id": i, "name": names.get(str(i), "")} for i in ids
+        ]}}
+        return {"message": {"content": json.dumps(layout)}}
+
+    register_fake_client(lambda: FakeClient([scripted]))
+    try:
+        results = run_fleet_loops(
+            BUNDLES, "9:16", parallel=2, refine_iters=0,
+            base_output_root=tmp_path, api_type="auto",
+        )
+    finally:
+        register_fake_client(None)
+
+    assert set(results) == {"squarespace", "audio_book"}
+    for stem, r in results.items():
+        assert "output" in r, r
+        draft = (
+            tmp_path / stem / "iteration_00" / "final_product"
+            / "draft_macro_iter_00.png"
+        )
+        assert draft.exists(), draft
+
+
+def test_fleet_loops_isolates_per_bundle_errors(tmp_path):
+    from image_transformation_tpu.pipeline.fleet import run_fleet_loops
+
+    results = run_fleet_loops(
+        [Path("data/squarespace"), tmp_path / "missing"],
+        "9:16", parallel=2, refine_iters=0, api_type="auto",
+        base_output_root=tmp_path,
+    )
+    assert "error" in results["missing"]
+
+
+def test_fleet_cli_full_loop_hermetic(tmp_path, capsys):
+    from image_transformation_tpu.vlm.client import register_fake_client
+
+    try:
+        fleet_main([
+            "--bundles", "data/squarespace,data/audio_book",
+            "--ratios", "9:16",
+            "--full-loop", "--api", "fake", "--refine-iters", "1",
+            "--parallel", "2",
+            "--output-root", str(tmp_path),
+        ])
+    finally:
+        register_fake_client(None)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bundles"] == 2 and out["ok"] == 2, out
+    for stem in ("squarespace", "audio_book"):
+        assert (tmp_path / stem / "time_log.txt").exists()
