@@ -947,6 +947,36 @@ def _pallas_blend_packed_pipelined(
     )(meta, canvas_v, src_v)
 
 
+
+def _shift_roll_mask(src_shift, src_val, dy, dx, MH: int, MW: int,
+                     clamp_dy: bool = False):
+    """Position a window-unaligned source inside its clamped window.
+
+    Shared by every clamped-geometry blend kernel: store the [mh_a, mw_a]
+    source at static rows [MH, MH+mh_a) of the zero-bordered shift scratch,
+    realize the row offset dy as a %8 dynamic load + static fine slice,
+    then the lane offset dx as a roll with the wrap columns masked to zero
+    (they are exactly the off-canvas columns PIL's crop discards).
+    ``clamp_dy`` is for unguarded callers: dropped objects can carry
+    dy == MH, which would push the load start negative.
+    """
+    mh_a, mw_a = src_val.shape
+    src_shift[MH : MH + mh_a, :] = src_val
+    if clamp_dy:
+        dy = jnp.minimum(dy, MH - 1)
+    fine = jax.lax.rem(dy, 8)
+    coarse8 = dy - fine
+    start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+    tall = src_shift[pl.ds(start8, MH + 8), :]
+    rows = jax.lax.switch(
+        fine,
+        [(lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d) for d in range(8)],
+    )
+    rolled = pltpu.roll(jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
+    return jnp.where(lane >= dx, rolled, 0)
+
+
 def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
     """Clamped-window packed blend (v2 of the packed kernel).
 
@@ -993,27 +1023,7 @@ def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
                 dma_src.start()
                 dma_src.wait()
 
-                # Object lives at static rows [MH, MH+mh_a); rows above and
-                # below are zeros (initialized once, never written).
-                src_shift[MH : MH + mh_a, :] = src_vmem[...]
-                fine = jax.lax.rem(dy, 8)
-                coarse8 = dy - fine  # multiple of 8, 0..MH-8
-                # View rows [0, MH) must equal buffer rows [MH-dy, MH-dy+MH):
-                # load MH+8 rows from the %8 start, fine-shift statically.
-                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-                tall = src_shift[pl.ds(start8, MH + 8), :]
-                rows = jax.lax.switch(
-                    fine,
-                    [
-                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
-                        for d in range(8)
-                    ],
-                )
-                rolled = pltpu.roll(
-                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                )
-                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
-                src = jnp.where(lane >= dx, rolled, 0)
+                src = _shift_roll_mask(src_shift, src_vmem[...], dy, dx, MH, MW)
 
                 dma_in.wait()
                 band_ref[...] = _alpha_over_packed(band_ref[...], src)
@@ -1062,23 +1072,7 @@ def _make_blend_kernel_clamped_batchsrc(n_obj: int, src_hw: Tuple[int, int]):
                 dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
                 dma_in.start()
 
-                src_shift[MH : MH + mh_a, :] = src_vmem[k]
-                fine = jax.lax.rem(dy, 8)
-                coarse8 = dy - fine
-                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-                tall = src_shift[pl.ds(start8, MH + 8), :]
-                rows = jax.lax.switch(
-                    fine,
-                    [
-                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
-                        for d in range(8)
-                    ],
-                )
-                rolled = pltpu.roll(
-                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                )
-                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
-                src = jnp.where(lane >= dx, rolled, 0)
+                src = _shift_roll_mask(src_shift, src_vmem[k], dy, dx, MH, MW)
 
                 dma_in.wait()
                 band_ref[...] = _alpha_over_packed(band_ref[...], src)
@@ -1166,23 +1160,7 @@ def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int], wp: int):
                 dma_src.start()
                 dma_src.wait()
 
-                src_shift[MH : MH + mh_a, :] = src_vmem[...]
-                fine = jax.lax.rem(dy, 8)
-                coarse8 = dy - fine
-                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-                tall = src_shift[pl.ds(start8, MH + 8), :]
-                rows = jax.lax.switch(
-                    fine,
-                    [
-                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
-                        for d in range(8)
-                    ],
-                )
-                rolled = pltpu.roll(
-                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                )
-                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
-                src = jnp.where(lane >= dx, rolled, 0)
+                src = _shift_roll_mask(src_shift, src_vmem[...], dy, dx, MH, MW)
 
                 dma_in.wait()
                 dst = band_ref[:, pl.ds(ws_x, MW)]
@@ -1293,27 +1271,12 @@ def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
             valid = meta_ref[b, k, 5] > 0
 
             def compute(s):
-                src_shift[MH : MH + mh_a, :] = src_vmem[s]
-                # invalid (dropped) objects can carry dy == MH, which would
-                # push start8 negative; compute is unguarded here (the
-                # result is masked by `valid`), so clamp.
-                dy_c = jnp.minimum(dy, MH - 1)
-                fine = jax.lax.rem(dy_c, 8)
-                coarse8 = dy_c - fine
-                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-                tall = src_shift[pl.ds(start8, MH + 8), :]
-                rows = jax.lax.switch(
-                    fine,
-                    [
-                        (lambda d: lambda: tall[8 - d : 8 - d + MH, :])(d)
-                        for d in range(8)
-                    ],
+                # compute is unguarded here (result masked by `valid`), so
+                # clamp the dropped-object dy == MH case inside the helper
+                src = _shift_roll_mask(
+                    src_shift, src_vmem[s], dy, dx, MH, MW, clamp_dy=True
                 )
-                rolled = pltpu.roll(
-                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                )
-                lane = jax.lax.broadcasted_iota(jnp.int32, (MH, MW), 1)
-                src = jnp.where((lane >= dx) & valid, rolled, 0)
+                src = jnp.where(valid, src, 0)
                 win_ref[s] = _alpha_over_packed(win_ref[s], src)
 
             jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
@@ -1524,10 +1487,13 @@ def _hybrid_producer_rowbaked(canvases, objs, obj_hw, boxes, out_max_hw, method)
         # Identity copy shifted to row dy, with bottom-of-window crop
         # semantics (dynamic_update_slice would CLAMP the start and
         # mis-position objects near the canvas bottom — slice out of a
-        # top-padded buffer instead, which never clamps).
+        # top-padded buffer instead, which never clamps). Crop first: the
+        # object storage pad may exceed the requested out_max window
+        # (jnp.pad rejects negative widths).
+        crop = objf[: min(obj.shape[0], MH), : min(obj.shape[1], mw_a)]
         big = jnp.pad(
-            objf,
-            ((MH, MH - obj.shape[0]), (0, mw_a - obj.shape[1]), (0, 0)),
+            crop,
+            ((MH, MH - crop.shape[0]), (0, mw_a - crop.shape[1]), (0, 0)),
         )
         ident = jax.lax.dynamic_slice(big, (MH - dy, 0, 0), (MH, mw_a, 4))
         same = (w == hw[1]) & (h == hw[0])
@@ -1546,18 +1512,27 @@ def _hybrid_producer_rowbaked(canvases, objs, obj_hw, boxes, out_max_hw, method)
     return canvas_v, src_v, meta
 
 
-@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
-def _hybrid_producer_clamped(canvases, objs, obj_hw, boxes, out_max_hw, method):
-    """Like _hybrid_producer but with window origins clamped to the canvas
-    interior: the canvas pads only to DMA tile alignment (%8 rows, %128
-    cols, and at least one window), not by a whole window extent."""
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "method", "clamp"))
+def _hybrid_producer_impl(canvases, objs, obj_hw, boxes, out_max_hw, method, clamp):
+    """Resize all objects + build the packed canvas/meta for a blend kernel.
+
+    ``clamp=True`` (the bench-default geometry): window origins clamp to
+    the canvas interior, so the canvas pads only to DMA tile alignment
+    (%8 rows, %128 cols, and at least one window). ``clamp=False`` (the
+    original packed kernels): origins are unclamped, so the canvas
+    pre-pads by a full window extent on the bottom/right.
+    """
     from .resize import resize_f32
 
     h_c, w_c = canvases.shape[1], canvases.shape[2]
     mh_a, mw_a = out_max_hw
     MH, MW = window_extents((mh_a, mw_a))
-    hp = max(_round_up(h_c, 8), MH)
-    wp = max(_round_up(w_c, 128), MW)
+    if clamp:
+        hp = max(_round_up(h_c, 8), MH)
+        wp = max(_round_up(w_c, 128), MW)
+    else:
+        hp = _round_up(h_c + MH, 8)
+        wp = _round_up(w_c + MW, 128)
 
     def resize_one(obj, hw, box):
         w = jnp.maximum(1, box[2] - box[0])
@@ -1577,8 +1552,11 @@ def _hybrid_producer_clamped(canvases, objs, obj_hw, boxes, out_max_hw, method):
     drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
     x1c = jnp.clip(x1, 0, w_c)
     y1c = jnp.clip(y1, 0, h_c)
-    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
-    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
+    ws_x = (x1c // 128) * 128
+    ws_y = (y1c // 8) * 8
+    if clamp:
+        ws_x = jnp.minimum(ws_x, wp - MW)
+        ws_y = jnp.minimum(ws_y, hp - MH)
     meta = jnp.stack(
         [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
          (~drop).astype(x1.dtype)],
@@ -1588,6 +1566,12 @@ def _hybrid_producer_clamped(canvases, objs, obj_hw, boxes, out_max_hw, method):
     canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)  # [B, H, W]
     canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
     return canvas_v, src_v, meta
+
+
+def _hybrid_producer_clamped(canvases, objs, obj_hw, boxes, out_max_hw, method):
+    return _hybrid_producer_impl(
+        canvases, objs, obj_hw, boxes, out_max_hw, method, clamp=True
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1626,43 +1610,10 @@ def _pallas_blend_packed(
     )(meta, canvas_v, src_v)
 
 
-@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
 def _hybrid_producer(canvases, objs, obj_hw, boxes, out_max_hw, method):
-    """Resize all objects + build packed canvas/meta for the blend kernel."""
-    from .resize import resize_f32
-
-    h_c, w_c = canvases.shape[1], canvases.shape[2]
-    mh_a, mw_a = out_max_hw
-    MH, MW = window_extents((mh_a, mw_a))
-
-    def resize_one(obj, hw, box):
-        w = jnp.maximum(1, box[2] - box[0])
-        h = jnp.maximum(1, box[3] - box[1])
-        return resize_f32(
-            obj.astype(jnp.float32), (hw[0], hw[1]), (h, w), (mh_a, mw_a), method
-        )
-
-    resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
-    src_v = jax.lax.bitcast_convert_type(resized.astype(jnp.uint8), jnp.int32)
-
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = (x1c // 128) * 128
-    ws_y = (y1c // 8) * 8
-    meta = jnp.stack(
-        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
-         (~drop).astype(x1.dtype)],
-        axis=-1,
-    ).astype(jnp.int32)
-
-    canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)  # [B, H, W]
-    pad_rows = _round_up(h_c + MH, 8) - h_c
-    pad_cols = _round_up(w_c + MW, 128) - w_c
-    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, pad_rows), (0, pad_cols)))
-    return canvas_v, src_v, meta
+    return _hybrid_producer_impl(
+        canvases, objs, obj_hw, boxes, out_max_hw, method, clamp=False
+    )
 
 
 def composite_batch_hybrid_packed(

@@ -65,10 +65,22 @@ def make_batched_compose(
                     canvases, objs, obj_hw, boxes, out_max_hw, method, clamped=True
                 )
                 return out, luma_stat(out)
-            except Exception:  # noqa: BLE001 - no Mosaic on this backend
+            except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
                 fell_back[0] = True  # latch: don't re-attempt compilation
+                # Loud fallback: a real kernel regression must not silently
+                # mislabel XLA throughput as the Pallas path in benchmarks.
+                import sys
+                import traceback
+
+                print(
+                    "[sweep] Pallas compose path failed; latching the XLA "
+                    f"fallback for this step: {e!r}",
+                    file=sys.stderr,
+                )
+                traceback.print_exc(limit=3, file=sys.stderr)
         return xla_step(canvases, objs, obj_hw, boxes)
 
+    pallas_step.fell_back = fell_back  # introspectable for tests/benchmarks
     return pallas_step
 
 

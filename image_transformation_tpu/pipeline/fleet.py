@@ -40,32 +40,45 @@ def _fallback_layout(items: List[dict]) -> Dict:
     return {"root": {"type": "flex", "direction": "column", "children": children}}
 
 
-def _layout_from_previous_run(bundle_dir: Path) -> Optional[Dict]:
-    base = Path.cwd() / "output_macro_placement" / bundle_dir.name
-    if not base.exists():
-        return None
+def _layout_from_previous_run(
+    bundle_dir: Path, search_roots: Sequence[Path]
+) -> Optional[Dict]:
     from .artifacts import latest_iteration
 
-    last = latest_iteration(base)
-    if last is None:
-        return None
-    for idx in range(last, -1, -1):
-        state = base / f"iteration_{idx:02d}" / "layout_json" / "loop_state.json"
-        if state.exists():
-            flex = json.loads(state.read_text()).get("flex_raw") or {}
-            if "root" in flex:
-                return flex
+    for root in search_roots:
+        base = Path(root) / bundle_dir.name
+        if not base.exists():
+            continue
+        last = latest_iteration(base)
+        if last is None:
+            continue
+        for idx in range(last, -1, -1):
+            state = base / f"iteration_{idx:02d}" / "layout_json" / "loop_state.json"
+            if state.exists():
+                flex = json.loads(state.read_text()).get("flex_raw") or {}
+                if "root" in flex:
+                    return flex
     return None
 
 
-def resolve_layout(bundle_dir: Path, items: List[dict], layout_json: Optional[Path]) -> Tuple[Dict, str]:
-    """Pick the layout for one bundle; returns (flex dict, provenance tag)."""
+def resolve_layout(
+    bundle_dir: Path,
+    items: List[dict],
+    layout_json: Optional[Path],
+    output_root: Optional[Path] = None,
+) -> Tuple[Dict, str]:
+    """Pick the layout for one bundle; returns (flex dict, provenance tag).
+
+    Previous-run search covers the fleet's own output root (where
+    ``--full-loop`` writes) and the default pipeline root.
+    """
     if layout_json is not None:
         return json.loads(Path(layout_json).read_text()), f"file:{layout_json}"
     local = bundle_dir / "fleet_layout.json"
     if local.exists():
         return json.loads(local.read_text()), "bundle:fleet_layout.json"
-    prev = _layout_from_previous_run(bundle_dir)
+    roots = [r for r in (output_root, Path.cwd() / "output_macro_placement") if r]
+    prev = _layout_from_previous_run(bundle_dir, roots)
     if prev is not None:
         return prev, "previous_run"
     return _fallback_layout(items), "fallback:column"
@@ -109,7 +122,9 @@ def run_fleet(
 
     for bundle_dir in map(Path, bundle_dirs):
         bundle = load_bundle(bundle_dir)
-        flex, layout_src = resolve_layout(bundle_dir, bundle.items, layout_json)
+        flex, layout_src = resolve_layout(
+            bundle_dir, bundle.items, layout_json, output_root=output_root
+        )
         if "root" not in flex:
             raise ValueError(f"layout for {bundle_dir} has no 'root'")
 
@@ -329,6 +344,23 @@ def main(argv=None) -> None:
 
     ratios = [r.strip() for r in args.ratios.split(",") if r.strip()]
     if args.full_loop:
+        ignored = [
+            flag for flag, hit in (
+                ("--mesh", args.mesh),
+                ("--reps", args.reps != 1),
+                ("--pixel-budget", bool(args.pixel_budget)),
+                ("--layout-json", bool(args.layout_json)),
+                ("--no-save", args.no_save),
+            ) if hit
+        ]
+        if ignored:
+            parser.error(
+                f"--full-loop does not support {', '.join(ignored)} (the "
+                "iterate loop plans its own layouts and always persists "
+                "artifacts); drop the flag(s) or run without --full-loop"
+            )
+        if len(ratios) > 1:
+            parser.error("--full-loop takes exactly one ratio in --ratios")
         api_type = args.api
         if api_type == "fake":
             install_generic_fake_client()

@@ -190,13 +190,11 @@ def run_macro_only(
             jnp.asarray(np.array(c2, np.uint8)),
             canvas_size[1], canvas_size[0], horizontal,
         )
-    elif background == "solid":
+    else:  # "solid" — the only other mode (validated before the purge)
         median_rgb = masked_median_rgb(bg_arr)
         canvas_dev = solid_canvas(
             median_rgb.astype(jnp.uint8), canvas_size[1], canvas_size[0]
         )
-    else:
-        raise PipelineError(f"unknown background mode: {background!r}")
     canvas_np = np.asarray(canvas_dev)
     canvas_img = Image.fromarray(canvas_np, "RGBA")
 

@@ -109,10 +109,11 @@ def _print_report(report: Dict) -> None:
             print(f"  overlay: {it['overlay']}")
         canvas = it.get("canvas")
         if canvas:
-            print(f"  canvas:  {canvas['width']}x{canvas['height']} "
+            print(f"  canvas:  {canvas.get('width')}x{canvas.get('height')} "
                   f"margin={canvas.get('margin')} align={canvas.get('align')}")
         for p in it.get("placements", []):
-            print(f"    [{p['object_id']}] {p['name']:<16} box={p['box']} "
+            name = p.get("name") or ""
+            print(f"    [{p.get('object_id')}] {name:<16} box={p.get('box')} "
                   f"scale={p.get('scale')}")
         if it.get("validation_error"):
             print(f"  validation error: {it['validation_error'].splitlines()[0]}")
@@ -156,4 +157,12 @@ def main(argv=None) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. `... show <stem> | head`
+        import os
+        import sys
+
+        # reopen stdout so the interpreter's shutdown flush doesn't re-raise
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)

@@ -27,9 +27,16 @@ def exact_traced_resample(monkeypatch):
     bit-exactly, so they force the order-independent integer resample in
     both programs; test_hp_resample_close_to_limb covers the f32 envelope.
     """
+    import jax
+
     from image_transformation_tpu.ops import resize as rz
 
     monkeypatch.setattr(rz, "resample_fixed_traced", rz.resample_fixed)
+    # jitted producers cache executables by shape; pinned math must not be
+    # shadowed by entries compiled with the hp resample (or vice versa)
+    jax.clear_caches()
+    yield
+    jax.clear_caches()
 
 
 def test_window_extents_tile_aligned():

@@ -90,23 +90,13 @@ def test_fleet_rejects_layout_without_root(tmp_path):
 
 def test_fleet_loops_runs_full_pipelines_concurrently(tmp_path):
     """run_fleet_loops: overlapped iterate loops, one artifact tree each."""
-    import re
+    from image_transformation_tpu.pipeline.fleet import (
+        install_generic_fake_client,
+        run_fleet_loops,
+    )
+    from image_transformation_tpu.vlm.client import register_fake_client
 
-    from image_transformation_tpu.pipeline.fleet import run_fleet_loops
-    from image_transformation_tpu.vlm.client import FakeClient, register_fake_client
-
-    def scripted(messages, **kwargs):
-        text = "\n".join(
-            m.get("content", "") for m in messages if isinstance(m.get("content"), str)
-        )
-        ids = sorted({int(m) for m in re.findall(r"id=(\d+),", text)})
-        names = dict(re.findall(r"id=(\d+), name='([^']*)'", text))
-        layout = {"root": {"type": "flex", "direction": "column", "children": [
-            {"object_id": i, "name": names.get(str(i), "")} for i in ids
-        ]}}
-        return {"message": {"content": json.dumps(layout)}}
-
-    register_fake_client(lambda: FakeClient([scripted]))
+    install_generic_fake_client()
     try:
         results = run_fleet_loops(
             BUNDLES, "9:16", parallel=2, refine_iters=0,
@@ -153,3 +143,37 @@ def test_fleet_cli_full_loop_hermetic(tmp_path, capsys):
     assert out["bundles"] == 2 and out["ok"] == 2, out
     for stem in ("squarespace", "audio_book"):
         assert (tmp_path / stem / "time_log.txt").exists()
+
+
+def test_fleet_full_loop_rejects_incompatible_flags(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        fleet_main([
+            "--bundles", "data/squarespace", "--ratios", "9:16",
+            "--full-loop", "--mesh", "--output-root", str(tmp_path),
+        ])
+    with pytest.raises(SystemExit):
+        fleet_main([
+            "--bundles", "data/squarespace", "--ratios", "9:16,1:1",
+            "--full-loop", "--output-root", str(tmp_path),
+        ])
+
+
+def test_fleet_picks_up_previous_full_loop_layout(tmp_path):
+    """render mode resolves layouts from the fleet's own --output-root."""
+    from image_transformation_tpu.pipeline.fleet import (
+        install_generic_fake_client,
+        run_fleet_loops,
+    )
+    from image_transformation_tpu.vlm.client import register_fake_client
+
+    install_generic_fake_client()
+    try:
+        run_fleet_loops(
+            BUNDLES[:1], "9:16", parallel=1, refine_iters=0,
+            base_output_root=tmp_path, api_type="auto",
+        )
+    finally:
+        register_fake_client(None)
+
+    summary = run_fleet(BUNDLES[:1], ["1:1"], output_root=tmp_path)
+    assert summary["bundles"]["squarespace"]["layout_source"] == "previous_run"
