@@ -167,6 +167,7 @@ def main() -> None:
             ["9:16", "1:1", "16:9", "4:1"],
             batch_per_ratio=8,
             pixel_budget_size=(3840, 2160),
+            kernel=args.kernel,
         )
         log(f"sweep: {json.dumps(sweep['ratios'])}")
 
