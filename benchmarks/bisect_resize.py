@@ -196,7 +196,7 @@ def clamped_vs_default():
 
     variants = (
         ("clamped", {"clamped": True}),
-        ("batchsrc", {"batchsrc": True}),
+        ("resident", {"resident": True}),
     )
 
     def make_full(kw):

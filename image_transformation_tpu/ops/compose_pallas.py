@@ -87,6 +87,14 @@ benchmarks/bisect_resize.py --clamped):
    SLOWER (6.62 vs 6.35 ms min-of-5 after the hp-resample + fused-u8-cast
    producer), so window slices are not descriptor-bound. Clamped stays
    default.
+10. BATCHED-SRC (batchsrc=True) — one source DMA per canvas — measured
+   NEUTRAL (6.38 vs 6.42); CANVAS-RESIDENT (resident=True) — whole packed
+   canvas in VMEM, one round-trip per canvas, gated by
+   _RESIDENT_VMEM_BUDGET_BYTES — measured SLOWER (6.60 vs 6.26): the
+   full-canvas DMA bandwidth costs more than the per-window latency it
+   saves. Five independent remedies (7-10) all neutral-or-worse puts the
+   windowed blend at its practical floor (~34 us/object-step) for this
+   geometry.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py uses the clamped packed hybrid (fastest measured).
 """
@@ -1119,6 +1127,100 @@ def _pallas_blend_clamped_batchsrc(
     )(meta, canvas_v, src_v)
 
 
+def _make_blend_kernel_resident(n_obj: int, src_hw: Tuple[int, int]):
+    """Canvas-RESIDENT blend: one canvas DMA round-trip per canvas.
+
+    The per-object window kernels pay ~29 us of DMA round-trip latency per
+    object-step (STATUS item 8). When the packed canvas fits VMEM (1080p =
+    8.3 MB), DMA it in ONCE, blend every object into the resident copy
+    (window = a dynamic %8/%128 sub-slice of the VMEM canvas), and DMA it
+    back ONCE: 3 round-trips per canvas instead of 3 per object. Sources
+    for all N objects arrive in one contiguous copy.
+    """
+    mh_a, mw_a = src_hw
+    MH, MW = window_extents(src_hw)
+
+    def kernel(meta_ref, canvas_ref, src_all_ref, out_ref,
+               canvas_vmem, src_vmem, src_shift, sem_in, sem_src, sem_out):
+        del canvas_ref
+        b = pl.program_id(0)
+
+        @pl.when(b == 0)
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        dma_in = pltpu.make_async_copy(out_ref.at[b], canvas_vmem, sem_in)
+        dma_in.start()
+        dma_src = pltpu.make_async_copy(src_all_ref.at[b], src_vmem, sem_src)
+        dma_src.start()
+        dma_src.wait()
+        dma_in.wait()
+
+        for k in range(n_obj):
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid)
+            def _(k=k):
+                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+                dx = meta_ref[b, k, 2]
+                dy = meta_ref[b, k, 3]
+                src = _shift_roll_mask(src_shift, src_vmem[k], dy, dx, MH, MW)
+                dst = canvas_vmem[pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+                canvas_vmem[pl.ds(ws_y, MH), pl.ds(ws_x, MW)] = (
+                    _alpha_over_packed(dst, src)
+                )
+
+        dma_out = pltpu.make_async_copy(canvas_vmem, out_ref.at[b], sem_out)
+        dma_out.start()
+        dma_out.wait()
+
+    return kernel
+
+
+# Conservative VMEM budget for the resident canvas + scratch (v5e VMEM is
+# ~64-128 MiB but leave headroom for Mosaic's own buffers and the window
+# scratch); larger canvases fall back to the windowed clamped kernel.
+_RESIDENT_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_blend_resident(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed (tile-aligned only)
+    src_v: jnp.ndarray,  # [B, N, mh_a, mw_a] int32 packed
+    meta: jnp.ndarray,  # [B, N, 6] (ws clamped to the canvas interior)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    hp, wp = canvas_v.shape[1], canvas_v.shape[2]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((hp, wp), jnp.int32),  # resident canvas
+            pltpu.VMEM((N, mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_blend_kernel_resident(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+
+
 def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int], wp: int):
     """Clamped-window blend with full-width ROW-BAND DMAs.
 
@@ -1629,6 +1731,7 @@ def composite_batch_hybrid_packed(
     rowbaked: bool = False,
     band: bool = False,
     batchsrc: bool = False,
+    resident: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -1655,10 +1758,17 @@ def composite_batch_hybrid_packed(
         )
         out_v = _pallas_blend_rowbaked(canvas_v, src_v, meta, interpret)
         return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
-    if clamped or band or batchsrc:
+    if clamped or band or batchsrc or resident:
         canvas_v, src_v, meta = _hybrid_producer_clamped(
             canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
         )
+        n = objs.shape[1]
+        hp, wp = canvas_v.shape[1], canvas_v.shape[2]
+        resident_bytes = 4 * (hp * wp + n * mh_a * mw_a + 2 * mh_a * mw_a)
+        if resident and resident_bytes <= _RESIDENT_VMEM_BUDGET_BYTES:
+            blend_c = _pallas_blend_resident
+            out_v = blend_c(canvas_v, src_v, meta, interpret)
+            return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
         if batchsrc:
             blend_c = _pallas_blend_clamped_batchsrc
         elif band:

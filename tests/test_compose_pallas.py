@@ -178,6 +178,7 @@ def test_aligned_variant_matches(tmp_path, exact_traced_resample):
     {"clamped": True, "pipelined": True},
     {"band": True},
     {"batchsrc": True},
+    {"resident": True},
     {"rowbaked": True},
 ])
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
