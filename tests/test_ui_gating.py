@@ -83,3 +83,58 @@ def test_console_browser_lists_and_shows(tmp_path, capsys):
 
     with pytest.raises(FileNotFoundError):
         show_run(tmp_path, "missing_stem")
+
+
+def test_web_viewer_serves_runs(tmp_path):
+    """The stdlib web viewer serves run list, iteration pages, artifacts,
+    and JSON endpoints; file access is jailed to the artifact root."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from image_transformation_tpu.pipeline.fleet import install_generic_fake_client
+    from image_transformation_tpu.pipeline.run import run_macro_only
+    from image_transformation_tpu.ui.web import serve
+    from image_transformation_tpu.vlm.client import register_fake_client
+
+    install_generic_fake_client()
+    try:
+        run_macro_only(
+            "data/squarespace", "9:16", "center", 0.05,
+            api_type="auto", refine_iters=0, base_output_root=tmp_path,
+        )
+    finally:
+        register_fake_client(None)
+
+    server = serve(tmp_path, port=0)  # ephemeral port
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        def get(path):
+            try:
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+                    return r.status, r.read(), r.headers.get("Content-Type", "")
+            except urllib.error.HTTPError as e:
+                return e.code, e.read(), ""
+
+        status, body, _ = get("/")
+        assert status == 200 and b"squarespace" in body
+        status, body, _ = get("/run/squarespace")
+        assert status == 200 and b"iteration 00" in body and b"/file/" in body
+        runs = json.loads(get("/api/runs")[1])
+        assert runs[0]["stem"] == "squarespace"
+        report = json.loads(get("/api/run/squarespace")[1])
+        assert report["iterations"][0]["placements"]
+        draft_rel = "iteration_00/final_product/draft_macro_iter_00.png"
+        status, body, ctype = get(f"/file/squarespace/{draft_rel}")
+        assert status == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
+        # traversal jailed
+        status, _, _ = get("/file/squarespace/../../etc/passwd")
+        assert status in (403, 404)
+        status, _, _ = get("/run/nope")
+        assert status == 404
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
