@@ -1,0 +1,225 @@
+"""Device-resident compose serving daemon (stdlib HTTP, no extra deps).
+
+The reference has no serving story — every render is a fresh CLI process
+that re-reads PNGs and re-runs PIL. This daemon keeps bundles ingested and
+their object tensors device-resident (pipeline.engine.ComposeEngine), so a
+render request is: solve the Flex-DSL on host (microseconds) + one jitted
+device compose (bit-exact host-table path) + PNG encode.
+
+    python -m image_transformation_tpu.serving.server \
+        --bundles-root data [--host 127.0.0.1] [--port 8601]
+
+API:
+    GET  /healthz            -> {"ok": true, "device": "...", "bundles": N}
+    GET  /v1/bundles         -> [{"stem", "objects", "original": [w, h]}]
+    POST /v1/render          -> image/png
+        {"bundle": "<stem>", "ratio": "9:16",
+         "layout": {"root": {...}}?,         # default: column of all objects
+         "background": "solid"|"gradient"?,  # default solid
+         "boxes_only": false?}               # true -> JSON placements, no PNG
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+
+class ComposeService:
+    """Bundle/engine cache + render entry points (thread-safe)."""
+
+    def __init__(self, bundles_root: Path):
+        self.root = Path(bundles_root)
+        self._lock = threading.Lock()
+        self._bundles: Dict[str, object] = {}
+        self._engines: Dict[Tuple[str, int, int, str], object] = {}
+
+    def list_bundles(self):
+        out = []
+        for child in sorted(self.root.iterdir()):
+            if (child / "results.json").exists() and (child / "background.png").exists():
+                bundle = self._bundle(child.name)
+                out.append({
+                    "stem": child.name,
+                    "objects": len(bundle.meta),
+                    "original": list(bundle.background.size),
+                })
+        return out
+
+    def _bundle(self, stem: str):
+        from ..core.bundle import load_bundle
+
+        with self._lock:
+            if stem not in self._bundles:
+                self._bundles[stem] = load_bundle(self.root / stem)
+            return self._bundles[stem]
+
+    def _canvas_np(self, bundle, canvas_size, background: str):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..ops.background import (
+            axis_variance,
+            edge_strip_medians,
+            gradient_canvas,
+            masked_median_rgb,
+            solid_canvas,
+        )
+
+        bg_arr = jnp.asarray(np.asarray(bundle.background))
+        if background == "gradient":
+            left, right, top, bottom = (
+                tuple(int(x) for x in np.asarray(c))
+                for c in edge_strip_medians(bg_arr)
+            )
+            horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
+            c1, c2 = (left, right) if horizontal else (top, bottom)
+            dev = gradient_canvas(
+                jnp.asarray(np.array(c1, np.uint8)),
+                jnp.asarray(np.array(c2, np.uint8)),
+                canvas_size[1], canvas_size[0], horizontal,
+            )
+        else:
+            median = masked_median_rgb(bg_arr)
+            dev = solid_canvas(median.astype(jnp.uint8), canvas_size[1], canvas_size[0])
+        return np.asarray(dev)
+
+    def _engine(self, stem: str, canvas_size, background: str):
+        from ..pipeline.engine import ComposeEngine
+
+        key = (stem, canvas_size[0], canvas_size[1], background)
+        with self._lock:
+            engine = self._engines.get(key)
+        if engine is not None:
+            return engine
+        bundle = self._bundle(stem)
+        canvas_np = self._canvas_np(bundle, canvas_size, background)
+        engine = ComposeEngine(bundle.to_arrays(), canvas_np)
+        with self._lock:
+            self._engines.setdefault(key, engine)
+        return engine
+
+    def render(
+        self,
+        stem: str,
+        ratio: str,
+        layout: Optional[Dict] = None,
+        background: str = "solid",
+    ):
+        """Returns (placements, canvas_size, composed np.uint8 [H, W, 4])."""
+        import numpy as np
+
+        from ..layout.canvas import compute_canvas_size
+        from ..layout.flex import solve_flex
+
+        bundle = self._bundle(stem)
+        canvas_size = compute_canvas_size(bundle.background.size, ratio, verbose=False)
+        if layout is None:
+            children = [
+                {"object_id": oid, "name": bundle.id_to_label().get(oid, "")}
+                for oid in bundle.object_ids()
+            ]
+            layout = {"root": {"type": "flex", "direction": "column",
+                               "children": children}}
+        if "root" not in layout:
+            raise ValueError("layout must contain 'root'")
+        placements = solve_flex(layout["root"], canvas_size, bundle.sizes())
+        engine = self._engine(stem, canvas_size, background)
+        composed = np.asarray(engine.compose(placements))
+        return placements, canvas_size, composed
+
+
+def make_handler(service: ComposeService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code, content: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(content)))
+            self.end_headers()
+            self.wfile.write(content)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode("utf-8"), "application/json")
+
+        def do_GET(self):  # noqa: N802
+            try:
+                if self.path == "/healthz":
+                    import jax
+
+                    return self._json({
+                        "ok": True,
+                        "device": str(jax.devices()[0]),
+                        "bundles": len(service.list_bundles()),
+                    })
+                if self.path == "/v1/bundles":
+                    return self._json(service.list_bundles())
+                return self._json({"error": "not found"}, 404)
+            except Exception as e:  # noqa: BLE001
+                return self._json({"error": str(e)}, 500)
+
+        def do_POST(self):  # noqa: N802
+            try:
+                if self.path != "/v1/render":
+                    return self._json({"error": "not found"}, 404)
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                stem = req["bundle"]
+                ratio = req.get("ratio", "1:1")
+                placements, canvas_size, composed = service.render(
+                    stem, ratio,
+                    layout=req.get("layout"),
+                    background=req.get("background", "solid"),
+                )
+                if req.get("boxes_only"):
+                    return self._json({
+                        "canvas": {"width": canvas_size[0], "height": canvas_size[1]},
+                        "placements": placements,
+                    })
+                import io
+
+                from PIL import Image
+
+                buf = io.BytesIO()
+                Image.fromarray(composed, "RGBA").save(buf, format="PNG")
+                return self._send(200, buf.getvalue(), "image/png")
+            except KeyError as e:
+                return self._json({"error": f"missing field {e}"}, 400)
+            except FileNotFoundError as e:
+                return self._json({"error": str(e)}, 404)
+            except Exception as e:  # noqa: BLE001
+                return self._json({"error": str(e)}, 500)
+
+    return Handler
+
+
+def serve(bundles_root, host: str = "127.0.0.1", port: int = 8601):
+    return ThreadingHTTPServer((host, port), make_handler(ComposeService(bundles_root)))
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Compose serving daemon")
+    parser.add_argument("--bundles-root", default="data")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8601)
+    args = parser.parse_args(argv)
+
+    from ..core.cache import enable_compile_cache
+
+    enable_compile_cache()
+    server = serve(args.bundles_root, args.host, args.port)
+    print(f"serving bundles from {args.bundles_root} on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

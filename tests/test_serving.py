@@ -1,0 +1,94 @@
+"""Serving daemon tests: device-resident compose over HTTP."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from image_transformation_tpu.serving import ComposeService, serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = serve("data", port=0)
+    port = srv.server_address[1]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+    thread.join(timeout=5)
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(), method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read(), r.headers.get("Content-Type", "")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type", "")
+
+
+def test_healthz_and_bundles(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["bundles"] == 2
+    with urllib.request.urlopen(server + "/v1/bundles") as r:
+        bundles = json.loads(r.read())
+    assert {b["stem"] for b in bundles} == {"squarespace", "audio_book"}
+    assert all(b["original"] == [970, 250] for b in bundles)
+
+
+def test_render_default_layout_png(server):
+    status, body, ctype = _post(server, "/v1/render",
+                                {"bundle": "squarespace", "ratio": "9:16"})
+    assert status == 200 and ctype == "image/png"
+    im = Image.open(io.BytesIO(body))
+    assert im.size == (369, 657)
+    # matches the exact library path for the same canned layout
+    from image_transformation_tpu.serving.server import ComposeService
+
+    svc = ComposeService("data")
+    _, _, composed = svc.render("squarespace", "9:16")
+    assert np.array_equal(np.asarray(im.convert("RGBA")), composed)
+
+
+def test_render_boxes_only_and_custom_layout(server):
+    layout = {"root": {"type": "flex", "direction": "row",
+                       "children": [{"object_id": 2, "name": "photo"}]}}
+    status, body, _ = _post(server, "/v1/render", {
+        "bundle": "squarespace", "ratio": "1:1",
+        "layout": layout, "boxes_only": True,
+    })
+    assert status == 200
+    data = json.loads(body)
+    assert data["canvas"] == {"width": 492, "height": 492}
+    assert len(data["placements"]) == 1
+    assert data["placements"][0]["object_id"] == 2
+
+
+def test_render_gradient_background(server):
+    status, body, ctype = _post(server, "/v1/render", {
+        "bundle": "audio_book", "ratio": "1:1", "background": "gradient",
+    })
+    assert status == 200 and ctype == "image/png"
+
+
+def test_render_errors(server):
+    status, body, _ = _post(server, "/v1/render", {"ratio": "1:1"})
+    assert status == 400
+    status, body, _ = _post(server, "/v1/render",
+                            {"bundle": "nope", "ratio": "1:1"})
+    assert status in (404, 500)
+    status, body, _ = _post(server, "/v1/render", {
+        "bundle": "squarespace", "ratio": "1:1", "layout": {"type": "flex"},
+    })
+    assert status == 500
+    assert b"root" in body
