@@ -63,6 +63,14 @@ def main() -> None:
     parser.add_argument("--pil-canvases", type=int, default=8)
     parser.add_argument("--sweep", action="store_true", help="also run the 4-ratio sweep")
     parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help=(
+            "capture a jax.profiler trace of the timed reps into DIR "
+            "(works over the dev tunnel; analyze with "
+            "benchmarks/analyze_trace.py DIR)"
+        ),
+    )
+    parser.add_argument(
         "--kernel", choices=["xla", "pallas"], default="pallas",
         help=(
             "compose path: packed-u32 Pallas blend (default; ~15%% faster, "
@@ -147,11 +155,17 @@ def main() -> None:
         fence(luma)
     log(f"first call (incl. compile): {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    for _ in range(args.reps):
-        out, luma = step(*dev_args)
-    fence(luma)
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    profile_cm = (
+        jax.profiler.trace(args.profile) if args.profile else contextlib.nullcontext()
+    )
+    with profile_cm:
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out, luma = step(*dev_args)
+        fence(luma)
+        dt = time.perf_counter() - t0
     ours = B * args.reps / dt
     log(f"tpu: {ours:.1f} canvases/sec ({dt / args.reps * 1e3:.1f} ms/batch of {B})")
 

@@ -1464,6 +1464,58 @@ def _pallas_blend_packed_clamped(
     )(meta, canvas_v, src_v)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "interpret"), donate_argnums=(0,)
+)
+def _pallas_blend_clamped_finish(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed — DONATED
+    src_v: jnp.ndarray,
+    meta: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Clamped blend with the crop + u8 bitcast INSIDE the program and the
+    canvas buffer DONATED.
+
+    Profiling (benchmarks/analyze_trace.py on the bench batch) showed two
+    avoidable full-canvas copies per step when these live outside: an eager
+    output bitcast runs as its own program (an eager op cannot alias its
+    live input => ~0.8 ms copy at B=16), and the undonated canvas_v forces
+    a defensive copy before the kernel's in-place writes (~0.4 ms). In-
+    program, the identity crop + bitcast are views and donation removes
+    the copy. Callers must treat canvas_v as consumed.
+    """
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_v = pl.pallas_call(
+        _make_blend_kernel_packed_clamped(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+    h_c, w_c = out_hw
+    return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
+
+
 def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
     """v3 packed blend: clamped windows + row shift baked by the producer.
 
@@ -1776,7 +1828,11 @@ def composite_batch_hybrid_packed(
         elif pipelined:
             blend_c = _pallas_blend_clamped_pipelined
         else:
-            blend_c = _pallas_blend_packed_clamped
+            # the default clamped path fuses crop+bitcast into the program
+            # and donates the canvas buffer (see _pallas_blend_clamped_finish)
+            return _pallas_blend_clamped_finish(
+                canvas_v, src_v, meta, (h_c, w_c), interpret
+            )
         out_v = blend_c(canvas_v, src_v, meta, interpret)
         return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
     canvas_v, src_v, meta = _hybrid_producer(
