@@ -125,7 +125,13 @@ def main() -> None:
             return jnp.sum(out[:, 0, :128].astype(jnp.int32), axis=1)
 
         def step(c, o, h_, b):
-            out = composite_batch_hybrid_packed(c, o, h_, b, clamped=True)
+            # packed_out: the result is the packed-u32 canvas whose host
+            # bytes ARE the RGBA image (packed_to_u8_np is a free view);
+            # materializing u8 NHWC on device costs three extra full-canvas
+            # passes (profile-verified) that serve no consumer here.
+            out = composite_batch_hybrid_packed(
+                c, o, h_, b, clamped=True, packed_out=True
+            )
             return out, fence_stat(out)
 
         return step

@@ -58,6 +58,37 @@ def main() -> None:
     for name, (dur, count) in sorted(per_op.items(), key=lambda kv: -kv[1][0])[: args.top]:
         print(f"{dur / 1e3:10.3f} {count:7d} {dur / count:9.2f}  {name[:90]}")
 
+    # ---- module attribution: nest ops inside jit_* spans by timestamp ----
+    modules = []
+    ops = []
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        span = (float(e.get("ts", 0)), float(e.get("ts", 0)) + float(e.get("dur", 0)))
+        if name.startswith("jit_"):
+            modules.append((name, span))
+        else:
+            ops.append((name, span, float(e.get("dur", 0.0))))
+    by_module = defaultdict(lambda: defaultdict(lambda: [0.0, 0]))
+    for name, (t0, t1), dur in ops:
+        owner = "<top-level>"
+        for mname, (m0, m1) in modules:
+            if m0 <= t0 and t1 <= m1 + 1e-3:
+                owner = mname
+                break
+        d = by_module[owner][name]
+        d[0] += dur
+        d[1] += 1
+    print("\nper-module breakdown (ops nested by timestamp):")
+    for mname, opmap in sorted(
+        by_module.items(), key=lambda kv: -sum(v[0] for v in kv[1].values())
+    ):
+        mtotal = sum(v[0] for v in opmap.values())
+        print(f"\n  {mname.split('(')[0]}  ({mtotal / 1e3:.3f} ms in ops)")
+        for name, (dur, count) in sorted(opmap.items(), key=lambda kv: -kv[1][0])[:8]:
+            print(f"    {dur / 1e3:8.3f} ms x{count:<4d} {name[:70]}")
+
 
 if __name__ == "__main__":
     main()

@@ -1516,6 +1516,62 @@ def _pallas_blend_clamped_finish(
     return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "interpret"), donate_argnums=(0,)
+)
+def _pallas_blend_clamped_packed_out(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed — DONATED
+    src_v: jnp.ndarray,
+    meta: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Like _pallas_blend_clamped_finish but returns the PACKED u32 canvas
+    (int32 bit patterns, little-endian RGBA per lane).
+
+    Profiling showed the on-device u8[NHWC] materialization costs three
+    full-canvas passes (~1.2 ms/batch-of-16) around a 0.31 ms kernel; the
+    packed plane's HOST bytes are already exactly the RGBA image, so
+    callers that move the result to host can view it as uint8 for free
+    (packed_to_u8_np). Crop is a no-op when the canvas was tile-aligned.
+    """
+    B, N = src_v.shape[0], src_v.shape[1]
+    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((mh_a, mw_a), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_v = pl.pallas_call(
+        _make_blend_kernel_packed_clamped(N, (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, src_v)
+    h_c, w_c = out_hw
+    return out_v[:, :h_c, :w_c]
+
+
+def packed_to_u8_np(packed_np) -> "np.ndarray":
+    """Host view of a packed u32 canvas as uint8 RGBA [.., H, W, 4] (free)."""
+    arr = np.ascontiguousarray(packed_np)
+    return arr.view(np.uint8).reshape(*arr.shape, 4)
+
+
 def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
     """v3 packed blend: clamped windows + row shift baked by the producer.
 
@@ -1784,6 +1840,7 @@ def composite_batch_hybrid_packed(
     band: bool = False,
     batchsrc: bool = False,
     resident: bool = False,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
     """XLA resize + packed-u32 Pallas window blends, zero transposes.
 
@@ -1830,6 +1887,10 @@ def composite_batch_hybrid_packed(
         else:
             # the default clamped path fuses crop+bitcast into the program
             # and donates the canvas buffer (see _pallas_blend_clamped_finish)
+            if packed_out:
+                return _pallas_blend_clamped_packed_out(
+                    canvas_v, src_v, meta, (h_c, w_c), interpret
+                )
             return _pallas_blend_clamped_finish(
                 canvas_v, src_v, meta, (h_c, w_c), interpret
             )

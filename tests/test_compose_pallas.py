@@ -312,3 +312,43 @@ def test_hp_resample_close_to_limb():
         jax.clear_caches()
     diff = np.abs(out_hp.astype(int) - out_limb.astype(int))
     assert diff.max() <= 2, diff.max()
+
+
+def test_packed_out_host_view_matches_u8_output():
+    """packed_out=True returns the u32 plane whose HOST bytes view as the
+    exact uint8 RGBA output."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_hybrid_packed,
+        packed_to_u8_np,
+    )
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    H, W, B = 296, 512, 2
+    rng = np.random.default_rng(41)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 40
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    def dev():
+        return tuple(
+            jnp.asarray(x)
+            for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+        )
+
+    u8 = np.asarray(
+        composite_batch_hybrid_packed(*dev(), interpret=True, clamped=True)
+    )
+    packed = np.asarray(
+        composite_batch_hybrid_packed(
+            *dev(), interpret=True, clamped=True, packed_out=True
+        )
+    )
+    assert packed.dtype == np.int32 and packed.shape == (B, H, W)
+    assert np.array_equal(packed_to_u8_np(packed), u8)
