@@ -329,10 +329,24 @@ def premultiply_rgba(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpremultiply_rgba(img: jnp.ndarray) -> jnp.ndarray:
-    """RGBa -> RGBA, bit-exact vs Pillow: floor(255*c/a), passthrough at a=0."""
+    """RGBa -> RGBA, bit-exact vs Pillow: floor(255*c/a), passthrough at a=0.
+
+    The division uses an f32 reciprocal multiply + one exact correction
+    step instead of s32 ``//`` (which XLA expands into a long multi-op
+    sequence on the VPU — profile-attributed as the producer's single
+    largest fusion). Exact: num <= 65025 is f32-exact, the reciprocal
+    quotient is within 1 of truth, and the remainder check fixes it.
+    """
     rgba = img.astype(jnp.int32)
     a = rgba[..., 3:4]
-    rgb = jnp.minimum(255, (255 * rgba[..., :3]) // jnp.maximum(a, 1))
+    num = 255 * rgba[..., :3]
+    den = jnp.maximum(a, 1)
+    q = jnp.floor(
+        num.astype(jnp.float32) * (1.0 / den.astype(jnp.float32))
+    ).astype(jnp.int32)
+    r = num - q * den
+    q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    rgb = jnp.minimum(255, q)
     rgb = jnp.where(a == 0, rgba[..., :3], rgb)
     return jnp.concatenate([rgb, a], axis=-1)
 
