@@ -172,6 +172,9 @@ def resample_coeff_matrix(
     window = (i >= xmin) & (i < xmax)
 
     w = filt((i - center + 0.5) * inv_fs) * window.astype(jnp.float32)
+    # (Measured: an optimization_barrier here to stop XLA re-computing the
+    # Horner filter in both consumer fusions was NET NEUTRAL — the 35 MB
+    # materialization round-trip costs what the recompute does.)
     wsum = jnp.sum(w, axis=1, keepdims=True)
     w = w / jnp.where(wsum != 0.0, wsum, 1.0)
     return w * ((o >= 0) & (o < out_f)).astype(jnp.float32)
