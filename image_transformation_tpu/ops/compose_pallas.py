@@ -95,6 +95,19 @@ benchmarks/bisect_resize.py --clamped):
    saves. Five independent remedies (7-10) all neutral-or-worse puts the
    windowed blend at its practical floor (~34 us/object-step) for this
    geometry.
+11. PROFILE-GUIDED epilogue (jax.profiler works over the tunnel —
+   bench.py --profile + benchmarks/analyze_trace.py): the kernel itself
+   is only ~0.3 ms/batch-of-16; the wall cost was copies AROUND it.
+   Eager output bitcast (own program, cannot alias its live input),
+   undonated canvas_v (defensive copy), and the on-device u8 NHWC
+   materialization (3 full-canvas passes) — fixed by
+   _pallas_blend_clamped_finish (crop+bitcast in-program, donated) and
+   _pallas_blend_clamped_packed_out (packed u32 out; host bytes view as
+   RGBA for free — packed_to_u8_np; verified bit-identical on hardware).
+   With the reciprocal-multiply unpremultiply (s32 // was the largest
+   producer fusion), headline went 2758 -> 3883 canvases/sec at batch 64.
+   Re-tested single-program producer+pallas fusion: no longer the old
+   25x pathology, but still slightly slower (3755) than two programs.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py uses the clamped packed hybrid (fastest measured).
 """
