@@ -1477,26 +1477,17 @@ def _pallas_blend_packed_clamped(
     )(meta, canvas_v, src_v)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_hw", "interpret"), donate_argnums=(0,)
-)
-def _pallas_blend_clamped_finish(
-    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed — DONATED
-    src_v: jnp.ndarray,
-    meta: jnp.ndarray,
-    out_hw: Tuple[int, int],
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Clamped blend with the crop + u8 bitcast INSIDE the program and the
-    canvas buffer DONATED.
+def _blend_clamped_finish_impl(canvas_v, src_v, meta, out_hw, interpret, packed):
+    """Clamped blend with crop (+ u8 bitcast unless ``packed``) in-program.
 
-    Profiling (benchmarks/analyze_trace.py on the bench batch) showed two
-    avoidable full-canvas copies per step when these live outside: an eager
-    output bitcast runs as its own program (an eager op cannot alias its
-    live input => ~0.8 ms copy at B=16), and the undonated canvas_v forces
-    a defensive copy before the kernel's in-place writes (~0.4 ms). In-
-    program, the identity crop + bitcast are views and donation removes
-    the copy. Callers must treat canvas_v as consumed.
+    Profiling (benchmarks/analyze_trace.py on the bench batch) showed the
+    copies AROUND the kernel dominated: an eager output bitcast runs as
+    its own program (an eager op cannot alias its live input => a
+    full-canvas copy), an undonated canvas_v forces a defensive copy
+    before the kernel's in-place writes, and materializing u8 NHWC on
+    device costs three full-canvas passes. ``packed`` returns the packed
+    u32 plane instead — its HOST bytes are already the little-endian RGBA
+    image (see packed_to_u8_np), verified bit-identical on hardware.
     """
     B, N = src_v.shape[0], src_v.shape[1]
     mh_a, mw_a = src_v.shape[2], src_v.shape[3]
@@ -1526,57 +1517,36 @@ def _pallas_blend_clamped_finish(
         interpret=interpret,
     )(meta, canvas_v, src_v)
     h_c, w_c = out_hw
-    return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
+    out_v = out_v[:, :h_c, :w_c]
+    if packed:
+        return out_v
+    return jax.lax.bitcast_convert_type(out_v, jnp.uint8)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("out_hw", "interpret"), donate_argnums=(0,)
-)
-def _pallas_blend_clamped_packed_out(
-    canvas_v: jnp.ndarray,  # [B, Hp, Wp] int32 packed — DONATED
-    src_v: jnp.ndarray,
-    meta: jnp.ndarray,
-    out_hw: Tuple[int, int],
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Like _pallas_blend_clamped_finish but returns the PACKED u32 canvas
-    (int32 bit patterns, little-endian RGBA per lane).
+# Donation of canvas_v is only USABLE when the crop is an identity (the
+# output reuses the buffer); a cropped output cannot alias it and XLA
+# warns per compile. Pick the right jitted variant statically.
+_STATICS = ("out_hw", "interpret", "packed")
+_blend_finish_donated = functools.partial(
+    jax.jit, static_argnames=_STATICS, donate_argnums=(0,)
+)(_blend_clamped_finish_impl)
+_blend_finish_plain = functools.partial(
+    jax.jit, static_argnames=_STATICS
+)(_blend_clamped_finish_impl)
 
-    Profiling showed the on-device u8[NHWC] materialization costs three
-    full-canvas passes (~1.2 ms/batch-of-16) around a 0.31 ms kernel; the
-    packed plane's HOST bytes are already exactly the RGBA image, so
-    callers that move the result to host can view it as uint8 for free
-    (packed_to_u8_np). Crop is a no-op when the canvas was tile-aligned.
-    """
-    B, N = src_v.shape[0], src_v.shape[1]
-    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
-    MH, MW = window_extents((mh_a, mw_a))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((MH, MW), jnp.int32),
-            pltpu.VMEM((mh_a, mw_a), jnp.int32),
-            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+
+def _pallas_blend_clamped_finish(canvas_v, src_v, meta, out_hw, interpret=False,
+                                 packed=False):
+    identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
+    fn = _blend_finish_donated if identity_crop else _blend_finish_plain
+    return fn(canvas_v, src_v, meta, tuple(out_hw), interpret, packed)
+
+
+def _pallas_blend_clamped_packed_out(canvas_v, src_v, meta, out_hw,
+                                     interpret=False):
+    return _pallas_blend_clamped_finish(
+        canvas_v, src_v, meta, out_hw, interpret, packed=True
     )
-    out_v = pl.pallas_call(
-        _make_blend_kernel_packed_clamped(N, (mh_a, mw_a)),
-        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
-        grid_spec=grid_spec,
-        input_output_aliases={1: 0},
-        interpret=interpret,
-    )(meta, canvas_v, src_v)
-    h_c, w_c = out_hw
-    return out_v[:, :h_c, :w_c]
 
 
 def packed_to_u8_np(packed_np) -> "np.ndarray":
