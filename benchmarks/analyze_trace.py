@@ -43,17 +43,25 @@ def main() -> None:
     device_pids = {p for p, n in pid_names.items() if "device" in (n or "").lower()}
     per_op = defaultdict(lambda: [0.0, 0])
     total = 0.0
+    module_total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
             dur = float(e.get("dur", 0.0))
             name = e.get("name", "?")
+            if name.startswith("jit_"):
+                # module spans CONTAIN the op events; counting both would
+                # double the total — track separately
+                module_total += dur
+                continue
             per_op[name][0] += dur
             per_op[name][1] += 1
             total += dur
 
     print(f"trace: {path}")
     print(f"device lanes: {[pid_names[p] for p in device_pids]}")
-    print(f"total device time: {total / 1e3:.3f} ms over {sum(c for _, c in per_op.values())} events\n")
+    print(f"total device op time: {total / 1e3:.3f} ms over "
+          f"{sum(c for _, c in per_op.values())} events "
+          f"(module spans: {module_total / 1e3:.3f} ms)\n")
     print(f"{'total ms':>10} {'count':>7} {'avg us':>9}  op")
     for name, (dur, count) in sorted(per_op.items(), key=lambda kv: -kv[1][0])[: args.top]:
         print(f"{dur / 1e3:10.3f} {count:7d} {dur / count:9.2f}  {name[:90]}")

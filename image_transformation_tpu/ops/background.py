@@ -115,3 +115,29 @@ def gradient_canvas(
         rgb = jnp.broadcast_to(ramp_u8[:, None, :], (height, width, 3))
     alpha = jnp.full((height, width, 1), 255, jnp.uint8)
     return jnp.concatenate([rgb, alpha], axis=-1)
+
+
+def synthesize_canvas(bg_rgba_u8: jnp.ndarray, width: int, height: int,
+                      mode: str = "solid") -> jnp.ndarray:
+    """Canvas synthesis entry point shared by the pipeline and the serving
+    daemon: "solid" = median non-transparent color (the reference's only
+    mode); "gradient" = edge-strip medians along the lower-variance axis
+    (the reference's fill_gradient semantics). Returns uint8 [H, W, 4]."""
+    if mode == "gradient":
+        import numpy as _np
+
+        left, right, top, bottom = (
+            tuple(int(x) for x in _np.asarray(c))
+            for c in edge_strip_medians(bg_rgba_u8)
+        )
+        horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
+        c1, c2 = (left, right) if horizontal else (top, bottom)
+        return gradient_canvas(
+            jnp.asarray(_np.array(c1, _np.uint8)),
+            jnp.asarray(_np.array(c2, _np.uint8)),
+            height, width, horizontal,
+        )
+    if mode != "solid":
+        raise ValueError(f"unknown background mode: {mode!r}")
+    median = masked_median_rgb(bg_rgba_u8)
+    return solid_canvas(median.astype(jnp.uint8), height, width)

@@ -1488,34 +1488,11 @@ def _blend_clamped_finish_impl(canvas_v, src_v, meta, out_hw, interpret, packed)
     device costs three full-canvas passes. ``packed`` returns the packed
     u32 plane instead — its HOST bytes are already the little-endian RGBA
     image (see packed_to_u8_np), verified bit-identical on hardware.
+
+    Traces through _pallas_blend_packed_clamped (jit-in-jit inlines), so
+    the kernel wiring lives in one place.
     """
-    B, N = src_v.shape[0], src_v.shape[1]
-    mh_a, mw_a = src_v.shape[2], src_v.shape[3]
-    MH, MW = window_extents((mh_a, mw_a))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((MH, MW), jnp.int32),
-            pltpu.VMEM((mh_a, mw_a), jnp.int32),
-            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    out_v = pl.pallas_call(
-        _make_blend_kernel_packed_clamped(N, (mh_a, mw_a)),
-        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
-        grid_spec=grid_spec,
-        input_output_aliases={1: 0},
-        interpret=interpret,
-    )(meta, canvas_v, src_v)
+    out_v = _pallas_blend_packed_clamped(canvas_v, src_v, meta, interpret)
     h_c, w_c = out_hw
     out_v = out_v[:, :h_c, :w_c]
     if packed:
@@ -1844,6 +1821,11 @@ def composite_batch_hybrid_packed(
     mh_a = _round_up(out_max_hw[0], 8)
     mw_a = _round_up(out_max_hw[1], 128)
 
+    if packed_out and not (clamped and not (band or batchsrc or resident
+                                            or pipelined or rowbaked)):
+        raise ValueError(
+            "packed_out is only supported on the default clamped path"
+        )
     if rowbaked:
         canvas_v, src_v, meta = _hybrid_producer_rowbaked(
             canvases, objs, obj_hw, boxes, (mh_a, mw_a), method

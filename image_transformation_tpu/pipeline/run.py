@@ -39,7 +39,6 @@ from ..core.timing import StepTimer
 from ..layout.canvas import compute_canvas_size
 from ..layout.flex import FlexError, solve_flex
 from ..layout.validate import compute_nesting_conflicts, parse_flex_response, validate_flex_dsl
-from ..ops.background import masked_median_rgb, solid_canvas
 from ..ops.contact_sheet import build_labeled_contact_sheet
 from ..vlm.client import encode_pil_b64_png, get_api_client
 from ..vlm.personas import (
@@ -176,25 +175,12 @@ def run_macro_only(
     # (/root/reference/background_resizing.py:63-98) as a first-class option.
     import jax.numpy as jnp
 
-    bg_arr = jnp.asarray(np.asarray(bundle.background))
-    if background == "gradient":
-        from ..ops.background import axis_variance, edge_strip_medians, gradient_canvas
+    from ..ops.background import synthesize_canvas
 
-        left, right, top, bottom = (
-            tuple(int(x) for x in np.asarray(c)) for c in edge_strip_medians(bg_arr)
-        )
-        horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
-        c1, c2 = (left, right) if horizontal else (top, bottom)
-        canvas_dev = gradient_canvas(
-            jnp.asarray(np.array(c1, np.uint8)),
-            jnp.asarray(np.array(c2, np.uint8)),
-            canvas_size[1], canvas_size[0], horizontal,
-        )
-    else:  # "solid" — the only other mode (validated before the purge)
-        median_rgb = masked_median_rgb(bg_arr)
-        canvas_dev = solid_canvas(
-            median_rgb.astype(jnp.uint8), canvas_size[1], canvas_size[0]
-        )
+    canvas_dev = synthesize_canvas(
+        jnp.asarray(np.asarray(bundle.background)),
+        canvas_size[0], canvas_size[1], background,
+    )
     canvas_np = np.asarray(canvas_dev)
     canvas_img = Image.fromarray(canvas_np, "RGBA")
 

@@ -39,14 +39,22 @@ class ComposeService:
         self._engines: Dict[Tuple[str, int, int, str], object] = {}
 
     def list_bundles(self):
+        """Cheap listing: results.json + the PNG header only (no object
+        decode — a liveness probe must not ingest every bundle)."""
+        import json as _json
+
+        from PIL import Image
+
         out = []
         for child in sorted(self.root.iterdir()):
             if (child / "results.json").exists() and (child / "background.png").exists():
-                bundle = self._bundle(child.name)
+                items = _json.loads((child / "results.json").read_text())
+                with Image.open(child / "background.png") as im:
+                    size = list(im.size)  # header read only; pixels stay lazy
                 out.append({
                     "stem": child.name,
-                    "objects": len(bundle.meta),
-                    "original": list(bundle.background.size),
+                    "objects": len(items),
+                    "original": size,
                 })
         return out
 
@@ -62,30 +70,12 @@ class ComposeService:
         import jax.numpy as jnp
         import numpy as np
 
-        from ..ops.background import (
-            axis_variance,
-            edge_strip_medians,
-            gradient_canvas,
-            masked_median_rgb,
-            solid_canvas,
-        )
+        from ..ops.background import synthesize_canvas
 
-        bg_arr = jnp.asarray(np.asarray(bundle.background))
-        if background == "gradient":
-            left, right, top, bottom = (
-                tuple(int(x) for x in np.asarray(c))
-                for c in edge_strip_medians(bg_arr)
-            )
-            horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
-            c1, c2 = (left, right) if horizontal else (top, bottom)
-            dev = gradient_canvas(
-                jnp.asarray(np.array(c1, np.uint8)),
-                jnp.asarray(np.array(c2, np.uint8)),
-                canvas_size[1], canvas_size[0], horizontal,
-            )
-        else:
-            median = masked_median_rgb(bg_arr)
-            dev = solid_canvas(median.astype(jnp.uint8), canvas_size[1], canvas_size[0])
+        dev = synthesize_canvas(
+            jnp.asarray(np.asarray(bundle.background)),
+            canvas_size[0], canvas_size[1], background,
+        )
         return np.asarray(dev)
 
     def _engine(self, stem: str, canvas_size, background: str):
@@ -100,19 +90,12 @@ class ComposeService:
         canvas_np = self._canvas_np(bundle, canvas_size, background)
         engine = ComposeEngine(bundle.to_arrays(), canvas_np)
         with self._lock:
-            self._engines.setdefault(key, engine)
-        return engine
+            # concurrent first requests race to build; keep ONE device-
+            # resident engine (the setdefault winner), drop the loser
+            return self._engines.setdefault(key, engine)
 
-    def render(
-        self,
-        stem: str,
-        ratio: str,
-        layout: Optional[Dict] = None,
-        background: str = "solid",
-    ):
-        """Returns (placements, canvas_size, composed np.uint8 [H, W, 4])."""
-        import numpy as np
-
+    def solve(self, stem: str, ratio: str, layout: Optional[Dict] = None):
+        """Solve only (no device work): returns (placements, canvas_size)."""
         from ..layout.canvas import compute_canvas_size
         from ..layout.flex import solve_flex
 
@@ -128,6 +111,19 @@ class ComposeService:
         if "root" not in layout:
             raise ValueError("layout must contain 'root'")
         placements = solve_flex(layout["root"], canvas_size, bundle.sizes())
+        return placements, canvas_size
+
+    def render(
+        self,
+        stem: str,
+        ratio: str,
+        layout: Optional[Dict] = None,
+        background: str = "solid",
+    ):
+        """Returns (placements, canvas_size, composed np.uint8 [H, W, 4])."""
+        import numpy as np
+
+        placements, canvas_size = self.solve(stem, ratio, layout)
         engine = self._engine(stem, canvas_size, background)
         composed = np.asarray(engine.compose(placements))
         return placements, canvas_size, composed
@@ -172,16 +168,21 @@ def make_handler(service: ComposeService):
                 req = json.loads(self.rfile.read(length) or b"{}")
                 stem = req["bundle"]
                 ratio = req.get("ratio", "1:1")
+                if req.get("boxes_only"):
+                    # no device work (and no full-frame readback — ~15 MB/s
+                    # over the dev tunnel) for a placements-only query
+                    placements, canvas_size = service.solve(
+                        stem, ratio, layout=req.get("layout")
+                    )
+                    return self._json({
+                        "canvas": {"width": canvas_size[0], "height": canvas_size[1]},
+                        "placements": placements,
+                    })
                 placements, canvas_size, composed = service.render(
                     stem, ratio,
                     layout=req.get("layout"),
                     background=req.get("background", "solid"),
                 )
-                if req.get("boxes_only"):
-                    return self._json({
-                        "canvas": {"width": canvas_size[0], "height": canvas_size[1]},
-                        "placements": placements,
-                    })
                 import io
 
                 from PIL import Image

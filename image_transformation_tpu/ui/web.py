@@ -27,6 +27,13 @@ from urllib.parse import unquote
 
 from .console import list_runs, show_run
 
+
+def _safe_stem(stem: str) -> str:
+    """Reject path separators/traversal in run stems (URL-supplied)."""
+    if not stem or "/" in stem or "\\" in stem or ".." in stem:
+        raise FileNotFoundError(stem)
+    return stem
+
 _PAGE = """<!doctype html><html><head><meta charset="utf-8">
 <title>{title}</title><style>
 body {{ font-family: system-ui, sans-serif; margin: 2rem; color: #222; }}
@@ -71,7 +78,7 @@ def _img_tag(root: Path, stem: str, path_str) -> str:
 
 
 def _render_run(root: Path, stem: str) -> str:
-    report = show_run(root, stem)
+    report = show_run(root, _safe_stem(stem))
     parts = [f"<h1>{html.escape(stem)}</h1><p><a href='/'>&larr; all runs</a></p>"]
     for it in report["iterations"]:
         sec = [f"<div class='iter'><h2>iteration {it['iteration']:02d}</h2>"]
@@ -138,9 +145,13 @@ def make_handler(root: Path):
                 if path == "/api/runs":
                     return self._json(list_runs(root))
                 if path.startswith("/api/run/"):
-                    return self._json(show_run(root, path[len("/api/run/"):]))
+                    return self._json(
+                        show_run(root, _safe_stem(path[len("/api/run/"):]))
+                    )
                 if path.startswith("/run/"):
-                    return self._html(_render_run(root, path[len("/run/"):]))
+                    return self._html(
+                        _render_run(root, _safe_stem(path[len("/run/"):]))
+                    )
                 if path.startswith("/file/"):
                     target = (root / path[len("/file/"):]).resolve()
                     if not target.is_relative_to(root):  # jail to the root

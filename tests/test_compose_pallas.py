@@ -352,3 +352,26 @@ def test_packed_out_host_view_matches_u8_output():
     )
     assert packed.dtype == np.int32 and packed.shape == (B, H, W)
     assert np.array_equal(packed_to_u8_np(packed), u8)
+
+
+def test_packed_out_rejected_on_unsupported_variants():
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_hybrid_packed,
+    )
+
+    args = (jnp.zeros((1, 64, 128, 4), jnp.uint8),
+            jnp.zeros((1, 1, 16, 16, 4), jnp.uint8),
+            jnp.zeros((1, 1, 2), jnp.int32),
+            jnp.zeros((1, 1, 4), jnp.int32))
+    with pytest.raises(ValueError):
+        composite_batch_hybrid_packed(
+            *args, interpret=True, clamped=True, pipelined=True, packed_out=True
+        )
+    with pytest.raises(ValueError):
+        composite_batch_hybrid_packed(
+            *args, interpret=True, rowbaked=True, packed_out=True
+        )
+    with pytest.raises(ValueError):
+        composite_batch_hybrid_packed(*args, interpret=True, packed_out=True)

@@ -130,9 +130,13 @@ def test_web_viewer_serves_runs(tmp_path):
         draft_rel = "iteration_00/final_product/draft_macro_iter_00.png"
         status, body, ctype = get(f"/file/squarespace/{draft_rel}")
         assert status == 200 and ctype == "image/png" and body[:4] == b"\x89PNG"
-        # traversal jailed
+        # traversal jailed (files AND run stems)
         status, _, _ = get("/file/squarespace/../../etc/passwd")
         assert status in (403, 404)
+        status, _, _ = get("/run/..%2f..%2fetc")
+        assert status == 404
+        status, _, _ = get("/api/run/..%2fsquarespace")
+        assert status == 404
         status, _, _ = get("/run/nope")
         assert status == 404
     finally:
