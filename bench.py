@@ -1,9 +1,10 @@
 """Benchmark: composited 1080p canvases/sec/chip vs the PIL reference.
 
 Headline metric (BASELINE.md): 1080p canvases composited per second on one
-TPU chip, batched compose path (XLA limb-matmul resize + clamped-window
-packed-u32 Pallas blend; --kernel xla selects the pure-XLA windowed path),
-squarespace bundle workload with solver-realistic downscale-only
+TPU chip, batched compose path (fused gen-2 Pallas kernel: exact 3-limb
+resample + clamped-window packed blend in one grid-(B,N) program, with
+XLA-built coefficient tables; --kernel xla selects the pure-XLA windowed
+path), squarespace bundle workload with solver-realistic downscale-only
 placements. ``vs_baseline``
 is the speedup over the PIL reference pipeline (per-placement LANCZOS
 resize + alpha_composite, measured here on this host since the reference
@@ -115,6 +116,7 @@ def main() -> None:
         import jax as _jax
 
         from image_transformation_tpu.ops.compose_pallas import (
+            composite_batch_fused_v2,
             composite_batch_hybrid_packed,
         )
 
@@ -124,11 +126,21 @@ def main() -> None:
             # eager relayout of the kernel's aliased output buffer
             return jnp.sum(out[:, 0, :128].astype(jnp.int32), axis=1)
 
+        fell_back = [False]
+
         def step(c, o, h_, b):
-            # packed_out: the result is the packed-u32 canvas whose host
-            # bytes ARE the RGBA image (packed_to_u8_np is a free view);
-            # materializing u8 NHWC on device costs three extra full-canvas
-            # passes (profile-verified) that serve no consumer here.
+            # fused gen-2 kernel (resample + blend in one grid-(B,N)
+            # program; 5791 vs 3760 canvases/sec at batch 64) with
+            # packed-u32 output: the host bytes ARE the RGBA image
+            # (packed_to_u8_np is a free view). Falls back to the clamped
+            # two-program path on kernel failure.
+            if not fell_back[0]:
+                try:
+                    out = composite_batch_fused_v2(c, o, h_, b, packed_out=True)
+                    return out, fence_stat(out)
+                except Exception as e:  # noqa: BLE001
+                    fell_back[0] = True
+                    log(f"fused_v2 failed ({e}); using the clamped path")
             out = composite_batch_hybrid_packed(
                 c, o, h_, b, clamped=True, packed_out=True
             )

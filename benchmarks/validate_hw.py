@@ -99,6 +99,14 @@ def main():
             err_t = int(max_abs_diff(out_traced, refs_dev))
             worst_traced = max(worst_traced, err_t)
 
+            from image_transformation_tpu.ops.compose_pallas import (
+                composite_batch_fused_v2,
+            )
+
+            out_fused = composite_batch_fused_v2(*dev)
+            err_f = int(max_abs_diff(out_fused, refs_dev))
+            worst_traced = max(worst_traced, err_f)
+
             # host-exact path (one canvas is enough; it's per-canvas anyway)
             errs_e = []
             for i in range(B):
@@ -111,8 +119,11 @@ def main():
                 errs_e.append(int(max_abs_diff(out_e, refs_dev[i])))
             err_e = max(errs_e)
             worst_exact = max(worst_exact, err_e)
-            log(f"{bundle_name} {W}x{H}: traced max err {err_t}, exact max err {err_e}")
-            results[f"{bundle_name}_{W}x{H}"] = {"traced": err_t, "exact": err_e}
+            log(f"{bundle_name} {W}x{H}: traced max err {err_t}, "
+                f"fused max err {err_f}, exact max err {err_e}")
+            results[f"{bundle_name}_{W}x{H}"] = {
+                "traced": err_t, "fused": err_f, "exact": err_e,
+            }
 
     results["worst_traced"] = worst_traced
     results["worst_exact"] = worst_exact

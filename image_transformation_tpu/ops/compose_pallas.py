@@ -1869,6 +1869,270 @@ def composite_batch_hybrid_packed(
     return jax.lax.bitcast_convert_type(out_v[:, :h_c, :w_c], jnp.uint8)
 
 
+def _make_fused_kernel_v2(
+    obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int]
+):
+    """Fused resample+blend, generation 2: ONE object per grid step.
+
+    vs gen-1 (composite_batch_pallas): the grid is (B, N) instead of (B,)
+    with an unrolled N-object loop — the kernel body (and its full matmul
+    graph) compiles ONCE, fixing the 29-minute compile; the blend tail is
+    the clamped-window packed machinery (no full-window canvas pre-pad);
+    row-major grid order preserves z-order (all objects of canvas b finish
+    before b+1 starts, and same-canvas steps are sequential).
+
+    The win over the XLA producer: the 3-limb exact dot accumulators stay
+    in VMEM/registers (the XLA form pays two ~80 MB/batch f32 round-trips
+    for its 3x-wide limb outputs), and the combine/unpremultiply/pack
+    chains never touch HBM.
+    """
+    ph_a, pw_a = obj_pad_hw
+    mh_a, mw_a = out_hw  # tile-aligned resized extent
+    MH, MW = window_extents(out_hw)
+
+    def kernel(meta_ref, canvas_ref, objs_ref, kh_ref, kv_ref, out_ref,
+               win_ref, src_shift, obj_vmem, kh_vmem, kv_vmem,
+               sem_in, sem_out, sem_obj, sem_kh, sem_kv):
+        del canvas_ref
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+
+        @pl.when((b == 0) & (k == 0))
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        valid = meta_ref[b, k, 5] > 0
+
+        @pl.when(valid)
+        def _():
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            dx = meta_ref[b, k, 2]
+            dy = meta_ref[b, k, 3]
+            same = meta_ref[b, k, 4] > 0
+
+            d_obj = pltpu.make_async_copy(objs_ref.at[b, k], obj_vmem, sem_obj)
+            d_kh = pltpu.make_async_copy(kh_ref.at[b, k], kh_vmem, sem_kh)
+            d_kv = pltpu.make_async_copy(kv_ref.at[b, k], kv_vmem, sem_kv)
+            d_obj.start()
+            d_kh.start()
+            d_kv.start()
+            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+            dma_in = pltpu.make_async_copy(window_slice, win_ref, sem_in)
+            dma_in.start()
+
+            d_obj.wait()
+            d_kh.wait()
+            d_kv.wait()
+
+            # --- resample while the window DMA is in flight ---
+            obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
+            alpha = obj[3]
+            tmp_p = obj[:3] * alpha[None] + 128
+            prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
+            prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+
+            kh = kh_vmem[...]  # [mw_a, pw_a] i32
+            kv = kv_vmem[...]  # [ph_a, mh_a] i32 (transposed)
+
+            prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
+            ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
+            tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
+
+            chans = []
+            for c in range(4):
+                ss_v = _limb_dot(tmp[c], kv, 0, 0, k_first=True) + _HALF
+                # kv lanes pad to %128 for the DMA; rows beyond mh_a are zero
+                chans.append(_clip8(ss_v)[:mh_a, :])
+            resized_p = jnp.stack(chans, axis=0)  # premultiplied [4, mh_a, mw_a]
+
+            ra = resized_p[3]
+            rgb = jnp.minimum(
+                255,
+                _exact_div_i32(255 * resized_p[:3], jnp.maximum(ra, 1)[None]),
+            )
+            rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+            resized = jnp.concatenate([rgb, ra[None]], axis=0)
+
+            # PIL identity shortcut: plain copy of the (padded) object.
+            ch = min(ph_a, mh_a)
+            cw = min(pw_a, mw_a)
+            ident = jnp.pad(
+                obj[:, :ch, :cw],
+                ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
+            )
+            resized = jnp.where(same, ident, resized)
+
+            # pack u32 and position inside the clamped window
+            pk = (
+                resized[0]
+                | (resized[1] << 8)
+                | (resized[2] << 16)
+                | (resized[3] << 24)
+            )
+            src = _shift_roll_mask(src_shift, pk, dy, dx, MH, MW)
+
+            dma_in.wait()
+            win_ref[...] = _alpha_over_packed(win_ref[...], src)
+            dma_out = pltpu.make_async_copy(win_ref, window_slice, sem_out)
+            dma_out.start()
+            dma_out.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "out_max_hw", "interpret"),
+    donate_argnums=(0,),
+)
+def _pallas_fused_v2(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] i32 packed (tile-aligned) — DONATED
+    objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar
+    kh: jnp.ndarray,  # [B, N, mw_a, pw_a] i32
+    kv_t: jnp.ndarray,  # [B, N, ph_a, mh_128] i32 (transposed, %128 lanes)
+    meta: jnp.ndarray,  # [B, N, 6]
+    out_hw: Tuple[int, int],
+    out_max_hw: Tuple[int, int],
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = objs_p.shape[0], objs_p.shape[1]
+    ph_a, pw_a = objs_p.shape[3], objs_p.shape[4]
+    mh_a, mw_a = out_max_hw
+    mh_128 = kv_t.shape[3]
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.VMEM((4, ph_a, pw_a), jnp.uint8),
+            pltpu.VMEM((mw_a, pw_a), jnp.int32),
+            pltpu.VMEM((ph_a, mh_128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_v = pl.pallas_call(
+        _make_fused_kernel_v2((ph_a, pw_a), (mh_a, mw_a)),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, objs_p, kh, kv_t)
+    h_c, w_c = out_hw
+    return out_v[:, :h_c, :w_c]
+
+
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
+def _fused_v2_producer(canvases, objs, obj_hw, boxes, out_max_hw, method):
+    """Tables + planar objects + clamped meta for the fused v2 kernel.
+
+    No resample dots here — only the (VPU-bound) coefficient-table build,
+    the object transpose to planar, and the canvas pack.
+    """
+    from .resize import build_coeffs_traced
+
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    ph, pw = objs.shape[2], objs.shape[3]
+    mh_a, mw_a = out_max_hw
+    ph_a = _round_up(ph, 8)
+    pw_a = _round_up(pw, 128)
+    mh_128 = _round_up(mh_a, 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    hp = max(_round_up(h_c, 8), MH)
+    wp = max(_round_up(w_c, 128), MW)
+
+    def tables_one(hw, box):
+        w = jnp.maximum(1, box[2] - box[0])
+        h = jnp.maximum(1, box[3] - box[1])
+        # build at the UNPADDED in_max (identical f32 wsum reduction order
+        # to the XLA resize path — a different tap count flips quantized
+        # coefficients by 1 ulp), pad lanes afterwards for the DMA tiling
+        kh = jnp.pad(
+            build_coeffs_traced(hw[1], w, pw, mw_a, method),
+            ((0, 0), (0, pw_a - pw)),
+        )
+        # kv transposes below: its LANE dim is mh (DMA lanes must tile to
+        # %128), so pad table rows to mh_128; the kernel slices the V-pass
+        # output back to mh_a (extra rows are zero)
+        kv = jnp.pad(
+            build_coeffs_traced(hw[0], h, ph, mh_a, method),
+            ((0, mh_128 - mh_a), (0, ph_a - ph)),
+        )
+        same = (w == hw[1]) & (h == hw[0])
+        return kh, kv, same
+
+    kh, kv, same = jax.vmap(jax.vmap(tables_one))(obj_hw, boxes)
+    kv_t = jnp.swapaxes(kv, 2, 3)
+
+    objs_p = jnp.transpose(
+        jnp.pad(objs, ((0, 0), (0, 0), (0, ph_a - ph), (0, pw_a - pw), (0, 0))),
+        (0, 1, 4, 2, 3),
+    )
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
+    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
+    meta = jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same.astype(jnp.int32),
+         (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
+    return canvas_v, objs_p, kh, kv_t, meta
+
+
+def composite_batch_fused_v2(
+    canvases: jnp.ndarray,  # [B, H, W, 4] u8
+    objs: jnp.ndarray,  # [B, N, ph, pw, 4] u8
+    obj_hw: jnp.ndarray,  # [B, N, 2] (h, w)
+    boxes: jnp.ndarray,  # [B, N, 4]
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+    packed_out: bool = False,
+) -> jnp.ndarray:
+    """Fused resample+blend gen-2 (grid-(B,N); see _make_fused_kernel_v2).
+
+    Numerics: in-kernel 3-limb dots are EXACT integer resampling given the
+    (traced) tables — i.e. identical to the XLA path under the exact limb
+    resample, within the usual +-1 of the hp-resample bench path.
+    """
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    ph, pw = objs.shape[2], objs.shape[3]
+    if out_max_hw is None:
+        out_max_hw = (ph, pw)
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    canvas_v, objs_p, kh, kv_t, meta = _fused_v2_producer(
+        canvases, objs, obj_hw, boxes, (mh_a, mw_a), method
+    )
+    out_v = _pallas_fused_v2(
+        canvas_v, objs_p, kh, kv_t, meta, (h_c, w_c), (mh_a, mw_a), interpret
+    )
+    if packed_out:
+        return out_v
+    return jax.lax.bitcast_convert_type(out_v, jnp.uint8)
+
+
 def composite_batch_pallas_host_tables(
     canvases: np.ndarray,
     objs: np.ndarray,
