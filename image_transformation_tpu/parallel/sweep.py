@@ -54,33 +54,48 @@ def make_batched_compose(
     if kernel != "pallas":
         return xla_step
 
-    from ..ops.compose_pallas import composite_batch_hybrid_packed
+    from ..ops.compose_pallas import (
+        composite_batch_fused_v2,
+        composite_batch_hybrid_packed,
+    )
 
-    fell_back = [False]
+    # 0 = fused gen-2 kernel, 1 = clamped two-program, 2 = XLA (latched)
+    tier = [0]
+
+    def _demote(e, name):
+        import sys
+        import traceback
+
+        tier[0] += 1
+        # Loud fallback: a real kernel regression must not silently
+        # mislabel slower-path throughput as the Pallas path in benchmarks.
+        print(
+            f"[sweep] {name} compose path failed; latching the next "
+            f"fallback tier: {e!r}",
+            file=sys.stderr,
+        )
+        traceback.print_exc(limit=3, file=sys.stderr)
 
     def pallas_step(canvases, objs, obj_hw, boxes):
-        if not fell_back[0]:
+        if tier[0] == 0:
+            try:
+                out = composite_batch_fused_v2(
+                    canvases, objs, obj_hw, boxes, out_max_hw, method
+                )
+                return out, luma_stat(out)
+            except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
+                _demote(e, "fused gen-2")
+        if tier[0] == 1:
             try:
                 out = composite_batch_hybrid_packed(
                     canvases, objs, obj_hw, boxes, out_max_hw, method, clamped=True
                 )
                 return out, luma_stat(out)
-            except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
-                fell_back[0] = True  # latch: don't re-attempt compilation
-                # Loud fallback: a real kernel regression must not silently
-                # mislabel XLA throughput as the Pallas path in benchmarks.
-                import sys
-                import traceback
-
-                print(
-                    "[sweep] Pallas compose path failed; latching the XLA "
-                    f"fallback for this step: {e!r}",
-                    file=sys.stderr,
-                )
-                traceback.print_exc(limit=3, file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                _demote(e, "clamped packed")
         return xla_step(canvases, objs, obj_hw, boxes)
 
-    pallas_step.fell_back = fell_back  # introspectable for tests/benchmarks
+    pallas_step.tier = tier  # introspectable for tests/benchmarks
     return pallas_step
 
 
