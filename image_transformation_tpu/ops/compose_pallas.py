@@ -1981,12 +1981,7 @@ def _make_fused_kernel_v2(
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("out_hw", "out_max_hw", "interpret"),
-    donate_argnums=(0,),
-)
-def _pallas_fused_v2(
+def _pallas_fused_v2_impl(
     canvas_v: jnp.ndarray,  # [B, Hp, Wp] i32 packed (tile-aligned) — DONATED
     objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar
     kh: jnp.ndarray,  # [B, N, mw_a, pw_a] i32
@@ -2033,6 +2028,25 @@ def _pallas_fused_v2(
     )(meta, canvas_v, objs_p, kh, kv_t)
     h_c, w_c = out_hw
     return out_v[:, :h_c, :w_c]
+
+
+_FUSED_STATICS = ("out_hw", "out_max_hw", "interpret")
+_fused_v2_donated = functools.partial(
+    jax.jit, static_argnames=_FUSED_STATICS, donate_argnums=(0,)
+)(_pallas_fused_v2_impl)
+_fused_v2_plain = functools.partial(
+    jax.jit, static_argnames=_FUSED_STATICS
+)(_pallas_fused_v2_impl)
+
+
+def _pallas_fused_v2(canvas_v, objs_p, kh, kv_t, meta, out_hw, out_max_hw,
+                     interpret=False):
+    # donation is only USABLE when the output reuses the buffer: an
+    # identity crop (else XLA warns per compile and copies defensively)
+    identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
+    fn = _fused_v2_donated if identity_crop else _fused_v2_plain
+    return fn(canvas_v, objs_p, kh, kv_t, meta, tuple(out_hw),
+              tuple(out_max_hw), interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
