@@ -1,11 +1,12 @@
 """Benchmark: composited 1080p canvases/sec/chip vs the PIL reference.
 
 Headline metric (BASELINE.md): 1080p canvases composited per second on one
-TPU chip, batched compose path (fused gen-2 Pallas kernel: exact 3-limb
+TPU chip, batched compose path (fused gen-3 Pallas kernel: exact 3-limb
 resample + clamped-window packed blend in one grid-(B,N) program, with
-XLA-built coefficient tables; --kernel xla selects the pure-XLA windowed
-path), squarespace bundle workload with solver-realistic downscale-only
-placements. ``vs_baseline``
+coefficient tables built in-kernel from per-object size scalars and the
+packed-u32 canvas convention on input and output; --kernel xla selects the
+pure-XLA windowed path), squarespace bundle workload with solver-realistic
+downscale-only placements. ``vs_baseline``
 is the speedup over the PIL reference pipeline (per-placement LANCZOS
 resize + alpha_composite, measured here on this host since the reference
 publishes no numbers — BASELINE.json ``published: {}``).
@@ -117,6 +118,7 @@ def main() -> None:
 
         from image_transformation_tpu.ops.compose_pallas import (
             composite_batch_fused_v2,
+            composite_batch_fused_v3,
             composite_batch_hybrid_packed,
         )
 
@@ -126,23 +128,34 @@ def main() -> None:
             # eager relayout of the kernel's aliased output buffer
             return jnp.sum(out[:, 0, :128].astype(jnp.int32), axis=1)
 
-        fell_back = [False]
+        tier = [0]
 
         def step(c, o, h_, b):
-            # fused gen-2 kernel (resample + blend in one grid-(B,N)
-            # program; 5791 vs 3760 canvases/sec at batch 64) with
-            # packed-u32 output: the host bytes ARE the RGBA image
-            # (packed_to_u8_np is a free view). Falls back to the clamped
-            # two-program path on kernel failure.
-            if not fell_back[0]:
+            # fused gen-3 kernel (resample + blend in one grid-(B,N)
+            # program, coefficient tables built IN-KERNEL from per-object
+            # scalars; 8312 vs 6007 canvases/sec at batch 64) with
+            # packed-u32 canvas in AND out: the host bytes ARE the RGBA
+            # image both ways (packed_to_u8_np is a free view). Tiered
+            # loud fallback: gen-2 -> clamped two-program path.
+            if tier[0] == 0:
                 try:
-                    out = composite_batch_fused_v2(c, o, h_, b, packed_out=True)
+                    out = composite_batch_fused_v3(c, o, h_, b, packed_out=True)
                     return out, fence_stat(out)
                 except Exception as e:  # noqa: BLE001
-                    fell_back[0] = True
+                    tier[0] = 1
+                    log(f"fused_v3 failed ({e}); using fused_v2")
+            cu8 = c if c.dtype == jnp.uint8 else _jax.lax.bitcast_convert_type(
+                c, jnp.uint8
+            )
+            if tier[0] == 1:
+                try:
+                    out = composite_batch_fused_v2(cu8, o, h_, b, packed_out=True)
+                    return out, fence_stat(out)
+                except Exception as e:  # noqa: BLE001
+                    tier[0] = 2
                     log(f"fused_v2 failed ({e}); using the clamped path")
             out = composite_batch_hybrid_packed(
-                c, o, h_, b, clamped=True, packed_out=True
+                cu8, o, h_, b, clamped=True, packed_out=True
             )
             return out, fence_stat(out)
 
@@ -151,7 +164,13 @@ def main() -> None:
     step = make_pallas_step() if args.kernel == "pallas" else make_batched_compose(
         (pad_h, pad_w)
     )
-    dev_args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+    if args.kernel == "pallas":
+        # engine-style packed-u32 canvas convention: same bytes, no on-device
+        # u8->u32 repack pass (the view is free on the host side)
+        canvases_dev = canvases.view(np.uint32).reshape(B, H, W).astype(np.int32)
+    else:
+        canvases_dev = canvases
+    dev_args = tuple(jnp.asarray(x) for x in (canvases_dev, objs, hw, boxes))
 
     def fence(x):
         # block_until_ready does not reliably synchronize on the tunneled
@@ -169,6 +188,7 @@ def main() -> None:
             raise
         log(f"pallas path failed ({e}); falling back to the XLA path")
         step = make_batched_compose((pad_h, pad_w))
+        dev_args = (jnp.asarray(canvases), *dev_args[1:])  # u8 NHWC again
         out, luma = step(*dev_args)
         fence(luma)
     log(f"first call (incl. compile): {time.perf_counter() - t0:.1f}s")

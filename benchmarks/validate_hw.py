@@ -101,11 +101,16 @@ def main():
 
             from image_transformation_tpu.ops.compose_pallas import (
                 composite_batch_fused_v2,
+                composite_batch_fused_v3,
             )
 
             out_fused = composite_batch_fused_v2(*dev)
             err_f = int(max_abs_diff(out_fused, refs_dev))
             worst_traced = max(worst_traced, err_f)
+
+            out_fused3 = composite_batch_fused_v3(*dev)
+            err_f3 = int(max_abs_diff(out_fused3, refs_dev))
+            worst_traced = max(worst_traced, err_f3)
 
             # host-exact path (one canvas is enough; it's per-canvas anyway)
             errs_e = []
@@ -120,9 +125,11 @@ def main():
             err_e = max(errs_e)
             worst_exact = max(worst_exact, err_e)
             log(f"{bundle_name} {W}x{H}: traced max err {err_t}, "
-                f"fused max err {err_f}, exact max err {err_e}")
+                f"fused max err {err_f}, fused3 max err {err_f3}, "
+                f"exact max err {err_e}")
             results[f"{bundle_name}_{W}x{H}"] = {
-                "traced": err_t, "fused": err_f, "exact": err_e,
+                "traced": err_t, "fused": err_f, "fused3": err_f3,
+                "exact": err_e,
             }
 
     results["worst_traced"] = worst_traced

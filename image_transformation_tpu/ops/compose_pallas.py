@@ -108,8 +108,22 @@ benchmarks/bisect_resize.py --clamped):
    producer fusion), headline went 2758 -> 3883 canvases/sec at batch 64.
    Re-tested single-program producer+pallas fusion: no longer the old
    25x pathology, but still slightly slower (3755) than two programs.
+12. FUSED GEN-3 (composite_batch_fused_v3): coefficient tables built
+   IN-KERNEL from per-object size scalars (meta grows to [B,N,10]) — the
+   producer no longer materializes [B,N,out,in] kh/kv in HBM (~205 MB per
+   64-canvas batch written + re-read via per-step DMAs) nor runs the
+   VPU-bound Horner build as a separate serialized program; the in-step
+   build hides under the window/object DMA latency. Plus an engine-style
+   PACKED-u32 canvas input convention (host bytes view as u32 for free,
+   skipping the on-device u8->u32 repack pass). Measured at batch 64,
+   1080p, min-of-3x20: gen-2 10.65 ms -> gen-3 u8-in 9.74 ms -> gen-3
+   packed-in 7.70 ms (6007 -> 8312 canvases/sec). Output within +-1 of
+   gen-2 on hardware (the Mosaic f32 wsum reduction order differs from
+   the XLA table builder's by <=1 quantized ulp); bit-equal to gen-2 in
+   interpret mode. THIS IS THE BENCH + SWEEP DEFAULT now (tiered loud
+   fallback: gen-3 -> gen-2 -> clamped -> XLA).
 The XLA windowed path (ops.compose) remains the default for library calls;
-bench.py uses the clamped packed hybrid (fastest measured).
+bench.py uses the fused gen-3 kernel with packed-u32 canvases both ways.
 """
 
 from __future__ import annotations
@@ -2141,6 +2155,296 @@ def composite_batch_fused_v2(
     )
     out_v = _pallas_fused_v2(
         canvas_v, objs_p, kh, kv_t, meta, (h_c, w_c), (mh_a, mw_a), interpret
+    )
+    if packed_out:
+        return out_v
+    return jax.lax.bitcast_convert_type(out_v, jnp.uint8)
+
+
+def _trunc_f32(x):
+    """Round-toward-zero via floor (Mosaic-safe: f32 trunc may not lower)."""
+    return jnp.where(x >= 0, jnp.floor(x), -jnp.floor(-x))
+
+
+def _coeff_table_in_kernel(
+    in_size_s,
+    out_size_s,
+    n_out: int,
+    n_in: int,
+    method: str,
+    transposed: bool,
+):
+    """Quantized Pillow coefficient table built from two traced scalars.
+
+    Same arithmetic as resize.resample_coeff_matrix + quantize_coeffs, but
+    expressed over a 2D iota so it runs INSIDE a Pallas program (the f32
+    wsum reduction order differs from the XLA builder's, so quantized
+    entries can flip by 1 ulp — within the traced-table envelope).
+    ``transposed`` builds [n_in, n_out] directly (o on the lane axis) so
+    the V-pass table never needs an in-kernel transpose.
+    """
+    from .resize import _FILTERS, _SUPPORT
+
+    filt = _FILTERS[method]
+    in_f = in_size_s.astype(jnp.float32)
+    out_f = jnp.maximum(out_size_s.astype(jnp.float32), 1.0)
+    scale = in_f / out_f
+    fs = jnp.maximum(scale, 1.0)
+    support = _SUPPORT[method] * fs
+    inv_fs = 1.0 / fs
+
+    shape = (n_in, n_out) if transposed else (n_out, n_in)
+    o_axis = 1 if transposed else 0
+    # Mosaic's iota is integer-only; widen to f32 after.
+    o = jax.lax.broadcasted_iota(jnp.int32, shape, o_axis).astype(jnp.float32)
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 1 - o_axis).astype(jnp.float32)
+    center = (o + 0.5) * scale
+    xmin = jnp.clip(_trunc_f32(center - support + 0.5), 0.0, in_f)
+    xmax = jnp.clip(_trunc_f32(center + support + 0.5), 0.0, in_f)
+    window = (i >= xmin) & (i < xmax)
+    w = filt((i - center + 0.5) * inv_fs) * window.astype(jnp.float32)
+    wsum = jnp.sum(w, axis=1 - o_axis, keepdims=True)
+    w = w / jnp.where(wsum != 0.0, wsum, 1.0)
+    w = w * (o < out_f).astype(jnp.float32)
+    scaled = w * float(1 << PRECISION_BITS)
+    return _trunc_f32(scaled + jnp.where(w < 0, -0.5, 0.5)).astype(jnp.int32)
+
+
+def _make_fused_kernel_v3(
+    obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int], method: str
+):
+    """Fused resample+blend, generation 3: coefficient tables built
+    IN-KERNEL from per-object size scalars.
+
+    vs gen-2: the producer no longer materializes the [B, N, out, in]
+    kh/kv tables in HBM (~205 MB per 64-canvas squarespace batch, written
+    once and re-read by per-step DMAs) nor pays the VPU-bound Horner build
+    as a separate serialized program — the table build happens inside the
+    step, hidden under the window/object DMA latency. meta carries four
+    extra scalars per object: (in_h, in_w, out_h, out_w).
+    """
+    ph_a, pw_a = obj_pad_hw
+    mh_a, mw_a = out_hw
+    mh_128 = _round_up(mh_a, 128)
+    MH, MW = window_extents(out_hw)
+
+    def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
+               win_ref, src_shift, obj_vmem, sem_in, sem_out, sem_obj):
+        del canvas_ref
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+
+        @pl.when((b == 0) & (k == 0))
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        valid = meta_ref[b, k, 5] > 0
+
+        @pl.when(valid)
+        def _():
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            dx = meta_ref[b, k, 2]
+            dy = meta_ref[b, k, 3]
+            same = meta_ref[b, k, 4] > 0
+            in_h = meta_ref[b, k, 6]
+            in_w = meta_ref[b, k, 7]
+            out_h = meta_ref[b, k, 8]
+            out_w = meta_ref[b, k, 9]
+
+            d_obj = pltpu.make_async_copy(objs_ref.at[b, k], obj_vmem, sem_obj)
+            d_obj.start()
+            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+            dma_in = pltpu.make_async_copy(window_slice, win_ref, sem_in)
+            dma_in.start()
+
+            # --- build both tables while the DMAs are in flight ---
+            kh = _coeff_table_in_kernel(in_w, out_w, mw_a, pw_a, method, False)
+            kv_t = _coeff_table_in_kernel(in_h, out_h, mh_128, ph_a, method, True)
+
+            d_obj.wait()
+            obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
+            alpha = obj[3]
+            tmp_p = obj[:3] * alpha[None] + 128
+            prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
+            prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+
+            prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
+            ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
+            tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
+
+            chans = []
+            for c in range(4):
+                ss_v = _limb_dot(tmp[c], kv_t, 0, 0, k_first=True) + _HALF
+                chans.append(_clip8(ss_v)[:mh_a, :])
+            resized_p = jnp.stack(chans, axis=0)  # premultiplied [4, mh_a, mw_a]
+
+            ra = resized_p[3]
+            rgb = jnp.minimum(
+                255,
+                _exact_div_i32(255 * resized_p[:3], jnp.maximum(ra, 1)[None]),
+            )
+            rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+            resized = jnp.concatenate([rgb, ra[None]], axis=0)
+
+            ch = min(ph_a, mh_a)
+            cw = min(pw_a, mw_a)
+            ident = jnp.pad(
+                obj[:, :ch, :cw],
+                ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
+            )
+            resized = jnp.where(same, ident, resized)
+
+            pk = (
+                resized[0]
+                | (resized[1] << 8)
+                | (resized[2] << 16)
+                | (resized[3] << 24)
+            )
+            src = _shift_roll_mask(src_shift, pk, dy, dx, MH, MW)
+
+            dma_in.wait()
+            win_ref[...] = _alpha_over_packed(win_ref[...], src)
+            dma_out = pltpu.make_async_copy(win_ref, window_slice, sem_out)
+            dma_out.start()
+            dma_out.wait()
+
+    return kernel
+
+
+def _pallas_fused_v3_impl(
+    canvas_v: jnp.ndarray,  # [B, Hp, Wp] i32 packed (tile-aligned) — DONATED
+    objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar
+    meta: jnp.ndarray,  # [B, N, 10]
+    out_hw: Tuple[int, int],
+    out_max_hw: Tuple[int, int],
+    method: str = "lanczos",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, N = objs_p.shape[0], objs_p.shape[1]
+    ph_a, pw_a = objs_p.shape[3], objs_p.shape[4]
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.VMEM((4, ph_a, pw_a), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_v = pl.pallas_call(
+        _make_fused_kernel_v3((ph_a, pw_a), (mh_a, mw_a), method),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v, objs_p)
+    h_c, w_c = out_hw
+    return out_v[:, :h_c, :w_c]
+
+
+_FUSED3_STATICS = ("out_hw", "out_max_hw", "method", "interpret")
+_fused_v3_donated = functools.partial(
+    jax.jit, static_argnames=_FUSED3_STATICS, donate_argnums=(0,)
+)(_pallas_fused_v3_impl)
+_fused_v3_plain = functools.partial(
+    jax.jit, static_argnames=_FUSED3_STATICS
+)(_pallas_fused_v3_impl)
+
+
+def _pallas_fused_v3(canvas_v, objs_p, meta, out_hw, out_max_hw, method,
+                     interpret=False):
+    identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
+    fn = _fused_v3_donated if identity_crop else _fused_v3_plain
+    return fn(canvas_v, objs_p, meta, tuple(out_hw), tuple(out_max_hw),
+              method, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("out_max_hw", "canvas_hw"))
+def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
+    """Planar objects + clamped meta (with per-object sizes) for fused v3.
+
+    No tables, no resample dots — only the object transpose to planar, the
+    canvas pack (skipped when the caller already supplies a packed canvas),
+    and the meta build. ``canvases`` is either [B, H, W, 4] u8 or an
+    already-packed [B, H, W] i32 plane (``canvas_hw`` disambiguates).
+    """
+    h_c, w_c = canvas_hw
+    ph, pw = objs.shape[2], objs.shape[3]
+    mh_a, mw_a = out_max_hw
+    ph_a = _round_up(ph, 8)
+    pw_a = _round_up(pw, 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    hp = max(_round_up(h_c, 8), MH)
+    wp = max(_round_up(w_c, 128), MW)
+
+    objs_p = jnp.transpose(
+        jnp.pad(objs, ((0, 0), (0, 0), (0, ph_a - ph), (0, pw_a - pw), (0, 0))),
+        (0, 1, 4, 2, 3),
+    )
+
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    w = jnp.maximum(1, boxes[..., 2] - x1)
+    h = jnp.maximum(1, boxes[..., 3] - y1)
+    same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
+    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
+    meta = jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same.astype(jnp.int32),
+         (~drop).astype(x1.dtype), obj_hw[..., 0], obj_hw[..., 1], h, w],
+        axis=-1,
+    ).astype(jnp.int32)
+
+    if canvases.dtype == jnp.uint8:
+        canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
+    else:
+        canvas_v = canvases
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
+    return canvas_v, objs_p, meta
+
+
+def composite_batch_fused_v3(
+    canvases: jnp.ndarray,  # [B, H, W, 4] u8, or [B, H, W] i32 packed RGBA
+    objs: jnp.ndarray,  # [B, N, ph, pw, 4] u8
+    obj_hw: jnp.ndarray,  # [B, N, 2] (h, w)
+    boxes: jnp.ndarray,  # [B, N, 4]
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+    packed_out: bool = False,
+) -> jnp.ndarray:
+    """Fused resample+blend gen-3: tables built in-kernel (see
+    _make_fused_kernel_v3). Accepts a packed-u32 canvas directly (the
+    engine-style calling convention — skips the u8->u32 repack pass).
+
+    Numerics: traced-table envelope (the in-kernel f32 table build can
+    differ from the XLA builder by 1 quantized ulp; <= 2/255 vs PIL).
+    """
+    h_c, w_c = canvases.shape[1], canvases.shape[2]  # u8 NHWC or packed [B,H,W]
+    ph, pw = objs.shape[2], objs.shape[3]
+    if out_max_hw is None:
+        out_max_hw = (ph, pw)
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    canvas_v, objs_p, meta = _fused_v3_producer(
+        canvases, objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c)
+    )
+    out_v = _pallas_fused_v3(
+        canvas_v, objs_p, meta, (h_c, w_c), (mh_a, mw_a), method, interpret
     )
     if packed_out:
         return out_v

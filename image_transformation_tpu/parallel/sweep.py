@@ -56,10 +56,12 @@ def make_batched_compose(
 
     from ..ops.compose_pallas import (
         composite_batch_fused_v2,
+        composite_batch_fused_v3,
         composite_batch_hybrid_packed,
     )
 
-    # 0 = fused gen-2 kernel, 1 = clamped two-program, 2 = XLA (latched)
+    # 0 = fused gen-3 (in-kernel tables), 1 = fused gen-2, 2 = clamped
+    # two-program, 3 = XLA (latched)
     tier = [0]
 
     def _demote(e, name):
@@ -79,13 +81,21 @@ def make_batched_compose(
     def pallas_step(canvases, objs, obj_hw, boxes):
         if tier[0] == 0:
             try:
-                out = composite_batch_fused_v2(
+                out = composite_batch_fused_v3(
                     canvases, objs, obj_hw, boxes, out_max_hw, method
                 )
                 return out, luma_stat(out)
             except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
-                _demote(e, "fused gen-2")
+                _demote(e, "fused gen-3")
         if tier[0] == 1:
+            try:
+                out = composite_batch_fused_v2(
+                    canvases, objs, obj_hw, boxes, out_max_hw, method
+                )
+                return out, luma_stat(out)
+            except Exception as e:  # noqa: BLE001
+                _demote(e, "fused gen-2")
+        if tier[0] == 2:
             try:
                 out = composite_batch_hybrid_packed(
                     canvases, objs, obj_hw, boxes, out_max_hw, method, clamped=True

@@ -419,3 +419,55 @@ def test_fused_v2_matches_exact_xla_path(bundle_name, exact_traced_resample):
         composite_batch_fused_v2(*dev, interpret=True, packed_out=True)
     )
     assert np.array_equal(packed_to_u8_np(packed), ref)
+
+
+@pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
+def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
+    """Gen-3 fused kernel (tables built in-kernel from per-object scalars):
+    bit-equal to gen-2 in interpret mode (the jnp table math coincides with
+    build_coeffs_traced on CPU), within the traced envelope (+-1) of the
+    XLA path, and the packed-canvas input convention returns the same
+    pixels as the u8 NHWC input."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose import composite_canvas
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_fused_v2,
+        composite_batch_fused_v3,
+        packed_to_u8_np,
+    )
+
+    bundle = load_bundle(f"data/{bundle_name}")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 600, 1024, 2
+    rng = np.random.default_rng(91)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 90
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    oh0, ow0 = int(arrays.obj_hw[0, 0]), int(arrays.obj_hw[0, 1])
+    boxes[0, 0] = [W - ow0, H - oh0, W, H]           # identity at the corner
+    boxes[1, 0] = [W - ow0 // 2, H - 5, W + ow0 // 2, H - 5 + oh0]  # hangs off
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+    v3 = np.asarray(composite_batch_fused_v3(*dev, interpret=True))
+    v2 = np.asarray(composite_batch_fused_v2(*dev, interpret=True))
+    assert np.array_equal(v3, v2)
+    ref = np.asarray(
+        jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+    )
+    assert np.abs(v3.astype(int) - ref.astype(int)).max() <= 1
+    # engine-style packed-u32 canvas input: same pixels, no repack pass
+    cv = jnp.asarray(canvases.view(np.uint32).reshape(B, H, W).astype(np.int32))
+    v3p = np.asarray(
+        composite_batch_fused_v3(cv, *dev[1:], interpret=True, packed_out=True)
+    )
+    assert np.array_equal(packed_to_u8_np(v3p), v3)
