@@ -2312,6 +2312,141 @@ def _make_fused_kernel_v3(
     return kernel
 
 
+def _make_fused_kernel_v3_pipelined(
+    n_batch: int, obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int],
+    method: str
+):
+    """Gen-3 fused kernel with double-buffered window/object DMAs.
+
+    Grid iterates OBJECTS; a fori_loop walks the batch (consecutive
+    iterations touch different canvases, so prefetching the next canvas's
+    window + object overlaps the current table-build/resample/blend with
+    no aliasing hazard; writeback b is waited at iteration b+1 and the
+    epilogue waits the last, so all of a grid step's writebacks land
+    before the next grid step reuses those canvases — z-order preserved).
+    """
+    ph_a, pw_a = obj_pad_hw
+    mh_a, mw_a = out_hw
+    mh_128 = _round_up(mh_a, 128)
+    MH, MW = window_extents(out_hw)
+
+    def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
+               win_ref, src_shift, obj_vmem, sem_in, sem_out, sem_obj):
+        del canvas_ref
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+
+        def window_dma(b, slot, to_vmem):
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
+            if to_vmem:
+                return pltpu.make_async_copy(
+                    window_slice, win_ref.at[slot], sem_in.at[slot]
+                )
+            return pltpu.make_async_copy(
+                win_ref.at[slot], window_slice, sem_out.at[slot]
+            )
+
+        def obj_dma(b, slot):
+            return pltpu.make_async_copy(
+                objs_ref.at[b, k], obj_vmem.at[slot], sem_obj.at[slot]
+            )
+
+        window_dma(0, 0, True).start()
+        obj_dma(0, 0).start()
+
+        def body(b, _):
+            slot = jax.lax.rem(b, 2)
+            nslot = 1 - slot
+
+            @pl.when(b > 0)
+            def _():
+                window_dma(b - 1, nslot, False).wait()
+
+            @pl.when(b + 1 < n_batch)
+            def _():
+                window_dma(b + 1, nslot, True).start()
+                obj_dma(b + 1, nslot).start()
+
+            dx = meta_ref[b, k, 2]
+            dy = meta_ref[b, k, 3]
+            same = meta_ref[b, k, 4] > 0
+            valid = meta_ref[b, k, 5] > 0
+            in_h = meta_ref[b, k, 6]
+            in_w = meta_ref[b, k, 7]
+            out_h = meta_ref[b, k, 8]
+            out_w = meta_ref[b, k, 9]
+
+            # tables depend only on prefetched scalars — build them while
+            # this iteration's window/object DMAs are still in flight
+            kh = _coeff_table_in_kernel(in_w, out_w, mw_a, pw_a, method, False)
+            kv_t = _coeff_table_in_kernel(in_h, out_h, mh_128, ph_a, method, True)
+
+            obj_dma(b, slot).wait()
+            window_dma(b, slot, True).wait()
+
+            def compute(s):
+                obj = obj_vmem[s].astype(jnp.int32)  # [4, ph_a, pw_a]
+                alpha = obj[3]
+                tmp_p = obj[:3] * alpha[None] + 128
+                prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
+                prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+
+                prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
+                ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
+                tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
+
+                chans = []
+                for c in range(4):
+                    ss_v = _limb_dot(tmp[c], kv_t, 0, 0, k_first=True) + _HALF
+                    chans.append(_clip8(ss_v)[:mh_a, :])
+                resized_p = jnp.stack(chans, axis=0)
+
+                ra = resized_p[3]
+                rgb = jnp.minimum(
+                    255,
+                    _exact_div_i32(
+                        255 * resized_p[:3], jnp.maximum(ra, 1)[None]
+                    ),
+                )
+                rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+                resized = jnp.concatenate([rgb, ra[None]], axis=0)
+
+                ch = min(ph_a, mh_a)
+                cw = min(pw_a, mw_a)
+                ident = jnp.pad(
+                    obj[:, :ch, :cw],
+                    ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
+                )
+                resized = jnp.where(same, ident, resized)
+
+                pk = (
+                    resized[0]
+                    | (resized[1] << 8)
+                    | (resized[2] << 16)
+                    | (resized[3] << 24)
+                )
+                src = _shift_roll_mask(
+                    src_shift, pk, dy, dx, MH, MW, clamp_dy=True
+                )
+                src = jnp.where(valid, src, 0)
+                win_ref[s] = _alpha_over_packed(win_ref[s], src)
+
+            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
+            window_dma(b, slot, False).start()
+            return ()
+
+        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
+        last = n_batch - 1
+        window_dma(last, jax.lax.rem(last, 2), False).wait()
+
+    return kernel
+
+
 def _pallas_fused_v3_impl(
     canvas_v: jnp.ndarray,  # [B, Hp, Wp] i32 packed (tile-aligned) — DONATED
     objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar
@@ -2320,30 +2455,48 @@ def _pallas_fused_v3_impl(
     out_max_hw: Tuple[int, int],
     method: str = "lanczos",
     interpret: bool = False,
+    pipelined: bool = False,
 ) -> jnp.ndarray:
     B, N = objs_p.shape[0], objs_p.shape[1]
     ph_a, pw_a = objs_p.shape[3], objs_p.shape[4]
     mh_a, mw_a = out_max_hw
     MH, MW = window_extents((mh_a, mw_a))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, N),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        scratch_shapes=[
+    if pipelined:
+        grid = (N,)
+        kernel = _make_fused_kernel_v3_pipelined(
+            B, (ph_a, pw_a), (mh_a, mw_a), method
+        )
+        scratch = [
+            pltpu.VMEM((2, MH, MW), jnp.int32),
+            pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.VMEM((2, 4, ph_a, pw_a), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        grid = (B, N)
+        kernel = _make_fused_kernel_v3((ph_a, pw_a), (mh_a, mw_a), method)
+        scratch = [
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
             pltpu.VMEM((4, ph_a, pw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=scratch,
     )
     out_v = pl.pallas_call(
-        _make_fused_kernel_v3((ph_a, pw_a), (mh_a, mw_a), method),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
@@ -2353,7 +2506,7 @@ def _pallas_fused_v3_impl(
     return out_v[:, :h_c, :w_c]
 
 
-_FUSED3_STATICS = ("out_hw", "out_max_hw", "method", "interpret")
+_FUSED3_STATICS = ("out_hw", "out_max_hw", "method", "interpret", "pipelined")
 _fused_v3_donated = functools.partial(
     jax.jit, static_argnames=_FUSED3_STATICS, donate_argnums=(0,)
 )(_pallas_fused_v3_impl)
@@ -2363,35 +2516,48 @@ _fused_v3_plain = functools.partial(
 
 
 def _pallas_fused_v3(canvas_v, objs_p, meta, out_hw, out_max_hw, method,
-                     interpret=False):
+                     interpret=False, pipelined=False):
     identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
     fn = _fused_v3_donated if identity_crop else _fused_v3_plain
     return fn(canvas_v, objs_p, meta, tuple(out_hw), tuple(out_max_hw),
-              method, interpret)
+              method, interpret, pipelined)
+
+
+def planarize_objects(objs: jnp.ndarray) -> jnp.ndarray:
+    """[B, N, ph, pw, 4] u8 -> tile-aligned planar [B, N, 4, ph_a, pw_a].
+
+    The engine-side ingest transform for :func:`composite_batch_fused_v3`:
+    object assets are planarized ONCE per bundle (serving caches them),
+    so the per-render producer is meta-only.
+    """
+    ph, pw = objs.shape[2], objs.shape[3]
+    ph_a = _round_up(ph, 8)
+    pw_a = _round_up(pw, 128)
+    return jnp.transpose(
+        jnp.pad(objs, ((0, 0), (0, 0), (0, ph_a - ph), (0, pw_a - pw), (0, 0))),
+        (0, 1, 4, 2, 3),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "canvas_hw"))
 def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
     """Planar objects + clamped meta (with per-object sizes) for fused v3.
 
-    No tables, no resample dots — only the object transpose to planar, the
+    No tables, no resample dots — only the object transpose to planar
+    (skipped when the caller already supplies pre-planarized assets), the
     canvas pack (skipped when the caller already supplies a packed canvas),
     and the meta build. ``canvases`` is either [B, H, W, 4] u8 or an
-    already-packed [B, H, W] i32 plane (``canvas_hw`` disambiguates).
+    already-packed [B, H, W] i32 plane (``canvas_hw`` disambiguates);
+    ``objs`` is either [B, N, ph, pw, 4] u8 or planar [B, N, 4, ph_a, pw_a].
     """
     h_c, w_c = canvas_hw
-    ph, pw = objs.shape[2], objs.shape[3]
+    planar_in = objs.shape[4] != 4  # planar trailing dim is pw_a (%128)
     mh_a, mw_a = out_max_hw
-    ph_a = _round_up(ph, 8)
-    pw_a = _round_up(pw, 128)
     MH, MW = window_extents((mh_a, mw_a))
     hp = max(_round_up(h_c, 8), MH)
     wp = max(_round_up(w_c, 128), MW)
 
-    objs_p = jnp.transpose(
-        jnp.pad(objs, ((0, 0), (0, 0), (0, ph_a - ph), (0, pw_a - pw), (0, 0))),
-        (0, 1, 4, 2, 3),
-    )
+    objs_p = objs if planar_in else planarize_objects(objs)
 
     x1 = boxes[..., 0]
     y1 = boxes[..., 1]
@@ -2426,16 +2592,22 @@ def composite_batch_fused_v3(
     method: str = "lanczos",
     interpret: bool = False,
     packed_out: bool = False,
+    pipelined: bool = False,
 ) -> jnp.ndarray:
     """Fused resample+blend gen-3: tables built in-kernel (see
-    _make_fused_kernel_v3). Accepts a packed-u32 canvas directly (the
-    engine-style calling convention — skips the u8->u32 repack pass).
+    _make_fused_kernel_v3). Accepts a packed-u32 canvas directly and/or
+    pre-planarized objects (the engine-style calling conventions — skip
+    the u8->u32 repack and the per-call object transpose). ``pipelined``
+    double-buffers window/object DMAs across canvases (grid over objects).
 
     Numerics: traced-table envelope (the in-kernel f32 table build can
     differ from the XLA builder by 1 quantized ulp; <= 2/255 vs PIL).
     """
     h_c, w_c = canvases.shape[1], canvases.shape[2]  # u8 NHWC or packed [B,H,W]
-    ph, pw = objs.shape[2], objs.shape[3]
+    if objs.shape[4] != 4:  # pre-planarized [B, N, 4, ph_a, pw_a]
+        ph, pw = objs.shape[3], objs.shape[4]
+    else:
+        ph, pw = objs.shape[2], objs.shape[3]
     if out_max_hw is None:
         out_max_hw = (ph, pw)
     mh_a = _round_up(out_max_hw[0], 8)
@@ -2444,7 +2616,8 @@ def composite_batch_fused_v3(
         canvases, objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c)
     )
     out_v = _pallas_fused_v3(
-        canvas_v, objs_p, meta, (h_c, w_c), (mh_a, mw_a), method, interpret
+        canvas_v, objs_p, meta, (h_c, w_c), (mh_a, mw_a), method, interpret,
+        pipelined,
     )
     if packed_out:
         return out_v

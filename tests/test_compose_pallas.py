@@ -471,3 +471,15 @@ def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
         composite_batch_fused_v3(cv, *dev[1:], interpret=True, packed_out=True)
     )
     assert np.array_equal(packed_to_u8_np(v3p), v3)
+    # pre-planarized object assets + double-buffered variant: same pixels
+    from image_transformation_tpu.ops.compose_pallas import planarize_objects
+
+    op = planarize_objects(dev[1])
+    v3pl = np.asarray(
+        composite_batch_fused_v3(dev[0], op, *dev[2:], interpret=True)
+    )
+    assert np.array_equal(v3pl, v3)
+    v3pipe = np.asarray(
+        composite_batch_fused_v3(*dev, interpret=True, pipelined=True)
+    )
+    assert np.array_equal(v3pipe, v3)
