@@ -114,12 +114,15 @@ def main() -> None:
     )
 
     def make_pallas_step():
+        import functools
+
         import jax as _jax
 
         from image_transformation_tpu.ops.compose_pallas import (
             composite_batch_fused_v2,
-            composite_batch_fused_v3,
             composite_batch_hybrid_packed,
+            pack_rgba_scalar,
+            render_solid_fused_v3_program,
         )
 
         @_jax.jit
@@ -128,49 +131,70 @@ def main() -> None:
             # eager relayout of the kernel's aliased output buffer
             return jnp.sum(out[:, 0, :128].astype(jnp.int32), axis=1)
 
+        @functools.partial(_jax.jit, static_argnames=("canvas_hw", "bg"))
+        def render_step(o, h_, b, canvas_hw, bg):
+            # ONE program: background fill + gen-3 fused kernel + fence
+            # stat (each extra dispatch cost ~1 ms of host gap per batch)
+            out = render_solid_fused_v3_program(o, h_, b, canvas_hw, bg)
+            return out, jnp.sum(out[:, 0, :128], axis=1)
+
         tier = [0]
 
-        def step(c, o, h_, b):
+        def step(c, o, h_, b, bg_rgba, canvas_hw):
             # fused gen-3 kernel (resample + blend in one grid-(B,N)
             # program, coefficient tables built IN-KERNEL from per-object
-            # scalars; 8312 vs 6007 canvases/sec at batch 64) with
-            # packed-u32 canvas in AND out: the host bytes ARE the RGBA
-            # image both ways (packed_to_u8_np is a free view). Tiered
-            # loud fallback: gen-2 -> clamped two-program path.
+            # scalars) with the full engine convention: solid background
+            # synthesized on device into the padded packed plane (no
+            # canvas upload/pad copy), pre-planarized object assets,
+            # padded packed-u32 output whose host bytes view-crop to the
+            # RGBA image for free, and the fill+kernel+stat in a single
+            # program. 6007 (gen-2) -> 8312 (gen-3 packed) -> 9388
+            # (single-program render) canvases/sec at batch 64.
+            # Tiered loud fallback: gen-2 -> clamped two-program path.
             if tier[0] == 0:
                 try:
-                    out = composite_batch_fused_v3(c, o, h_, b, packed_out=True)
-                    return out, fence_stat(out)
+                    return render_step(
+                        o, h_, b, canvas_hw, pack_rgba_scalar(bg_rgba)
+                    )
                 except Exception as e:  # noqa: BLE001
                     tier[0] = 1
                     log(f"fused_v3 failed ({e}); using fused_v2")
             cu8 = c if c.dtype == jnp.uint8 else _jax.lax.bitcast_convert_type(
                 c, jnp.uint8
             )
+            ou8 = o if o.shape[4] == 4 else jnp.transpose(o, (0, 1, 3, 4, 2))
             if tier[0] == 1:
                 try:
-                    out = composite_batch_fused_v2(cu8, o, h_, b, packed_out=True)
+                    out = composite_batch_fused_v2(cu8, ou8, h_, b, packed_out=True)
                     return out, fence_stat(out)
                 except Exception as e:  # noqa: BLE001
                     tier[0] = 2
                     log(f"fused_v2 failed ({e}); using the clamped path")
             out = composite_batch_hybrid_packed(
-                cu8, o, h_, b, clamped=True, packed_out=True
+                cu8, ou8, h_, b, clamped=True, packed_out=True
             )
             return out, fence_stat(out)
 
         return step
 
-    step = make_pallas_step() if args.kernel == "pallas" else make_batched_compose(
-        (pad_h, pad_w)
-    )
+    bg_rgba = (128, 128, 128, 255)
     if args.kernel == "pallas":
-        # engine-style packed-u32 canvas convention: same bytes, no on-device
-        # u8->u32 repack pass (the view is free on the host side)
+        # engine conventions: packed-u32 canvas bytes (free host view; only
+        # used by the fallback tiers — the primary path synthesizes the
+        # background on device), pre-planarized object assets
+        from image_transformation_tpu.ops.compose_pallas import planarize_objects
+
         canvases_dev = canvases.view(np.uint32).reshape(B, H, W).astype(np.int32)
+        objs_dev = np.asarray(planarize_objects(jnp.asarray(objs)))
+        pallas_step = make_pallas_step()
+
+        def step(c, o, h_, b):
+            return pallas_step(c, o, h_, b, bg_rgba, (H, W))
     else:
         canvases_dev = canvases
-    dev_args = tuple(jnp.asarray(x) for x in (canvases_dev, objs, hw, boxes))
+        objs_dev = objs
+        step = make_batched_compose((pad_h, pad_w))
+    dev_args = tuple(jnp.asarray(x) for x in (canvases_dev, objs_dev, hw, boxes))
 
     def fence(x):
         # block_until_ready does not reliably synchronize on the tunneled
@@ -188,7 +212,8 @@ def main() -> None:
             raise
         log(f"pallas path failed ({e}); falling back to the XLA path")
         step = make_batched_compose((pad_h, pad_w))
-        dev_args = (jnp.asarray(canvases), *dev_args[1:])  # u8 NHWC again
+        # u8 NHWC canvases/objects again
+        dev_args = (jnp.asarray(canvases), jnp.asarray(objs), *dev_args[2:])
         out, luma = step(*dev_args)
         fence(luma)
     log(f"first call (incl. compile): {time.perf_counter() - t0:.1f}s")

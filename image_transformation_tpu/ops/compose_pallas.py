@@ -122,8 +122,21 @@ benchmarks/bisect_resize.py --clamped):
    the XLA table builder's by <=1 quantized ulp); bit-equal to gen-2 in
    interpret mode. THIS IS THE BENCH + SWEEP DEFAULT now (tiered loud
    fallback: gen-3 -> gen-2 -> clamped -> XLA).
+13. SINGLE-PROGRAM solid render (render_solid_fused_v3_program): profile
+   showed device time 5.28 ms/batch vs 7.9 ms wall — ~2.6 ms of host
+   dispatch gap across producer/kernel/stat programs, plus the 531 MB
+   canvas pad copy (1.6 ms) in the producer. The on-device background
+   fill writes the padded plane once at speed-of-light (0.87 ms) and the
+   fill + fused kernel + fence stat compile into ONE dispatch: 8312 ->
+   9388 (min-of-3x20; official bench 9476). The old embed-the-kernel
+   pathology (item 3) was specific to the table-building producer.
+   Engine variants measured NEUTRAL and kept documented: pre-planarized
+   object assets (the transpose was already cheap), double-buffered
+   window/object DMAs (still DMA-issue bound). Kernel floor is now
+   compute: ~16.7 us/object-step (in-kernel table build ~5-7 us + limb
+   dots ~7 us), with window DMAs fully hidden.
 The XLA windowed path (ops.compose) remains the default for library calls;
-bench.py uses the fused gen-3 kernel with packed-u32 canvases both ways.
+bench.py embeds the single-program solid render.
 """
 
 from __future__ import annotations
@@ -2523,6 +2536,21 @@ def _pallas_fused_v3(canvas_v, objs_p, meta, out_hw, out_max_hw, method,
               method, interpret, pipelined)
 
 
+def fused_canvas_pad_hw(
+    canvas_hw: Tuple[int, int], out_max_hw: Tuple[int, int]
+) -> Tuple[int, int]:
+    """Padded canvas extent the fused kernels render into (tile + window
+    alignment). With ``padded_out`` the kernel returns this full plane and
+    the host crops by VIEW (free)."""
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    return (
+        max(_round_up(canvas_hw[0], 8), MH),
+        max(_round_up(canvas_hw[1], 128), MW),
+    )
+
+
 def planarize_objects(objs: jnp.ndarray) -> jnp.ndarray:
     """[B, N, ph, pw, 4] u8 -> tile-aligned planar [B, N, 4, ph_a, pw_a].
 
@@ -2537,6 +2565,28 @@ def planarize_objects(objs: jnp.ndarray) -> jnp.ndarray:
         jnp.pad(objs, ((0, 0), (0, 0), (0, ph_a - ph), (0, pw_a - pw), (0, 0))),
         (0, 1, 4, 2, 3),
     )
+
+
+def _fused_v3_meta(obj_hw, boxes, canvas_hw, pad_hw, window_hw):
+    """Clamped window meta [B, N, 10] shared by the v3 producers."""
+    h_c, w_c = canvas_hw
+    hp, wp = pad_hw
+    MH, MW = window_hw
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    w = jnp.maximum(1, boxes[..., 2] - x1)
+    h = jnp.maximum(1, boxes[..., 3] - y1)
+    same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
+    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
+    return jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same.astype(jnp.int32),
+         (~drop).astype(x1.dtype), obj_hw[..., 0], obj_hw[..., 1], h, w],
+        axis=-1,
+    ).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "canvas_hw"))
@@ -2554,26 +2604,10 @@ def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
     planar_in = objs.shape[4] != 4  # planar trailing dim is pw_a (%128)
     mh_a, mw_a = out_max_hw
     MH, MW = window_extents((mh_a, mw_a))
-    hp = max(_round_up(h_c, 8), MH)
-    wp = max(_round_up(w_c, 128), MW)
+    hp, wp = fused_canvas_pad_hw(canvas_hw, out_max_hw)
 
     objs_p = objs if planar_in else planarize_objects(objs)
-
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    w = jnp.maximum(1, boxes[..., 2] - x1)
-    h = jnp.maximum(1, boxes[..., 3] - y1)
-    same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
-    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
-    meta = jnp.stack(
-        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same.astype(jnp.int32),
-         (~drop).astype(x1.dtype), obj_hw[..., 0], obj_hw[..., 1], h, w],
-        axis=-1,
-    ).astype(jnp.int32)
+    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
 
     if canvases.dtype == jnp.uint8:
         canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
@@ -2583,9 +2617,29 @@ def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
     return canvas_v, objs_p, meta
 
 
+@functools.partial(
+    jax.jit, static_argnames=("out_max_hw", "canvas_hw", "batch", "bg_packed")
+)
+def _fused_v3_producer_fill(
+    objs, obj_hw, boxes, out_max_hw, canvas_hw, batch, bg_packed
+):
+    """Fill-background producer: synthesizes the padded packed canvas on
+    device (one write-only fill — profile-attributed ~1.6 ms/batch cheaper
+    than re-padding an uploaded canvas at 1080p batch 64). This is what a
+    solid-background render does anyway (reference fill_solid)."""
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+    hp, wp = fused_canvas_pad_hw(canvas_hw, out_max_hw)
+    planar_in = objs.shape[4] != 4
+    objs_p = objs if planar_in else planarize_objects(objs)
+    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    canvas_v = jnp.full((batch, hp, wp), jnp.int32(bg_packed), jnp.int32)
+    return canvas_v, objs_p, meta
+
+
 def composite_batch_fused_v3(
-    canvases: jnp.ndarray,  # [B, H, W, 4] u8, or [B, H, W] i32 packed RGBA
-    objs: jnp.ndarray,  # [B, N, ph, pw, 4] u8
+    canvases: jnp.ndarray | None,  # [B,H,W,4] u8, [B,H,W] i32 packed, or None
+    objs: jnp.ndarray,  # [B, N, ph, pw, 4] u8, or planar [B, N, 4, ph_a, pw_a]
     obj_hw: jnp.ndarray,  # [B, N, 2] (h, w)
     boxes: jnp.ndarray,  # [B, N, 4]
     out_max_hw: Tuple[int, int] | None = None,
@@ -2593,17 +2647,32 @@ def composite_batch_fused_v3(
     interpret: bool = False,
     packed_out: bool = False,
     pipelined: bool = False,
+    bg_rgba: Tuple[int, int, int, int] | None = None,
+    canvas_hw: Tuple[int, int] | None = None,
+    padded_out: bool = False,
 ) -> jnp.ndarray:
     """Fused resample+blend gen-3: tables built in-kernel (see
-    _make_fused_kernel_v3). Accepts a packed-u32 canvas directly and/or
-    pre-planarized objects (the engine-style calling conventions — skip
-    the u8->u32 repack and the per-call object transpose). ``pipelined``
-    double-buffers window/object DMAs across canvases (grid over objects).
+    _make_fused_kernel_v3). Engine-style calling conventions, each one
+    skipping a full-canvas pass: a packed-u32 canvas input (no u8->u32
+    repack), pre-planarized objects (no per-call transpose), a solid
+    ``bg_rgba`` background synthesized on device (``canvases=None``,
+    ``canvas_hw`` required — no canvas upload OR pad copy; the fresh
+    padded buffer is donated straight into the kernel), and ``padded_out``
+    (with ``packed_out``) returning the full padded plane so the host
+    crops by VIEW. ``pipelined`` double-buffers window/object DMAs across
+    canvases (grid over objects; measured neutral).
 
     Numerics: traced-table envelope (the in-kernel f32 table build can
     differ from the XLA builder by 1 quantized ulp; <= 2/255 vs PIL).
     """
-    h_c, w_c = canvases.shape[1], canvases.shape[2]  # u8 NHWC or packed [B,H,W]
+    if canvases is None:
+        if bg_rgba is None or canvas_hw is None:
+            raise ValueError("canvases=None requires bg_rgba and canvas_hw")
+        h_c, w_c = canvas_hw
+    else:
+        h_c, w_c = canvases.shape[1], canvases.shape[2]
+    if padded_out and not packed_out:
+        raise ValueError("padded_out requires packed_out")
     if objs.shape[4] != 4:  # pre-planarized [B, N, 4, ph_a, pw_a]
         ph, pw = objs.shape[3], objs.shape[4]
     else:
@@ -2612,16 +2681,72 @@ def composite_batch_fused_v3(
         out_max_hw = (ph, pw)
     mh_a = _round_up(out_max_hw[0], 8)
     mw_a = _round_up(out_max_hw[1], 128)
-    canvas_v, objs_p, meta = _fused_v3_producer(
-        canvases, objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c)
+    if canvases is None:
+        r, g, b, a = (int(v) & 255 for v in bg_rgba)
+        bg_packed = r | (g << 8) | (b << 16) | (a << 24)
+        if bg_packed >= 1 << 31:  # signed int32 bit pattern
+            bg_packed -= 1 << 32
+        canvas_v, objs_p, meta = _fused_v3_producer_fill(
+            objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c), objs.shape[0],
+            bg_packed,
+        )
+    else:
+        canvas_v, objs_p, meta = _fused_v3_producer(
+            canvases, objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c)
+        )
+    out_hw = (
+        (canvas_v.shape[1], canvas_v.shape[2]) if padded_out else (h_c, w_c)
     )
     out_v = _pallas_fused_v3(
-        canvas_v, objs_p, meta, (h_c, w_c), (mh_a, mw_a), method, interpret,
+        canvas_v, objs_p, meta, out_hw, (mh_a, mw_a), method, interpret,
         pipelined,
     )
     if packed_out:
         return out_v
     return jax.lax.bitcast_convert_type(out_v, jnp.uint8)
+
+
+def pack_rgba_scalar(bg_rgba: Tuple[int, int, int, int]) -> int:
+    """(r, g, b, a) -> little-endian packed RGBA as a signed int32 pattern."""
+    r, g, b, a = (int(v) & 255 for v in bg_rgba)
+    packed = r | (g << 8) | (b << 16) | (a << 24)
+    return packed - (1 << 32) if packed >= 1 << 31 else packed
+
+
+def render_solid_fused_v3_program(
+    objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar (planarize_objects)
+    obj_hw: jnp.ndarray,  # [B, N, 2]
+    boxes: jnp.ndarray,  # [B, N, 4]
+    canvas_hw: Tuple[int, int],
+    bg_packed: int,  # pack_rgba_scalar(bg_rgba) — static
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+    pipelined: bool = False,
+) -> jnp.ndarray:
+    """ONE-program solid-background batch renderer (traceable, not jitted):
+    on-device background fill + the gen-3 fused kernel, returning the
+    padded packed-u32 plane (crop with a host byte view —
+    ``packed_to_u8_np(out)[:, :H, :W]``).
+
+    Embed in your own jit together with any run-level stats — one dispatch
+    per step. Fusing the fill into the kernel's program removed ~2.6 ms of
+    per-batch host dispatch gap at 1080p batch 64 (8312 -> 9388
+    canvases/sec); the old single-program pathology (STATUS item 3) was
+    specific to the table-building producer, which gen-3 no longer has.
+    """
+    if out_max_hw is None:
+        out_max_hw = (objs_p.shape[3], objs_p.shape[4])
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    hp, wp = fused_canvas_pad_hw(canvas_hw, (mh_a, mw_a))
+    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    canvas_v = jnp.full((objs_p.shape[0], hp, wp), jnp.int32(bg_packed), jnp.int32)
+    return _pallas_fused_v3_impl(
+        canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
+        pipelined,
+    )
 
 
 def composite_batch_pallas_host_tables(

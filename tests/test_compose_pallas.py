@@ -483,3 +483,33 @@ def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
         composite_batch_fused_v3(*dev, interpret=True, pipelined=True)
     )
     assert np.array_equal(v3pipe, v3)
+    # on-device solid-background fill + padded output (host view-crop):
+    # matches compositing onto an uploaded canvas of the same color
+    filled = np.zeros((B, H, W, 4), np.uint8)
+    filled[..., :3] = 40
+    filled[..., 3] = 255
+    ref_fill = np.asarray(
+        composite_batch_fused_v3(jnp.asarray(filled), *dev[1:], interpret=True)
+    )
+    full = np.asarray(
+        composite_batch_fused_v3(
+            None, op, *dev[2:], interpret=True, packed_out=True,
+            padded_out=True, bg_rgba=(40, 40, 40, 255), canvas_hw=(H, W),
+        )
+    )
+    assert np.array_equal(packed_to_u8_np(full)[:, :H, :W], ref_fill)
+    # single-program renderer (the bench headline path): same pixels
+    from image_transformation_tpu.ops.compose_pallas import (
+        pack_rgba_scalar,
+        render_solid_fused_v3_program,
+    )
+
+    single = np.asarray(
+        jax.jit(
+            lambda o, h_, b: render_solid_fused_v3_program(
+                o, h_, b, (H, W), pack_rgba_scalar((40, 40, 40, 255)),
+                interpret=True,
+            )
+        )(op, *dev[2:])
+    )
+    assert np.array_equal(single, full)

@@ -129,3 +129,40 @@ def test_batched_compose_pallas_kernel_falls_back_on_cpu():
     assert np.array_equal(np.asarray(out_x), np.asarray(out_p))
     assert np.array_equal(np.asarray(out_p), np.asarray(out_p2))
     assert np.allclose(np.asarray(luma_x), np.asarray(luma_p))
+
+
+def test_solid_render_step_falls_back_on_cpu():
+    """The one-program solid render step (sweep/bench fast path) must
+    latch the generic fallback on backends without Mosaic and then match
+    the XLA step on the same solid canvases."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.parallel.sweep import (
+        make_batched_compose,
+        make_solid_render_step,
+        random_downscale_boxes,
+    )
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 200, 256, 2
+    rng = np.random.default_rng(5)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 128
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    args = tuple(jnp.asarray(x) for x in (canvases, objs, hw.astype(np.int32),
+                                          boxes.astype(np.int32)))
+    out_x, luma_x = make_batched_compose(pad, kernel="xla")(*args)
+    step_s = make_solid_render_step((H, W), pad)
+    out_s, luma_s = step_s(*args)
+    assert step_s.fallback[0] is not None  # latched on CPU
+    assert np.array_equal(np.asarray(out_x), np.asarray(out_s))
+    assert np.allclose(np.asarray(luma_x), np.asarray(luma_s))
