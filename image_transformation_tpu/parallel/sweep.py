@@ -216,6 +216,62 @@ def sharded_compose_step(
     return step
 
 
+def make_sharded_solid_render(
+    mesh,
+    canvas_hw: Tuple[int, int],
+    out_max_hw: Tuple[int, int],
+    bg_rgba: Tuple[int, int, int, int] = (128, 128, 128, 255),
+    method: str = "lanczos",
+    interpret: bool = False,
+):
+    """Multi-chip variant of the one-program solid render: the gen-3 fused
+    Pallas kernel runs PER DEVICE under shard_map (canvases shard over the
+    mesh ``data`` axis), and the run-level mean luminance is a cross-device
+    ``pmean`` — an actual ICI collective on hardware.
+
+    ``interpret=True`` runs the kernel in the Pallas interpreter (the
+    multi-chip path is validated on a virtual CPU mesh this way; on TPU
+    meshes leave it False).
+
+    step(objs_p [B,N,4,ph_a,pw_a], obj_hw [B,N,2], boxes [B,N,4])
+      -> (padded packed planes [B,hp,wp] sharded over data, global luma [1])
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.compose_pallas import pack_rgba_scalar, render_solid_fused_v3_program
+
+    H, W = canvas_hw
+    bg = pack_rgba_scalar(bg_rgba)
+    coef = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+    data_spec = P("data")
+
+    def local_step(objs_p, obj_hw, boxes):
+        out = render_solid_fused_v3_program(
+            objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method,
+            interpret=interpret,
+        )
+        crop = out[:, :H, :W]
+        chans = [
+            jnp.mean(((crop >> s) & 255).astype(jnp.float32), axis=(1, 2))
+            for s in (0, 8, 16)
+        ]
+        luma = jnp.stack(chans, axis=-1) @ coef
+        # global batch-mean: a cross-device all-reduce over the data axis
+        return out, jax.lax.pmean(jnp.mean(luma, keepdims=True), "data")
+
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(data_spec, data_spec, data_spec),
+            out_specs=(data_spec, P()),
+            # pallas_call cannot declare varying-mesh-axes metadata on its
+            # out_shape; skip the replication checker for this body
+            check_rep=False,
+        )
+    )
+
+
 def random_downscale_boxes(
     rng: np.random.Generator,
     obj_hw: np.ndarray,

@@ -131,6 +131,60 @@ def test_batched_compose_pallas_kernel_falls_back_on_cpu():
     assert np.allclose(np.asarray(luma_x), np.asarray(luma_p))
 
 
+def test_sharded_solid_render_on_mesh():
+    """The gen-3 fused Pallas kernel under shard_map over the 8-device
+    virtual mesh (interpret mode on CPU): per-device rendering plus the
+    cross-device pmean collective must match the single-device XLA step."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.ops.compose_pallas import (
+        packed_to_u8_np,
+        planarize_objects,
+    )
+    from image_transformation_tpu.parallel.mesh import make_mesh
+    from image_transformation_tpu.parallel.sweep import (
+        make_batched_compose,
+        make_sharded_solid_render,
+        random_downscale_boxes,
+    )
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    H, W, B = 160, 256, 8
+    rng = np.random.default_rng(9)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 128
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    objs_p = planarize_objects(jnp.asarray(objs))
+    hw_d = jnp.asarray(hw.astype(np.int32))
+    boxes_d = jnp.asarray(boxes.astype(np.int32))
+
+    mesh = make_mesh(jax.devices()[:8], spatial=1)
+    step = make_sharded_solid_render(mesh, (H, W), pad, interpret=True)
+    out, luma = step(objs_p, hw_d, boxes_d)
+    assert out.shape[0] == B and luma.shape == (1,)
+
+    ref, luma_ref = make_batched_compose(pad, kernel="xla")(
+        jnp.asarray(canvases), jnp.asarray(objs), hw_d, boxes_d
+    )
+    got = packed_to_u8_np(np.asarray(out))[:, :H, :W]
+    # cross-PROGRAM comparisons of traced-table composes carry the usual
+    # +-1 at rounding boundaries (f32 reduction order differs between the
+    # sharded and unsharded compiles — see ops/resize.py)
+    diff = np.abs(got.astype(int) - np.asarray(ref).astype(int))
+    assert diff.max() <= 1
+    assert np.allclose(float(luma[0]), float(np.asarray(luma_ref).mean()),
+                       atol=1e-2)
+
+
 def test_solid_render_step_falls_back_on_cpu():
     """The one-program solid render step (sweep/bench fast path) must
     latch the generic fallback on backends without Mosaic and then match
