@@ -208,9 +208,7 @@ def config3_multi_ratio() -> dict:
             obj_wh[k] = size_map[int(oid)]
             known[k] = True
     median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
-    step = make_fused_render(
-        prog, (h_max, w_max), (arrays.objects.shape[1], arrays.objects.shape[2])
-    )
+    obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
     args = (
         jnp.asarray(np.asarray(sizes_px, np.int32)),
         median.astype(jnp.uint8),
@@ -218,8 +216,19 @@ def config3_multi_ratio() -> dict:
         jnp.asarray(obj_wh),
         jnp.asarray(known),
     )
-    out, boxes, scales, luma = step(*args)
-    fence(luma)
+    # gen-3 fused-kernel compose inside the solve+render program (2.35 ->
+    # 1.11 ms/pass on v5e); loud fallback to the XLA compose.
+    compose_kernel = "pallas"
+    try:
+        step = make_fused_render(prog, (h_max, w_max), obj_pad, kernel="pallas")
+        out, boxes, scales, luma = step(*args)
+        fence(luma)
+    except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
+        log(f"config3: pallas fused render failed ({e!r}); using XLA")
+        compose_kernel = "xla"
+        step = make_fused_render(prog, (h_max, w_max), obj_pad)
+        out, boxes, scales, luma = step(*args)
+        fence(luma)
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -232,6 +241,7 @@ def config3_multi_ratio() -> dict:
     host_ms = (time.perf_counter() - t0) * 1e3
     return {
         "ratios": ratios,
+        "compose_kernel": compose_kernel,
         "device_ms_per_4variant_pass": device_ms,
         "variants_per_sec_device": 4 / (device_ms / 1e3),
         "host_roundtrip_ms": host_ms,

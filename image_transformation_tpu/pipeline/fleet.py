@@ -94,6 +94,7 @@ def run_fleet(
     save: bool = True,
     pixel_budget_size: Optional[Tuple[int, int]] = None,
     reps: int = 1,
+    kernel: str = "xla",
 ) -> Dict:
     """Render every bundle at every ratio; returns a summary dict.
 
@@ -161,7 +162,25 @@ def run_fleet(
         if mesh is not None:
             step = make_sharded_fused_render(mesh, prog, (h_max, w_max), obj_pad, method)
         else:
-            step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
+            # kernel="pallas": gen-3 fused compose inside the solve+render
+            # program (2.1x the XLA pass on v5e), loud XLA fallback
+            if kernel == "pallas":
+                try:
+                    step = make_fused_render(
+                        prog, (h_max, w_max), obj_pad, method, kernel="pallas"
+                    )
+                    step(
+                        jnp.asarray(canvas_wh), median.astype(jnp.uint8),
+                        jnp.asarray(objs), jnp.asarray(obj_wh), jnp.asarray(known),
+                    )
+                except Exception as e:  # noqa: BLE001 - no Mosaic here
+                    import sys as _sys
+
+                    print(f"[fleet] pallas fused render failed ({e!r}); "
+                          "using the XLA compose", file=_sys.stderr)
+                    step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
+            else:
+                step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
 
         args = (
             jnp.asarray(canvas_wh),
@@ -313,6 +332,11 @@ def main(argv=None) -> None:
     parser.add_argument("--mesh", action="store_true",
                         help="Shard ratio variants over all visible devices")
     parser.add_argument("--reps", type=int, default=1)
+    parser.add_argument(
+        "--kernel", choices=["xla", "pallas"], default="pallas",
+        help="compose path for non-mesh runs: gen-3 fused Pallas kernel "
+             "(default, loud XLA fallback) or the XLA compose",
+    )
     parser.add_argument("--no-save", action="store_true")
     parser.add_argument(
         "--full-loop", action="store_true",
@@ -397,6 +421,7 @@ def main(argv=None) -> None:
         save=not args.no_save,
         pixel_budget_size=budget,
         reps=args.reps,
+        kernel=args.kernel,
     )
     print(json.dumps({
         "bundles": len(summary["bundles"]),

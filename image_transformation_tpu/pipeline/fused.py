@@ -32,6 +32,8 @@ def make_fused_render(
     canvas_max_hw: Tuple[int, int],
     obj_pad_hw: Tuple[int, int],
     method: str = "lanczos",
+    kernel: str = "xla",
+    interpret: bool = False,
 ):
     """Build the jitted fused step for one layout structure.
 
@@ -45,6 +47,14 @@ def make_fused_render(
 
     Out-of-canvas area of each padded render is garbage-by-construction
     (solid background); crop with the per-variant (W, H) before use.
+
+    ``kernel="pallas"`` swaps the vmapped XLA compose for the gen-3 fused
+    Pallas kernel (in-kernel tables) INSIDE the same program — layout
+    solve, background fill, resample+blend, and stats still compile into
+    one dispatch. Same signature and padded-render semantics (the plane is
+    bitcast back to u8 NHWC and cropped to (h_max, w_max)). Numerics:
+    traced-table envelope. ``interpret`` runs the kernel in the Pallas
+    interpreter (CPU tests).
     """
     h_max, w_max = canvas_max_hw
 
@@ -64,7 +74,58 @@ def make_fused_render(
             canvas_wh, bg_color, objs, obj_wh, obj_known
         )
 
-    return step
+    if kernel != "pallas":
+        return step
+
+    from ..ops.compose_pallas import (
+        _fused_v3_meta,
+        _pallas_fused_v3_impl,
+        _round_up,
+        fused_canvas_pad_hw,
+        planarize_objects,
+        window_extents,
+    )
+
+    mh_a = _round_up(obj_pad_hw[0], 8)
+    mw_a = _round_up(obj_pad_hw[1], 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    hp, wp = fused_canvas_pad_hw((h_max, w_max), (mh_a, mw_a))
+
+    @jax.jit
+    def pallas_step(canvas_wh, bg_color, objs, obj_wh, obj_known):
+        v = canvas_wh.shape[0]
+        boxes, scales = jax.vmap(
+            lambda wh: solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
+        )(canvas_wh)
+        hw_swapped = obj_wh[:, ::-1]
+        meta = jax.vmap(
+            lambda b_, wh: _fused_v3_meta(
+                hw_swapped, b_, (wh[1], wh[0]), (hp, wp), (MH, MW)
+            )
+        )(boxes, canvas_wh)
+        rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
+        bg_packed = jax.lax.bitcast_convert_type(rgba, jnp.int32)[()]
+        canvas_v = jnp.broadcast_to(bg_packed, (v, hp, wp))
+        objs_p = jnp.broadcast_to(
+            planarize_objects(objs[None]), (v, objs.shape[0], 4,
+                                            _round_up(objs.shape[1], 8),
+                                            _round_up(objs.shape[2], 128))
+        )
+        out_v = _pallas_fused_v3_impl(
+            canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret
+        )
+        crop = out_v[:, :h_max, :w_max]
+        out = jax.lax.bitcast_convert_type(crop, jnp.uint8)
+        chans = [
+            jnp.mean(((crop >> s) & 255).astype(jnp.float32), axis=(1, 2))
+            for s in (0, 8, 16)
+        ]
+        luma = jnp.stack(chans, axis=-1) @ jnp.array(
+            [0.2126, 0.7152, 0.0722], jnp.float32
+        )
+        return out, boxes, scales, luma
+
+    return pallas_step
 
 
 def make_sharded_fused_render(

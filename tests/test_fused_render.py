@@ -57,6 +57,56 @@ def test_fused_multi_ratio_matches_host_pipeline():
         assert diff.max() <= 2, f"{ratio}: max pixel err {diff.max()}"
 
 
+def test_fused_render_pallas_kernel_matches_xla():
+    """make_fused_render(kernel='pallas') — layout solve + background fill
+    + gen-3 fused Pallas compose in one program — must match the XLA step
+    (interpret mode; identical in-kernel table math on CPU)."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.core.bundle import load_bundle
+    from image_transformation_tpu.layout.solve import FlexProgram
+    from image_transformation_tpu.ops.background import masked_median_rgb
+    from image_transformation_tpu.pipeline.fused import make_fused_render
+
+    bundle = load_bundle("data/squarespace")
+    root = _layout_for(bundle)
+    sizes = [compute_canvas_size(bundle.background.size, r, verbose=False)
+             for r in RATIOS]
+    w_max = max(w for w, _ in sizes)
+    h_max = max(h for _, h in sizes)
+    arrays = bundle.to_arrays()
+    prog = FlexProgram.from_dsl(root)
+    n = prog.n_objects
+    obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+    objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+    obj_wh = np.zeros((n, 2), np.int32)
+    known = np.zeros((n,), bool)
+    size_map = bundle.sizes()
+    for k, oid in enumerate(prog.obj_ids):
+        oid = int(oid)
+        if oid in size_map:
+            objs[k] = arrays.objects[arrays.index_of(oid)]
+            obj_wh[k] = size_map[oid]
+            known[k] = True
+    median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+    args = (
+        jnp.asarray(np.asarray(sizes, np.int32)),
+        median.astype(jnp.uint8),
+        jnp.asarray(objs),
+        jnp.asarray(obj_wh),
+        jnp.asarray(known),
+    )
+    ox, bx, sx, lx = make_fused_render(prog, (h_max, w_max), obj_pad)(*args)
+    op, bp, sp, lp = make_fused_render(
+        prog, (h_max, w_max), obj_pad, kernel="pallas", interpret=True
+    )(*args)
+    assert np.array_equal(np.asarray(bx), np.asarray(bp))
+    assert np.array_equal(np.asarray(sx), np.asarray(sp))
+    diff = np.abs(np.asarray(ox).astype(int) - np.asarray(op).astype(int))
+    assert diff.max() <= 1  # cross-program traced-resample envelope
+    assert np.allclose(np.asarray(lx), np.asarray(lp), atol=0.01)
+
+
 def test_fused_render_is_one_program_small():
     bundle = load_bundle("data/squarespace")
     root = _layout_for(bundle)
