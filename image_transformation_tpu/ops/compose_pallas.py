@@ -2749,6 +2749,56 @@ def render_solid_fused_v3_program(
     )
 
 
+def render_gradient_fused_v3_program(
+    objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar
+    obj_hw: jnp.ndarray,  # [B, N, 2]
+    boxes: jnp.ndarray,  # [B, N, 4]
+    canvas_hw: Tuple[int, int],
+    c1: jnp.ndarray,  # [B, 3] u8 gradient start color (per canvas)
+    c2: jnp.ndarray,  # [B, 3] u8 gradient end color
+    horizontal: bool,
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Gradient-background sibling of :func:`render_solid_fused_v3_program`:
+    the linear c1->c2 ramp (reference fill_gradient semantics — f32 lerp
+    over the true canvas extent, truncating u8 cast; see
+    ops/background.gradient_canvas) is synthesized directly as the packed
+    plane, then the gen-3 fused kernel composes in the same program.
+    The pad region extends the ramp clamped at t=1 (cropped by the host
+    view). Returns the padded packed-u32 plane.
+    """
+    if out_max_hw is None:
+        out_max_hw = (objs_p.shape[3], objs_p.shape[4])
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    H, W = canvas_hw
+    hp, wp = fused_canvas_pad_hw(canvas_hw, (mh_a, mw_a))
+    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+
+    n = wp if horizontal else hp
+    limit = W if horizontal else H
+    t = jnp.clip(jnp.arange(n, dtype=jnp.float32) / max(1, limit - 1), 0.0, 1.0)
+    ramp = (
+        (1.0 - t)[None, :, None] * c1.astype(jnp.float32)[:, None, :]
+        + t[None, :, None] * c2.astype(jnp.float32)[:, None, :]
+    )
+    rgb = ramp.astype(jnp.uint8).astype(jnp.int32)  # truncation, as reference
+    packed = (
+        rgb[..., 0] | (rgb[..., 1] << 8) | (rgb[..., 2] << 16)
+        | jnp.int32(-16777216)  # alpha 255 << 24 as a signed bit pattern
+    )
+    if horizontal:
+        canvas_v = jnp.broadcast_to(packed[:, None, :], (packed.shape[0], hp, wp))
+    else:
+        canvas_v = jnp.broadcast_to(packed[:, :, None], (packed.shape[0], hp, wp))
+    return _pallas_fused_v3_impl(
+        canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret
+    )
+
+
 def composite_batch_pallas_host_tables(
     canvases: np.ndarray,
     objs: np.ndarray,

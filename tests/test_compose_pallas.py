@@ -513,3 +513,112 @@ def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
         )(op, *dev[2:])
     )
     assert np.array_equal(single, full)
+
+
+@pytest.mark.parametrize("horizontal", [True, False])
+def test_fused_v3_gradient_render(horizontal, exact_traced_resample):
+    """Gradient-background renderer: the in-program ramp must equal
+    ops.background.gradient_canvas on the cropped region and the composite
+    must match rendering onto that canvas via the v3 kernel."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.background import gradient_canvas
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_fused_v3,
+        packed_to_u8_np,
+        planarize_objects,
+        render_gradient_fused_v3_program,
+    )
+
+    bundle = load_bundle("data/audio_book")
+    arrays = bundle.to_arrays()
+    H, W, B = 300, 512, 2
+    rng = np.random.default_rng(77)
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    c1 = np.array([[200, 30, 40], [10, 220, 30]], np.uint8)
+    c2 = np.array([[20, 40, 230], [240, 240, 10]], np.uint8)
+    op = planarize_objects(jnp.asarray(objs))
+    hw_d = jnp.asarray(hw.astype(np.int32))
+    boxes_d = jnp.asarray(boxes.astype(np.int32))
+    out = np.asarray(
+        render_gradient_fused_v3_program(
+            op, hw_d, boxes_d, (H, W), jnp.asarray(c1), jnp.asarray(c2),
+            horizontal, interpret=True,
+        )
+    )
+    got = packed_to_u8_np(out)[:, :H, :W]
+    refs = []
+    for b in range(B):
+        canvas = np.asarray(
+            gradient_canvas(jnp.asarray(c1[b]), jnp.asarray(c2[b]), H, W,
+                            horizontal)
+        )
+        refs.append(canvas)
+    ref = np.asarray(
+        composite_batch_fused_v3(
+            jnp.asarray(np.stack(refs)), op, hw_d, boxes_d, interpret=True
+        )
+    )
+    assert np.array_equal(got, ref)
+
+
+def test_fused_v3_fuzz_geometries(exact_traced_resample):
+    """Randomized box-geometry fuzz for the gen-3 kernel: random canvas
+    sizes and placements including degenerate (1px), identity-size,
+    edge-hanging, and fully off-canvas boxes — must match the XLA path
+    (exact resample pinned) bit-for-bit in interpret mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose import composite_canvas
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_fused_v3,
+    )
+
+    bundle = load_bundle("data/audio_book")
+    arrays = bundle.to_arrays()
+    pad = arrays.objects.shape[1:3]
+    rng = np.random.default_rng(123)
+    n = arrays.objects.shape[0]
+    for trial in range(4):
+        H = int(rng.integers(40, 700))
+        W = int(rng.integers(130, 1100))
+        B = 2
+        canvases = rng.integers(0, 256, (B, H, W, 4), dtype=np.uint8)
+        canvases[..., 3] = 255
+        objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+        hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+        boxes = np.zeros((B, n, 4), np.int32)
+        for b in range(B):
+            for k in range(n):
+                oh, ow = int(hw[b, k, 0]), int(hw[b, k, 1])
+                mode = rng.integers(0, 5)
+                if mode == 0:  # degenerate 1px box
+                    x1, y1 = int(rng.integers(0, W)), int(rng.integers(0, H))
+                    boxes[b, k] = (x1, y1, x1 + 1, y1 + 1)
+                elif mode == 1:  # identity size, possibly hanging off
+                    x1 = int(rng.integers(0, max(1, W - 5)))
+                    y1 = int(rng.integers(0, max(1, H - 5)))
+                    boxes[b, k] = (x1, y1, x1 + ow, y1 + oh)
+                elif mode == 2:  # fully off-canvas (dropped)
+                    boxes[b, k] = (-ow, -oh, 0, 0)
+                else:  # random downscale, may hang off right/bottom
+                    s = float(rng.uniform(0.2, 1.0))
+                    w = max(1, min(int(ow * s), W))
+                    h = max(1, min(int(oh * s), H))
+                    x1 = int(rng.integers(0, W))
+                    y1 = int(rng.integers(0, H))
+                    boxes[b, k] = (x1, y1, x1 + w, y1 + h)
+        dev = tuple(
+            jnp.asarray(x)
+            for x in (canvases, objs, hw.astype(np.int32), boxes)
+        )
+        out = np.asarray(composite_batch_fused_v3(*dev, interpret=True))
+        ref = np.asarray(
+            jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
+        )
+        assert np.array_equal(out, ref), f"trial {trial} ({W}x{H}) diverged"
