@@ -1559,6 +1559,17 @@ def packed_to_u8_np(packed_np) -> "np.ndarray":
     return arr.view(np.uint8).reshape(*arr.shape, 4)
 
 
+def packed_luma(crop_i32: jnp.ndarray) -> jnp.ndarray:
+    """Mean Rec.709 luminance per canvas of a packed-u32 batch [B, H, W]."""
+    chans = [
+        jnp.mean(((crop_i32 >> s) & 255).astype(jnp.float32), axis=(1, 2))
+        for s in (0, 8, 16)
+    ]
+    return jnp.stack(chans, axis=-1) @ jnp.array(
+        [0.2126, 0.7152, 0.0722], jnp.float32
+    )
+
+
 def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
     """v3 packed blend: clamped windows + row shift baked by the producer.
 
@@ -2682,10 +2693,7 @@ def composite_batch_fused_v3(
     mh_a = _round_up(out_max_hw[0], 8)
     mw_a = _round_up(out_max_hw[1], 128)
     if canvases is None:
-        r, g, b, a = (int(v) & 255 for v in bg_rgba)
-        bg_packed = r | (g << 8) | (b << 16) | (a << 24)
-        if bg_packed >= 1 << 31:  # signed int32 bit pattern
-            bg_packed -= 1 << 32
+        bg_packed = pack_rgba_scalar(bg_rgba)
         canvas_v, objs_p, meta = _fused_v3_producer_fill(
             objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c), objs.shape[0],
             bg_packed,

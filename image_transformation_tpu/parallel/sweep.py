@@ -130,17 +130,15 @@ def make_solid_render_step(
     host bytes view-crop to RGBA). Latched loud fallback to the generic
     pallas/XLA step (which does consume the canvases) on kernel failure.
     """
-    from functools import partial as _partial
-
     from ..ops.compose_pallas import (
         pack_rgba_scalar,
+        packed_luma,
         planarize_objects,
         render_solid_fused_v3_program,
     )
 
     H, W = canvas_hw
     bg = pack_rgba_scalar(bg_rgba)
-    coef = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
 
     @jax.jit
     def render(objs, obj_hw, boxes):
@@ -148,16 +146,12 @@ def make_solid_render_step(
         out = render_solid_fused_v3_program(
             objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method
         )
-        crop = out[:, :H, :W]
-        chans = [
-            jnp.mean(((crop >> s) & 255).astype(jnp.float32), axis=(1, 2))
-            for s in (0, 8, 16)
-        ]
-        return out, jnp.stack(chans, axis=-1) @ coef
+        return out, packed_luma(out[:, :H, :W])
 
     fallback = [None]
 
     def step(canvases, objs, obj_hw, boxes):
+        del canvases  # background comes from bg_rgba on EVERY path
         if fallback[0] is None:
             try:
                 return render(objs, obj_hw, boxes)
@@ -177,7 +171,11 @@ def make_solid_render_step(
         objs_u8 = (
             objs if objs.shape[4] == 4 else jnp.transpose(objs, (0, 1, 3, 4, 2))
         )
-        return fallback[0](canvases, objs_u8, obj_hw, boxes)
+        # synthesize the same bg canvases the fast path fills, so both
+        # paths return identical pixels regardless of what callers pass
+        rgba = jnp.array(bg_rgba, jnp.uint8)
+        bg_canvases = jnp.broadcast_to(rgba, (objs.shape[0], H, W, 4))
+        return fallback[0](bg_canvases, objs_u8, obj_hw, boxes)
 
     step.fallback = fallback  # introspectable for tests
     return step
@@ -238,11 +236,14 @@ def make_sharded_solid_render(
     """
     from jax.experimental.shard_map import shard_map
 
-    from ..ops.compose_pallas import pack_rgba_scalar, render_solid_fused_v3_program
+    from ..ops.compose_pallas import (
+        pack_rgba_scalar,
+        packed_luma,
+        render_solid_fused_v3_program,
+    )
 
     H, W = canvas_hw
     bg = pack_rgba_scalar(bg_rgba)
-    coef = jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
     data_spec = P("data")
 
     def local_step(objs_p, obj_hw, boxes):
@@ -250,12 +251,7 @@ def make_sharded_solid_render(
             objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method,
             interpret=interpret,
         )
-        crop = out[:, :H, :W]
-        chans = [
-            jnp.mean(((crop >> s) & 255).astype(jnp.float32), axis=(1, 2))
-            for s in (0, 8, 16)
-        ]
-        luma = jnp.stack(chans, axis=-1) @ coef
+        luma = packed_luma(out[:, :H, :W])
         # global batch-mean: a cross-device all-reduce over the data axis
         return out, jax.lax.pmean(jnp.mean(luma, keepdims=True), "data")
 

@@ -169,10 +169,13 @@ def run_fleet(
                     step = make_fused_render(
                         prog, (h_max, w_max), obj_pad, method, kernel="pallas"
                     )
-                    step(
+                    probe = step(
                         jnp.asarray(canvas_wh), median.astype(jnp.uint8),
                         jnp.asarray(objs), jnp.asarray(obj_wh), jnp.asarray(known),
                     )
+                    # dispatch is async: fence so a runtime kernel failure
+                    # surfaces HERE and latches the fallback, not later
+                    np.asarray(probe[-1])
                 except Exception as e:  # noqa: BLE001 - no Mosaic here
                     import sys as _sys
 

@@ -82,6 +82,7 @@ def make_fused_render(
         _pallas_fused_v3_impl,
         _round_up,
         fused_canvas_pad_hw,
+        packed_luma,
         planarize_objects,
         window_extents,
     )
@@ -98,11 +99,15 @@ def make_fused_render(
             lambda wh: solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
         )(canvas_wh)
         hw_swapped = obj_wh[:, ::-1]
+        # drop/clip against the PADDED (h_max, w_max) canvas — exactly the
+        # XLA step's semantics (composite_canvas paints into the padded
+        # superset; the per-variant crop happens at artifact time), so the
+        # two kernels return identical padded renders and luma stats
         meta = jax.vmap(
-            lambda b_, wh: _fused_v3_meta(
-                hw_swapped, b_, (wh[1], wh[0]), (hp, wp), (MH, MW)
+            lambda b_: _fused_v3_meta(
+                hw_swapped, b_, (h_max, w_max), (hp, wp), (MH, MW)
             )
-        )(boxes, canvas_wh)
+        )(boxes)
         rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
         bg_packed = jax.lax.bitcast_convert_type(rgba, jnp.int32)[()]
         canvas_v = jnp.broadcast_to(bg_packed, (v, hp, wp))
@@ -116,14 +121,7 @@ def make_fused_render(
         )
         crop = out_v[:, :h_max, :w_max]
         out = jax.lax.bitcast_convert_type(crop, jnp.uint8)
-        chans = [
-            jnp.mean(((crop >> s) & 255).astype(jnp.float32), axis=(1, 2))
-            for s in (0, 8, 16)
-        ]
-        luma = jnp.stack(chans, axis=-1) @ jnp.array(
-            [0.2126, 0.7152, 0.0722], jnp.float32
-        )
-        return out, boxes, scales, luma
+        return out, boxes, scales, packed_luma(crop)
 
     return pallas_step
 
