@@ -180,10 +180,15 @@ def fused_multi_ratio_render(
     root: Dict,
     ratios: List[str],
     method: str = "lanczos",
+    kernel: str = "xla",
+    interpret: bool = False,
 ):
     """Render one bundle's layout at several ratios in a single device pass.
 
     Returns {ratio: np.uint8 [H, W, 4]} plus the solved boxes per ratio.
+    ``kernel="pallas"`` routes the compose through the gen-3 fused kernel
+    (see make_fused_render); callers wanting robustness should catch and
+    retry with the default.
     """
     from ..layout.canvas import compute_canvas_size
     from ..ops.background import masked_median_rgb
@@ -211,7 +216,9 @@ def fused_multi_ratio_render(
             known[k] = True
 
     median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
-    step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
+    step = make_fused_render(
+        prog, (h_max, w_max), obj_pad, method, kernel=kernel, interpret=interpret
+    )
     out, boxes, scales, luma = step(
         jnp.asarray(np.asarray(sizes, np.int32)),
         median.astype(jnp.uint8),

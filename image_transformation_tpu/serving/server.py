@@ -17,6 +17,12 @@ API:
          "layout": {"root": {...}}?,         # default: column of all objects
          "background": "solid"|"gradient"?,  # default solid
          "boxes_only": false?}               # true -> JSON placements, no PNG
+    POST /v1/render_batch    -> JSON {ratio: {canvas, boxes, png_b64}}
+        {"bundle": "<stem>", "ratios": ["9:16", "1:1", ...],
+         "layout": {"root": {...}}?}
+        All variants render in ONE fused device pass (solve + background +
+        gen-3 Pallas compose; traced-table numerics <= 2/255 vs PIL — the
+        per-request /v1/render path stays bit-exact).
 """
 
 from __future__ import annotations
@@ -128,6 +134,54 @@ class ComposeService:
         composed = np.asarray(engine.compose(placements))
         return placements, canvas_size, composed
 
+    def render_batch(
+        self,
+        stem: str,
+        ratios,
+        layout: Optional[Dict] = None,
+    ):
+        """All ratio variants in ONE device pass (throughput path).
+
+        Uses the fused solve+background+compose program with the gen-3
+        Pallas kernel (latched fallback to the XLA compose — e.g. on
+        backends without Mosaic); solid median background. Returns
+        {ratio: (canvas_size, boxes list, np.uint8 [H, W, 4])}.
+        Numerics: traced-table envelope (<= 2/255 vs PIL), vs the
+        bit-exact per-request /v1/render path.
+        """
+        from ..pipeline.fused import fused_multi_ratio_render
+
+        bundle = self._bundle(stem)
+        if layout is None:
+            children = [
+                {"object_id": oid, "name": bundle.id_to_label().get(oid, "")}
+                for oid in bundle.object_ids()
+            ]
+            layout = {"root": {"type": "flex", "direction": "column",
+                               "children": children}}
+        if "root" not in layout:
+            raise ValueError("layout must contain 'root'")
+        if not getattr(self, "_batch_kernel_latched", False):
+            try:
+                renders, solved = fused_multi_ratio_render(
+                    bundle, layout["root"], list(ratios), kernel="pallas"
+                )
+            except Exception as e:  # noqa: BLE001 - no Mosaic here
+                import sys
+
+                print(f"[serving] pallas batch render failed ({e!r}); "
+                      "latching the XLA compose", file=sys.stderr)
+                self._batch_kernel_latched = True
+        if getattr(self, "_batch_kernel_latched", False):
+            renders, solved = fused_multi_ratio_render(
+                bundle, layout["root"], list(ratios)
+            )
+        out = {}
+        for r in ratios:
+            img = renders[r]
+            out[r] = ((img.shape[1], img.shape[0]), solved[r].tolist(), img)
+        return out
+
 
 def make_handler(service: ComposeService):
     class Handler(BaseHTTPRequestHandler):
@@ -162,6 +216,8 @@ def make_handler(service: ComposeService):
 
         def do_POST(self):  # noqa: N802
             try:
+                if self.path == "/v1/render_batch":
+                    return self._render_batch()
                 if self.path != "/v1/render":
                     return self._json({"error": "not found"}, 404)
                 length = int(self.headers.get("Content-Length", "0"))
@@ -190,6 +246,44 @@ def make_handler(service: ComposeService):
                 buf = io.BytesIO()
                 Image.fromarray(composed, "RGBA").save(buf, format="PNG")
                 return self._send(200, buf.getvalue(), "image/png")
+            except KeyError as e:
+                return self._json({"error": f"missing field {e}"}, 400)
+            except FileNotFoundError as e:
+                return self._json({"error": str(e)}, 404)
+            except Exception as e:  # noqa: BLE001
+                return self._json({"error": str(e)}, 500)
+
+        def _render_batch(self):
+            """POST /v1/render_batch: all ratio variants in one device pass.
+
+            {"bundle": "<stem>", "ratios": ["9:16", ...],
+             "layout": {"root": {...}}?}  ->
+            {"<ratio>": {"canvas": {...}, "boxes": [...], "png_b64": "..."}}
+            """
+            try:
+                import base64
+                import io
+
+                from PIL import Image
+
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                stem = req["bundle"]
+                ratios = req.get("ratios") or ["1:1"]
+                results = service.render_batch(
+                    stem, ratios, layout=req.get("layout")
+                )
+                payload = {}
+                for r, (canvas_size, boxes, img) in results.items():
+                    buf = io.BytesIO()
+                    Image.fromarray(img, "RGBA").save(buf, format="PNG")
+                    payload[r] = {
+                        "canvas": {"width": canvas_size[0],
+                                   "height": canvas_size[1]},
+                        "boxes": boxes,
+                        "png_b64": base64.b64encode(buf.getvalue()).decode(),
+                    }
+                return self._json(payload)
             except KeyError as e:
                 return self._json({"error": f"missing field {e}"}, 400)
             except FileNotFoundError as e:

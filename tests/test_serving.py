@@ -92,3 +92,35 @@ def test_render_errors(server):
     })
     assert status == 500
     assert b"root" in body
+
+
+def test_render_batch_endpoint(server):
+    """POST /v1/render_batch: all ratio variants in one fused device pass
+    (pallas kernel with latched XLA fallback on CPU); PNGs decode to the
+    solved canvas sizes and match the fused renderer's output."""
+    import base64
+
+    status, body, ctype = _post(server, "/v1/render_batch", {
+        "bundle": "squarespace", "ratios": ["9:16", "1:1"],
+    })
+    assert status == 200 and "json" in ctype
+    payload = json.loads(body)
+    assert set(payload) == {"9:16", "1:1"}
+    for ratio, entry in payload.items():
+        w, h = entry["canvas"]["width"], entry["canvas"]["height"]
+        img = Image.open(io.BytesIO(base64.b64decode(entry["png_b64"])))
+        assert img.size == (w, h)
+        assert len(entry["boxes"]) == 4  # squarespace has 4 objects
+    # 9:16 canvas must be taller than wide, 1:1 square
+    assert payload["9:16"]["canvas"]["height"] > payload["9:16"]["canvas"]["width"]
+    assert (payload["1:1"]["canvas"]["height"]
+            == payload["1:1"]["canvas"]["width"])
+
+
+def test_render_batch_errors(server):
+    status, body, _ = _post(server, "/v1/render_batch", {"ratios": ["1:1"]})
+    assert status == 400
+    status, body, _ = _post(server, "/v1/render_batch", {
+        "bundle": "squarespace", "layout": {"notroot": {}},
+    })
+    assert status == 500 or status == 400
