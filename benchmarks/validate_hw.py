@@ -46,6 +46,17 @@ def pil_composite(bundle, boxes, canvas_hw, bg=(128, 128, 128, 255)):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--random-trials", type=int, default=0,
+        help="additional RANDOM canvas geometries validated through the "
+             "fused gen-3 kernel vs PIL (traced envelope; v3 compiles in "
+             "seconds per geometry)",
+    )
+    cli = parser.parse_args()
+
     from image_transformation_tpu.core.cache import enable_compile_cache
 
     enable_compile_cache()
@@ -131,6 +142,58 @@ def main():
                 "traced": err_t, "fused": err_f, "fused3": err_f3,
                 "exact": err_e,
             }
+
+    if cli.random_trials:
+        from image_transformation_tpu.ops.compose_pallas import (
+            composite_batch_fused_v3,
+        )
+
+        rng = np.random.default_rng(2024)
+        bundles = {
+            name: load_bundle(REPO / "data" / name)
+            for name in ("squarespace", "audio_book")
+        }
+        worst_rand = 0
+        rand = []
+        for t in range(cli.random_trials):
+            name = "squarespace" if t % 2 == 0 else "audio_book"
+            bundle = bundles[name]
+            arrays = bundle.to_arrays()
+            H = int(rng.integers(64, 1400))
+            W = int(rng.integers(200, 2100))
+            B = 3
+            canvases = np.zeros((B, H, W, 4), np.uint8)
+            canvases[..., :3] = rng.integers(0, 256, 3, dtype=np.uint8)
+            canvases[..., 3] = 255
+            objs = np.broadcast_to(
+                arrays.objects, (B, *arrays.objects.shape)
+            ).copy()
+            hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+            boxes = np.stack(
+                [random_downscale_boxes(rng, arrays.obj_hw, (H, W))
+                 for _ in range(B)]
+            )
+            # per-trial edge stress: identity at a corner + hanging off
+            oh0, ow0 = int(arrays.obj_hw[0, 0]), int(arrays.obj_hw[0, 1])
+            boxes[0, 0] = [W - ow0, H - oh0, W, H]
+            boxes[1, 0] = [W - ow0 // 2, H - 3, W + ow0 // 2, H - 3 + oh0]
+            refs = np.stack(
+                [pil_composite(bundle, boxes[i], (H, W),
+                               bg=tuple(int(v) for v in canvases[0, 0, 0]))
+                 for i in range(B)]
+            )
+            dev = tuple(
+                jnp.asarray(x)
+                for x in (canvases, objs, hw.astype(np.int32),
+                          boxes.astype(np.int32))
+            )
+            out = composite_batch_fused_v3(*dev)
+            err = int(max_abs_diff(out, jnp.asarray(refs)))
+            worst_rand = max(worst_rand, err)
+            rand.append({"bundle": name, "canvas": [W, H], "fused3": err})
+            log(f"random trial {t}: {name} {W}x{H} fused3 max err {err}")
+        results["random_trials"] = rand
+        results["worst_random_fused3"] = worst_rand
 
     results["worst_traced"] = worst_traced
     results["worst_exact"] = worst_exact
