@@ -1,0 +1,32 @@
+"""bench.py must survive backends without Mosaic (the driver's contract).
+
+Runs the real benchmark script as a subprocess on CPU with a tiny batch:
+the pallas tiers fail, the loud fallback chain latches the XLA path, and
+exactly one JSON line lands on stdout.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_bench_falls_back_and_prints_one_json_line():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--batch", "2", "--reps", "1",
+         "--pil-canvases", "1"],
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "composited 1080p canvases/sec/chip"
+    assert payload["value"] > 0
+    assert payload["unit"] == "canvases/sec"
+    assert payload["vs_baseline"] > 0
