@@ -135,6 +135,18 @@ benchmarks/bisect_resize.py --clamped):
    window/object DMAs (still DMA-issue bound). Kernel floor is now
    compute: ~16.7 us/object-step (in-kernel table build ~5-7 us + limb
    dots ~7 us), with window DMAs fully hidden.
+14. BIT-EXACT fused compose (composite_batch_fused_v2_host_tables /
+   _fused_v2_exact_apply): the gen-2 kernel fed Pillow-exact HOST tables
+   reproduces PIL bit-for-bit at fused-kernel speed — measured 2764
+   canvases/sec at 1080p batch 16 with tables cached on device (5.8
+   ms/batch, one dispatch) vs ~1365 for the batched exact XLA path.
+   Caveats, measured: per-call table upload (~50 MB/batch-16) costs
+   ~0.5 s over the tunnel (cache tables device-side — ComposeEngine's
+   signature cache does), and the gen-2 kernel pays a MINUTES-long
+   compile per new geometry (60-490 s observed through the remote
+   compile helper; the persistent cache does not reliably cover it) —
+   so ComposeEngine keeps the XLA indexed path as default and exposes
+   this as kernel="pallas"/"auto" opt-in with a loud latched fallback.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render.
 """
@@ -2804,6 +2816,123 @@ def render_gradient_fused_v3_program(
         canvas_v = jnp.broadcast_to(packed[:, :, None], (packed.shape[0], hp, wp))
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret
+    )
+
+
+def fused_v2_host_tables_prep(
+    obj_hw: np.ndarray,  # [B, N, 2] (h, w) host ints
+    boxes: np.ndarray,  # [B, N, 4] host ints (tables need concrete sizes)
+    canvas_hw: Tuple[int, int],
+    obj_pad_hw: Tuple[int, int],
+    out_max_hw: Tuple[int, int],
+    method: str = "lanczos",
+):
+    """Host side of the bit-exact fused compose: Pillow-exact coefficient
+    tables (build_coeffs_host, lru-cached per size) + clamped window meta.
+    Returns numpy (kh [B,N,mw_a,pw_a], kv_t [B,N,ph_a,mh_128], meta)."""
+    from .resize import build_coeffs_host
+
+    obj_hw = np.asarray(obj_hw, np.int64)
+    boxes = np.asarray(boxes, np.int64)
+    B, N = boxes.shape[0], boxes.shape[1]
+    h_c, w_c = canvas_hw
+    ph, pw = obj_pad_hw
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    mh_128 = _round_up(mh_a, 128)
+    ph_a = _round_up(ph, 8)
+    pw_a = _round_up(pw, 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    hp = max(_round_up(h_c, 8), MH)
+    wp = max(_round_up(w_c, 128), MW)
+
+    kh = np.zeros((B, N, mw_a, pw_a), np.int32)
+    kv_t = np.zeros((B, N, ph_a, mh_128), np.int32)
+    meta = np.zeros((B, N, 6), np.int32)
+    for b in range(B):
+        for k in range(N):
+            x1, y1, x2, y2 = (int(v) for v in boxes[b, k])
+            w_t, h_t = max(1, x2 - x1), max(1, y2 - y1)
+            oh, ow = int(obj_hw[b, k, 0]), int(obj_hw[b, k, 1])
+            kh[b, k, :, :pw] = build_coeffs_host(ow, w_t, pw, mw_a, method)
+            kv_t[b, k, :ph, :mh_a] = build_coeffs_host(
+                oh, h_t, ph, mh_a, method
+            ).T
+            drop = x1 < 0 or y1 < 0 or x1 >= w_c or y1 >= h_c
+            x1c = min(max(x1, 0), w_c)
+            y1c = min(max(y1, 0), h_c)
+            ws_x = min((x1c // 128) * 128, wp - MW)
+            ws_y = min((y1c // 8) * 8, hp - MH)
+            meta[b, k] = (
+                ws_x, ws_y, x1c - ws_x, y1c - ws_y,
+                int(w_t == ow and h_t == oh), int(not drop),
+            )
+    return kh, kv_t, meta
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_hw", "out_max_hw", "interpret")
+)
+def _fused_v2_exact_apply(
+    canvases, objs_or_planar, kh, kv_t, meta, out_hw, out_max_hw,
+    interpret=False,
+):
+    """Device side of the bit-exact fused compose, ONE program: canvas
+    pack+pad, object planarize (skipped for pre-planarized assets), and
+    the gen-2 kernel. Inputs may be device-resident (engine case)."""
+    h_c, w_c = out_hw
+    mh_a, mw_a = out_max_hw
+    MH, MW = window_extents((mh_a, mw_a))
+    hp = max(_round_up(h_c, 8), MH)
+    wp = max(_round_up(w_c, 128), MW)
+    if canvases.dtype == jnp.uint8:
+        canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
+    else:
+        canvas_v = canvases
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
+    objs_p = (
+        objs_or_planar
+        if objs_or_planar.shape[4] != 4
+        else planarize_objects(objs_or_planar)
+    )
+    out_v = _pallas_fused_v2_impl(
+        canvas_v, objs_p, kh, kv_t, meta, (h_c, w_c), (mh_a, mw_a), interpret
+    )
+    return jax.lax.bitcast_convert_type(out_v, jnp.uint8)
+
+
+def composite_batch_fused_v2_host_tables(
+    canvases,  # [B, H, W, 4] u8 (or [B, H, W] i32 packed) — may be on device
+    objs,  # [B, N, ph, pw, 4] u8 or planar [B, N, 4, ph_a, pw_a]
+    obj_hw: np.ndarray,  # [B, N, 2] (h, w) HOST ints
+    boxes: np.ndarray,  # [B, N, 4] HOST ints
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """BIT-EXACT fused compose: the gen-2 kernel fed host-exact tables.
+
+    The gen-2 kernel's 3-limb MXU dots are exact integer arithmetic given
+    int32 tables; with Pillow-exact host tables (build_coeffs_host) the
+    whole path reproduces PIL bit-for-bit — at fused-kernel speed. Boxes
+    must be host data (the orchestrator/serving case); canvases/objects
+    may stay device-resident. Returns u8 [B, H, W, 4].
+    """
+    h_c, w_c = canvases.shape[1], canvases.shape[2]
+    if objs.shape[4] != 4:  # pre-planarized
+        ph, pw = objs.shape[3], objs.shape[4]
+    else:
+        ph, pw = objs.shape[2], objs.shape[3]
+    if out_max_hw is None:
+        out_max_hw = (ph, pw)
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    kh, kv_t, meta = fused_v2_host_tables_prep(
+        obj_hw, boxes, (h_c, w_c), (ph, pw), (mh_a, mw_a), method
+    )
+    return _fused_v2_exact_apply(
+        canvases, objs, jnp.asarray(kh), jnp.asarray(kv_t), jnp.asarray(meta),
+        (h_c, w_c), (mh_a, mw_a), interpret,
     )
 
 

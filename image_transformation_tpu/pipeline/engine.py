@@ -20,6 +20,10 @@ from ..core.bundle import BundleArrays
 from ..ops.compose import composite_canvas_tables_indexed
 from ..ops.resize import build_coeffs_host
 
+# Process-wide latch: once the fused exact kernel fails anywhere (e.g. a
+# Mosaic-less CPU backend), every engine skips the doomed attempt.
+_FUSED_DISABLED = [False]
+
 
 class ComposeEngine:
     def __init__(
@@ -27,6 +31,7 @@ class ComposeEngine:
         arrays: BundleArrays,
         canvas_u8: np.ndarray,
         method: str = "lanczos",
+        kernel: str = "xla",
     ):
         self.arrays = arrays
         self.method = method
@@ -46,20 +51,105 @@ class ComposeEngine:
         # re-uploading the coefficient tables (the dominant per-call cost
         # on tunneled hosts).
         self._call_cache: dict = {}
+        # kernel="pallas"/"auto": OPT-IN bit-exact fused gen-2 kernel with
+        # host tables (~2x the batched XLA exact path device time, one
+        # dispatch per compose) with a loud latched fallback to the XLA
+        # indexed path. NOT the default: the gen-2 kernel pays a
+        # minutes-long compile per new canvas geometry (measured 60-490 s
+        # through the remote compile helper, and the persistent cache does
+        # not reliably cover it), while the XLA indexed path compiles in
+        # seconds-to-tens and is equally bit-exact.
+        self._use_fused = kernel in ("auto", "pallas")
+        self._objs_planar = None
+
+    def _fused_compose(self, live: List[Dict], signature) -> jnp.ndarray:
+        from ..ops.compose_pallas import (
+            _fused_v2_exact_apply,
+            fused_v2_host_tables_prep,
+            planarize_objects,
+        )
+
+        cached = self._call_cache.get(signature)
+        if cached is None:
+            n = len(live)
+            perm = np.zeros((n,), np.int32)
+            boxes = np.zeros((n, 4), np.int64)
+            obj_hw = np.zeros((n, 2), np.int64)
+            for k, p in enumerate(live):
+                idx = self._id_to_idx[int(p["object_id"])]
+                perm[k] = idx
+                boxes[k] = tuple(int(v) for v in p["box"])
+                obj_hw[k] = tuple(int(v) for v in self.arrays.obj_hw[idx])
+            kh, kv_t, meta = fused_v2_host_tables_prep(
+                obj_hw[None], boxes[None],
+                (self.canvas_dev.shape[0], self.canvas_dev.shape[1]),
+                (self.pad_h, self.pad_w),
+                (self.out_max_h, self.out_max_w), self.method,
+            )
+            if self._objs_planar is None:
+                self._objs_planar = planarize_objects(self.objs_dev[None])[0]
+            objs_sel = self._objs_planar[jnp.asarray(perm)]
+            cached = (
+                objs_sel[None], jnp.asarray(kh), jnp.asarray(kv_t),
+                jnp.asarray(meta),
+            )
+            if len(self._call_cache) < 64:
+                self._call_cache[signature] = cached
+        objs_p, kh_d, kv_d, meta_d = cached
+        mh_a = -(-self.out_max_h // 8) * 8
+        mw_a = -(-self.out_max_w // 128) * 128
+        out = _fused_v2_exact_apply(
+            self.canvas_dev[None], objs_p, kh_d, kv_d, meta_d,
+            (self.canvas_dev.shape[0], self.canvas_dev.shape[1]),
+            (mh_a, mw_a),
+        )
+        return out[0]
 
     def compose(self, placements: List[Dict]) -> jnp.ndarray:
         """Compose placements (list order = z-order) onto the base canvas.
 
         Unknown object ids are skipped, matching the reference compositor.
         Returns the device array (uint8 [H, W, 4]); callers np.asarray() it
-        at artifact-save time.
+        at artifact-save time. Bit-exact vs PIL on every path.
         """
         live = [p for p in placements if int(p["object_id"]) in self._id_to_idx]
         if not live:
             return self.canvas_dev
+        for p in live:
+            x1, y1, x2, y2 = (int(v) for v in p["box"])
+            w, h = max(1, x2 - x1), max(1, y2 - y1)
+            if w > self.out_max_w or h > self.out_max_h:
+                raise ValueError(
+                    f"placement box {w}x{h} exceeds the downscale-only "
+                    f"envelope {self.out_max_w}x{self.out_max_h}; use "
+                    "ops.compose.composite_exact for upscaling placements"
+                )
         signature = tuple(
             (int(p["object_id"]), tuple(int(v) for v in p["box"])) for p in live
         )
+        if self._use_fused and not _FUSED_DISABLED[0]:
+            try:
+                out = self._fused_compose(live, ("fused", signature))
+                if not getattr(self, "_fused_validated", False):
+                    # block only on the FIRST fused compose so a runtime
+                    # kernel failure latches the fallback here; afterwards
+                    # stay async (output consumed at artifact-save time)
+                    import jax
+
+                    jax.block_until_ready(out)
+                    self._fused_validated = True
+                return out
+            except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
+                import sys
+
+                print(
+                    f"[engine] fused exact compose failed ({e!r}); "
+                    "latching the XLA indexed path",
+                    file=sys.stderr,
+                )
+                self._use_fused = False
+                _FUSED_DISABLED[0] = True
+                self._call_cache.clear()
         cached = self._call_cache.get(signature)
         if cached is not None:
             return composite_canvas_tables_indexed(
@@ -77,12 +167,6 @@ class ComposeEngine:
             x1, y1, x2, y2 = (int(v) for v in p["box"])
             boxes[k] = (x1, y1, x2, y2)
             w, h = max(1, x2 - x1), max(1, y2 - y1)
-            if w > self.out_max_w or h > self.out_max_h:
-                raise ValueError(
-                    f"placement box {w}x{h} exceeds the downscale-only "
-                    f"envelope {self.out_max_w}x{self.out_max_h}; use "
-                    "ops.compose.composite_exact for upscaling placements"
-                )
             oh, ow = (int(v) for v in self.arrays.obj_hw[idx])
             kh[k] = build_coeffs_host(ow, w, self.pad_w, self.out_max_w, self.method)
             kv[k] = build_coeffs_host(oh, h, self.pad_h, self.out_max_h, self.method)

@@ -566,6 +566,83 @@ def test_fused_v3_gradient_render(horizontal, exact_traced_resample):
     assert np.array_equal(got, ref)
 
 
+@pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
+def test_fused_v2_host_tables_bit_exact(bundle_name):
+    """The gen-2 kernel fed Pillow-exact host tables must reproduce the
+    exact XLA path (and therefore PIL) bit-for-bit — for both u8 NHWC and
+    pre-planarized object inputs (interpret mode)."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_fused_v2_host_tables,
+        planarize_objects,
+    )
+
+    bundle = load_bundle(f"data/{bundle_name}")
+    arrays = bundle.to_arrays()
+    H, W, B = 400, 640, 2
+    rng = np.random.default_rng(41)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 90
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    oh0, ow0 = int(arrays.obj_hw[0, 0]), int(arrays.obj_hw[0, 1])
+    boxes[0, 0] = [W - ow0, H - oh0, W, H]           # identity at the corner
+    boxes[1, 0] = [W - ow0 // 2, H - 5, W + ow0 // 2, H - 5 + oh0]  # hangs off
+    out = np.asarray(
+        composite_batch_fused_v2_host_tables(
+            jnp.asarray(canvases), jnp.asarray(objs), hw, boxes, interpret=True
+        )
+    )
+    op = planarize_objects(jnp.asarray(objs))
+    out_p = np.asarray(
+        composite_batch_fused_v2_host_tables(
+            jnp.asarray(canvases), op, hw, boxes, interpret=True
+        )
+    )
+    for b in range(B):
+        ref = np.asarray(composite_exact(canvases[b], objs[b], hw[b], boxes[b]))
+        assert np.array_equal(out[b], ref), f"canvas {b} diverged"
+        assert np.array_equal(out_p[b], ref), f"planar canvas {b} diverged"
+
+
+def test_compose_engine_auto_kernel_falls_back():
+    """ComposeEngine(kernel='auto') — the opt-in fused exact path — on a
+    Mosaic-less backend latches the XLA indexed path loudly and stays
+    bit-identical to the default kernel='xla'."""
+    from image_transformation_tpu.layout.flex import solve_flex
+    from image_transformation_tpu.pipeline import engine as engine_mod
+    from image_transformation_tpu.pipeline.engine import ComposeEngine
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    canvas = np.zeros((300, 300, 4), np.uint8)
+    canvas[..., :3] = 77
+    canvas[..., 3] = 255
+    root = {
+        "type": "flex", "direction": "column",
+        "children": [
+            {"object_id": oid, "name": bundle.meta[oid].label}
+            for oid in bundle.object_ids()
+        ],
+    }
+    placements = solve_flex(root, (300, 300), bundle.sizes())
+    prior = engine_mod._FUSED_DISABLED[0]
+    try:
+        engine_mod._FUSED_DISABLED[0] = False
+        auto = ComposeEngine(arrays, canvas, kernel="auto")
+        out_auto = np.asarray(auto.compose(placements))
+        xla = ComposeEngine(arrays, canvas, kernel="xla")
+        out_xla = np.asarray(xla.compose(placements))
+        assert np.array_equal(out_auto, out_xla)
+    finally:
+        engine_mod._FUSED_DISABLED[0] = prior
+
+
 def test_fused_v3_fuzz_geometries(exact_traced_resample):
     """Randomized box-geometry fuzz for the gen-3 kernel: random canvas
     sizes and placements including degenerate (1px), identity-size,
