@@ -142,10 +142,12 @@ benchmarks/bisect_resize.py --clamped):
    ms/batch, one dispatch) vs ~1365 for the batched exact XLA path.
    Caveats, measured: per-call table upload (~50 MB/batch-16) costs
    ~0.5 s over the tunnel (cache tables device-side — ComposeEngine's
-   signature cache does), and the gen-2 kernel pays a MINUTES-long
-   compile per new geometry (60-490 s observed through the remote
-   compile helper; the persistent cache does not reliably cover it) —
-   so ComposeEngine keeps the XLA indexed path as default and exposes
+   signature cache does), and Mosaic kernel compiles through the remote
+   compile helper are WILDLY variable per new geometry (3 s to 8 min
+   observed for the SAME program across runs, affecting gen-3 too — one
+   probe measured v3 at 174 s and v2 at 3.3 s back-to-back; the
+   persistent cache does not reliably cover them) — so ComposeEngine
+   keeps the quick-compiling XLA indexed path as default and exposes
    this as kernel="pallas"/"auto" opt-in with a loud latched fallback.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render.
