@@ -20,6 +20,12 @@ def enable_compile_cache(path: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist EVERY compile: on tunneled dev hosts each tiny eager-op
+        # compile costs ~0.5 s through the remote compile helper, and a
+        # fresh process re-pays dozens of them (measured: the contact-sheet
+        # step alone took 178-404 s cold vs seconds warm). Disk entries are
+        # a few KB each; lookups are local.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

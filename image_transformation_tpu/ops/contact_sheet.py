@@ -30,9 +30,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
-from .compose import composite_exact
-
-
 def thumbnail_size(src_wh: Tuple[int, int], max_wh: Tuple[int, int]) -> Tuple[int, int]:
     """PIL Image.thumbnail target-size math (aspect preserved, never up)."""
     w, h = src_wh
@@ -147,28 +144,24 @@ def build_labeled_contact_sheet(
     cell_h = thumb_size[1] + label_height
     sheet_w, sheet_h = cols * cell_w, rows * cell_h
 
-    # One exact-compose program paints every thumbnail (resize + paste).
-    n = len(ids)
-    pad_h = max(o.size[1] for o in objects.values())
-    pad_w = max(o.size[0] for o in objects.values())
-    objs = np.zeros((n, pad_h, pad_w, 4), np.uint8)
-    hw = np.zeros((n, 2), np.int32)
-    boxes = np.zeros((n, 4), np.int32)
+    # Per-thumbnail device resample (exact kernel) + PIL-exact host paste.
+    # The heavy pixel op (Lanczos) runs on device; pasting a <=256 px thumb
+    # onto the opaque white sheet is microseconds on host. (A previous
+    # version painted every thumb in one exact-compose program at the
+    # SHEET geometry — bit-identical, but on tunneled dev hosts loading
+    # that big scan-based executable into the device runtime cost
+    # 40-850 s per fresh process even on persistent-cache hits, while the
+    # small per-thumb resize programs load in ~seconds total.)
+    sheet = Image.new("RGBA", (sheet_w, sheet_h), (255, 255, 255, 255))
     for k, oid in enumerate(ids):
-        arr = np.asarray(objects[oid].convert("RGBA"))
-        objs[k, : arr.shape[0], : arr.shape[1]] = arr
-        hw[k] = arr.shape[:2]
-        tw, th = thumbnail_size(objects[oid].size, thumb_size)
+        thumb = thumbnail_exact_u8(
+            np.asarray(objects[oid].convert("RGBA")), thumb_size
+        )
+        th, tw = thumb.shape[:2]
         r, c = divmod(k, cols)
         x = c * cell_w + (cell_w - tw) // 2
         y = r * cell_h + (thumb_size[1] - th) // 2
-        boxes[k] = (x, y, x + tw, y + th)
-
-    canvas = np.full((sheet_h, sheet_w, 4), 255, np.uint8)
-    sheet_arr = np.asarray(
-        composite_exact(canvas, objs, hw, boxes, out_max_hw=(thumb_size[1], thumb_size[0]))
-    )
-    sheet = Image.fromarray(sheet_arr, "RGBA")
+        sheet.alpha_composite(Image.fromarray(thumb, "RGBA"), dest=(x, y))
 
     # Label band: host-side text rasterization.
     draw = ImageDraw.Draw(sheet)
