@@ -61,6 +61,7 @@ class ComposeEngine:
         # seconds-to-tens and is equally bit-exact.
         self._use_fused = kernel in ("auto", "pallas")
         self._objs_planar = None
+        self._perm_cache: dict = {}
 
     def _fused_compose(self, live: List[Dict], signature) -> jnp.ndarray:
         from ..ops.compose_pallas import (
@@ -88,9 +89,17 @@ class ComposeEngine:
             )
             if self._objs_planar is None:
                 self._objs_planar = planarize_objects(self.objs_dev[None])[0]
-            objs_sel = self._objs_planar[jnp.asarray(perm)]
+            # cache gathered object planes per unique PERM (signatures
+            # share the object order, only boxes differ — per-signature
+            # copies would duplicate the planes up to 64x in HBM)
+            perm_key = tuple(int(v) for v in perm)
+            objs_sel = self._perm_cache.get(perm_key)
+            if objs_sel is None:
+                objs_sel = self._objs_planar[jnp.asarray(perm)][None]
+                if len(self._perm_cache) < 16:
+                    self._perm_cache[perm_key] = objs_sel
             cached = (
-                objs_sel[None], jnp.asarray(kh), jnp.asarray(kv_t),
+                objs_sel, jnp.asarray(kh), jnp.asarray(kv_t),
                 jnp.asarray(meta),
             )
             if len(self._call_cache) < 64:
@@ -148,7 +157,12 @@ class ComposeEngine:
                     file=sys.stderr,
                 )
                 self._use_fused = False
-                _FUSED_DISABLED[0] = True
+                # only a NEVER-validated fused path latches process-wide
+                # (structural: no Mosaic on this backend); a failure after
+                # a successful compose is likely transient/input-specific
+                # and should not disable the opt-in for other engines
+                if not getattr(self, "_fused_validated", False):
+                    _FUSED_DISABLED[0] = True
                 self._call_cache.clear()
         cached = self._call_cache.get(signature)
         if cached is not None:

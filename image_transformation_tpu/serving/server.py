@@ -43,6 +43,8 @@ class ComposeService:
         self._lock = threading.Lock()
         self._bundles: Dict[str, object] = {}
         self._engines: Dict[Tuple[str, int, int, str], object] = {}
+        self._batch_steps: Dict[tuple, tuple] = {}
+        self._batch_latched = False
 
     def list_bundles(self):
         """Cheap listing: results.json + the PNG header only (no object
@@ -100,13 +102,10 @@ class ComposeService:
             # resident engine (the setdefault winner), drop the loser
             return self._engines.setdefault(key, engine)
 
-    def solve(self, stem: str, ratio: str, layout: Optional[Dict] = None):
-        """Solve only (no device work): returns (placements, canvas_size)."""
-        from ..layout.canvas import compute_canvas_size
-        from ..layout.flex import solve_flex
-
-        bundle = self._bundle(stem)
-        canvas_size = compute_canvas_size(bundle.background.size, ratio, verbose=False)
+    @staticmethod
+    def _resolve_layout(bundle, layout: Optional[Dict]) -> Dict:
+        """Default column-of-all-objects layout + 'root' validation (shared
+        by the per-request and batch endpoints)."""
         if layout is None:
             children = [
                 {"object_id": oid, "name": bundle.id_to_label().get(oid, "")}
@@ -116,6 +115,16 @@ class ComposeService:
                                "children": children}}
         if "root" not in layout:
             raise ValueError("layout must contain 'root'")
+        return layout
+
+    def solve(self, stem: str, ratio: str, layout: Optional[Dict] = None):
+        """Solve only (no device work): returns (placements, canvas_size)."""
+        from ..layout.canvas import compute_canvas_size
+        from ..layout.flex import solve_flex
+
+        bundle = self._bundle(stem)
+        canvas_size = compute_canvas_size(bundle.background.size, ratio, verbose=False)
+        layout = self._resolve_layout(bundle, layout)
         placements = solve_flex(layout["root"], canvas_size, bundle.sizes())
         return placements, canvas_size
 
@@ -144,42 +153,95 @@ class ComposeService:
 
         Uses the fused solve+background+compose program with the gen-3
         Pallas kernel (latched fallback to the XLA compose — e.g. on
-        backends without Mosaic); solid median background. Returns
-        {ratio: (canvas_size, boxes list, np.uint8 [H, W, 4])}.
+        backends without Mosaic); solid median background. The compiled
+        step and its device inputs are CACHED per (bundle, layout
+        structure, ratio set) — jax.jit caches by function identity, so
+        rebuilding the closure per request would re-trace/re-compile every
+        time. Request validation happens before any kernel work, so user
+        errors (bad ratio/layout) raise without latching the fallback.
+        Returns {ratio: (canvas_size, boxes list, np.uint8 [H, W, 4])}.
         Numerics: traced-table envelope (<= 2/255 vs PIL), vs the
         bit-exact per-request /v1/render path.
         """
-        from ..pipeline.fused import fused_multi_ratio_render
+        import json as _json
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..layout.canvas import compute_canvas_size
+        from ..layout.solve import FlexProgram
+        from ..ops.background import masked_median_rgb
+        from ..pipeline.fused import make_fused_render
 
         bundle = self._bundle(stem)
-        if layout is None:
-            children = [
-                {"object_id": oid, "name": bundle.id_to_label().get(oid, "")}
-                for oid in bundle.object_ids()
-            ]
-            layout = {"root": {"type": "flex", "direction": "column",
-                               "children": children}}
-        if "root" not in layout:
-            raise ValueError("layout must contain 'root'")
-        if not getattr(self, "_batch_kernel_latched", False):
-            try:
-                renders, solved = fused_multi_ratio_render(
-                    bundle, layout["root"], list(ratios), kernel="pallas"
-                )
-            except Exception as e:  # noqa: BLE001 - no Mosaic here
-                import sys
+        layout = self._resolve_layout(bundle, layout)
+        ratios = list(ratios)
+        # ---- user-input validation: raises BEFORE any kernel attempt ----
+        sizes = [
+            compute_canvas_size(bundle.background.size, r, verbose=False)
+            for r in ratios
+        ]
+        prog = FlexProgram.from_dsl(layout["root"])
 
-                print(f"[serving] pallas batch render failed ({e!r}); "
-                      "latching the XLA compose", file=sys.stderr)
-                self._batch_kernel_latched = True
-        if getattr(self, "_batch_kernel_latched", False):
-            renders, solved = fused_multi_ratio_render(
-                bundle, layout["root"], list(ratios)
+        w_max = max(w for w, _ in sizes)
+        h_max = max(h for _, h in sizes)
+        key = (
+            stem, _json.dumps(layout["root"], sort_keys=True),
+            tuple(ratios), h_max, w_max,
+        )
+        with self._lock:
+            entry = self._batch_steps.get(key)
+        if entry is None:
+            arrays = bundle.to_arrays()
+            obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+            n = prog.n_objects
+            objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+            obj_wh = np.zeros((n, 2), np.int32)
+            known = np.zeros((n,), bool)
+            size_map = bundle.sizes()
+            for k, oid in enumerate(prog.obj_ids):
+                oid = int(oid)
+                if oid in size_map:
+                    objs[k] = arrays.objects[arrays.index_of(oid)]
+                    obj_wh[k] = size_map[oid]
+                    known[k] = True
+            median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+            args = (
+                jnp.asarray(np.asarray(sizes, np.int32)),
+                median.astype(jnp.uint8),
+                jnp.asarray(objs),
+                jnp.asarray(obj_wh),
+                jnp.asarray(known),
             )
+            step = None
+            if not self._batch_latched:
+                try:
+                    step = make_fused_render(
+                        prog, (h_max, w_max), obj_pad, kernel="pallas"
+                    )
+                    probe = step(*args)
+                    np.asarray(probe[-1])  # fence: async failures latch HERE
+                except Exception as e:  # noqa: BLE001 - no Mosaic here
+                    import sys
+
+                    print(f"[serving] pallas batch render failed ({e!r}); "
+                          "latching the XLA compose", file=sys.stderr)
+                    with self._lock:
+                        self._batch_latched = True
+                    step = None
+            if step is None:
+                step = make_fused_render(prog, (h_max, w_max), obj_pad)
+            entry = (step, args)
+            with self._lock:
+                entry = self._batch_steps.setdefault(key, entry)
+        step, args = entry
+        result = step(*args)
+        out_np = np.asarray(result[0])
+        boxes_np = np.asarray(result[1])
         out = {}
-        for r in ratios:
-            img = renders[r]
-            out[r] = ((img.shape[1], img.shape[0]), solved[r].tolist(), img)
+        for i, r in enumerate(ratios):
+            w, h = sizes[i]
+            out[r] = ((w, h), boxes_np[i].tolist(), out_np[i, :h, :w])
         return out
 
 

@@ -124,3 +124,19 @@ def test_render_batch_errors(server):
         "bundle": "squarespace", "layout": {"notroot": {}},
     })
     assert status == 500 or status == 400
+
+
+def test_render_batch_user_errors_do_not_latch():
+    """A malformed request (bad ratio / bad layout) must raise during
+    validation WITHOUT latching the kernel fallback — only backend/kernel
+    failures may downgrade the serving daemon."""
+    svc = ComposeService("data")
+    with pytest.raises(Exception):
+        svc.render_batch("squarespace", ["not-a-ratio"])
+    with pytest.raises(ValueError):
+        svc.render_batch("squarespace", ["1:1"], layout={"notroot": {}})
+    assert svc._batch_latched is False
+    # a valid request afterwards still works (CPU latches here, loudly,
+    # because Mosaic is unavailable — that IS a kernel failure)
+    out = svc.render_batch("squarespace", ["1:1"])
+    assert "1:1" in out
