@@ -140,3 +140,27 @@ def test_render_batch_user_errors_do_not_latch():
     # because Mosaic is unavailable — that IS a kernel failure)
     out = svc.render_batch("squarespace", ["1:1"])
     assert "1:1" in out
+
+
+def test_concurrent_render_requests(server):
+    """ThreadingHTTPServer + device dispatch: concurrent render requests on
+    the same and different engines must all succeed with identical pixels
+    for identical inputs (the engine cache races are lock-guarded)."""
+    import concurrent.futures
+
+    def one(i):
+        ratio = "1:1" if i % 2 == 0 else "9:16"
+        status, body, ctype = _post(server, "/v1/render", {
+            "bundle": "squarespace", "ratio": ratio,
+        })
+        assert status == 200 and "png" in ctype, (status, ctype)
+        return ratio, body
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(one, range(12)))
+    by_ratio = {}
+    for ratio, body in results:
+        by_ratio.setdefault(ratio, set()).add(body)
+    # identical requests -> identical PNG bytes
+    for ratio, bodies in by_ratio.items():
+        assert len(bodies) == 1, f"{ratio}: {len(bodies)} distinct renders"
