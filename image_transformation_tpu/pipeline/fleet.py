@@ -338,7 +338,8 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--kernel", choices=["xla", "pallas"], default="pallas",
         help="compose path for non-mesh runs: gen-3 fused Pallas kernel "
-             "(default, loud XLA fallback) or the XLA compose",
+             "(default, loud XLA fallback) or the XLA compose; --mesh runs "
+             "always use the sharded XLA renderer",
     )
     parser.add_argument("--no-save", action="store_true")
     parser.add_argument(

@@ -233,6 +233,8 @@ class ComposeService:
                 step = make_fused_render(prog, (h_max, w_max), obj_pad)
             entry = (step, args)
             with self._lock:
+                if len(self._batch_steps) >= 32:  # bound device/host memory
+                    self._batch_steps.pop(next(iter(self._batch_steps)))
                 entry = self._batch_steps.setdefault(key, entry)
         step, args = entry
         result = step(*args)
