@@ -1574,14 +1574,19 @@ def packed_to_u8_np(packed_np) -> "np.ndarray":
 
 
 def packed_luma(crop_i32: jnp.ndarray) -> jnp.ndarray:
-    """Mean Rec.709 luminance per canvas of a packed-u32 batch [B, H, W]."""
-    chans = [
-        jnp.mean(((crop_i32 >> s) & 255).astype(jnp.float32), axis=(1, 2))
-        for s in (0, 8, 16)
-    ]
-    return jnp.stack(chans, axis=-1) @ jnp.array(
-        [0.2126, 0.7152, 0.0722], jnp.float32
+    """Mean Rec.709 luminance per canvas of a packed-u32 batch [B, H, W].
+
+    Single pass: the weighted per-pixel luminance reduces once instead of
+    three per-channel means (three separate reduces each re-read the full
+    plane — ~6 GB/batch at 4K b64). Same value: mean is linear, so
+    mean(Σ wᵢ cᵢ) == Σ wᵢ mean(cᵢ) up to f32 reduction rounding.
+    """
+    lum = (
+        0.2126 * (crop_i32 & 255).astype(jnp.float32)
+        + 0.7152 * ((crop_i32 >> 8) & 255).astype(jnp.float32)
+        + 0.0722 * ((crop_i32 >> 16) & 255).astype(jnp.float32)
     )
+    return jnp.mean(lum, axis=(1, 2))
 
 
 def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
