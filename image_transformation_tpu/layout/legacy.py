@@ -2,16 +2,21 @@
 
 The reference exports these from layout_constraints.py even though the main
 pipeline no longer calls them (SURVEY.md §2.6.5); they remain part of the
-public API. Parity anchors: /root/reference/layout_constraints.py:144-342.
-All of this is scalar host logic on object metadata — no device work.
+public API. Parity anchors: /root/reference/layout_constraints.py:144-342
+(outputs cross-checked bit-exact in tests/test_cross_legacy.py).
+
+All of this is scalar host logic on object metadata — no device work. The
+alignment arithmetic is factored into three axis primitives (`_aligned`,
+`_cross_pos`, `_main_start`) shared by the single-object and tiled paths,
+and cell bookkeeping goes through a small take-first-free pool.
 """
 
 from __future__ import annotations
 
 import json
-import os
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Tuple
 
 from PIL import Image
 
@@ -36,70 +41,144 @@ class Placement:
 
 
 def load_object_meta(objects_dir: str, results_json_path: str) -> Dict[int, ObjectMeta]:
-    with open(results_json_path, "r", encoding="utf-8") as f:
-        items = json.load(f)
+    base = Path(results_json_path).parent
     meta: Dict[int, ObjectMeta] = {}
-    for it in items:
+    for it in json.loads(Path(results_json_path).read_text(encoding="utf-8")):
         oid = int(it["object_id"])
-        file_abs = os.path.join(os.path.dirname(results_json_path), it["filename"])
+        file_abs = str(base / it["filename"])
         with Image.open(file_abs).convert("RGBA") as im:
             w, h = im.size
         meta[oid] = ObjectMeta(oid, it.get("label", ""), file_abs, w, h)
     return meta
 
 
-_FILL_ORDER = [
+# --------------------------------------------------------------------------
+# Heuristic 3x3 cell assignment
+# --------------------------------------------------------------------------
+
+_FILL_ORDER = (
     "middle_center", "top_center", "bottom_center", "middle_left",
     "middle_right", "top_left", "top_right", "bottom_left", "bottom_right",
-]
+)
+_BRANDING_CELLS = ("top_right", "bottom_right")
+
+
+class _CellPool:
+    """Hands out the first still-free cell from a candidate list."""
+
+    def __init__(self) -> None:
+        self._used: set = set()
+
+    def take(self, candidates: Iterable[CellName]) -> Optional[CellName]:
+        for cell in candidates:
+            if cell not in self._used:
+                self._used.add(cell)
+                return cell
+        return None
+
+
+def _objects_by_area(results_json_path: str) -> List[Tuple[int, str]]:
+    """(object_id, label) ranked by descending bounding-box area."""
+    ranked = []
+    for it in json.loads(Path(results_json_path).read_text(encoding="utf-8")):
+        x1, y1, x2, y2 = it.get("bounding_box", [0, 0, 0, 0])
+        area = max(1, int((x2 - x1) * (y2 - y1)))
+        ranked.append((area, int(it["object_id"]), it.get("label", "")))
+    ranked.sort(key=lambda t: t[0], reverse=True)
+    return [(oid, label) for _, oid, label in ranked]
 
 
 def baseline_cell_assignments(results_json_path: str) -> List[Tuple[int, CellName]]:
     """Heuristic 3x3 cell assignment: hero to center, logo/text to the right
     column, the rest by descending area."""
-    with open(results_json_path, "r", encoding="utf-8") as f:
-        items = json.load(f)
-    sized = []
-    for it in items:
-        x1, y1, x2, y2 = it.get("bounding_box", [0, 0, 0, 0])
-        area = max(1, int((x2 - x1) * (y2 - y1)))
-        sized.append((int(it["object_id"]), area, it.get("label", "")))
-    sized.sort(key=lambda t: t[1], reverse=True)
+    ranked = _objects_by_area(results_json_path)
+    if not ranked:
+        return []
 
-    placements: List[Tuple[int, CellName]] = []
-    used: set = set()
-    if sized:
-        placements.append((sized[0][0], "middle_center"))
-        used.add("middle_center")
-    for oid, _, label in sized[1:]:
+    pool = _CellPool()
+    hero_id = ranked[0][0]
+    assignments: List[Tuple[int, CellName]] = [(hero_id, pool.take(["middle_center"]))]
+    placed = {hero_id}
+
+    for oid, label in ranked[1:]:
         low = label.lower()
         if "logo" in low or "text" in low:
-            target = "top_right" if "top_right" not in used else (
-                "bottom_right" if "bottom_right" not in used else None
-            )
-            if target:
-                placements.append((oid, target))
-                used.add(target)
-    for oid, _, _ in sized[1:]:
-        if oid in [p[0] for p in placements]:
+            cell = pool.take(_BRANDING_CELLS)
+            if cell:
+                assignments.append((oid, cell))
+                placed.add(oid)
+    for oid, _ in ranked[1:]:
+        if oid in placed:
             continue
-        for cell in _FILL_ORDER:
-            if cell not in used:
-                placements.append((oid, cell))
-                used.add(cell)
-                break
-    return placements
+        cell = pool.take(_FILL_ORDER)
+        if cell:
+            assignments.append((oid, cell))
+            placed.add(oid)
+    return assignments
 
 
-def _edge_aligned_xy(cell: CellName, axis: str, x1: int, x2: int, extent: int,
-                     inner: int, start: int) -> int:
-    row, col = cell_row_col(cell)
-    key = col if axis == "x" else row
+# --------------------------------------------------------------------------
+# Grid-cell finalization (tiling multi-object cells)
+# --------------------------------------------------------------------------
+
+
+def _aligned(key: int, lo: int, hi: int, inner: int, extent: int) -> int:
+    """Edge-align along one axis by grid key: 0 -> leading edge, 1 ->
+    centered, 2 -> trailing edge."""
     if key == 0:
-        return x1
+        return lo
     if key == 1:
-        return start + (inner - extent) // 2
-    return x2 - extent
+        return lo + (inner - extent) // 2
+    return hi - extent
+
+
+def _cross_pos(align: str, key: int, lo: int, hi: int, inner: int, extent: int) -> int:
+    """Cross-axis position: 'center' mode always centers; 'edge' mode snaps
+    by the cell's grid key."""
+    if align == "center":
+        return lo + (inner - extent) // 2
+    return _aligned(key, lo, hi, inner, extent)
+
+
+def _main_start(align: str, key: int, lo: int, hi: int, inner: int, total: int) -> int:
+    """Tiling cursor start: centered run, or flush to the trailing edge only
+    when the cell sits on it (key 2); otherwise the leading edge."""
+    if align == "center":
+        return lo + (inner - total) // 2
+    return hi - total if key == 2 else lo
+
+
+def _tile_cell(
+    objs: List[ObjectMeta],
+    bounds: Tuple[int, int, int, int],
+    rowcol: Tuple[int, int],
+    align: str,
+    spacing_px: int,
+) -> List[Tuple[int, int, int, int]]:
+    """Boxes for objects sharing one cell, tiled along its longer axis."""
+    x1, y1, x2, y2 = bounds
+    cw, ch = max(1, x2 - x1), max(1, y2 - y1)
+    row, col = rowcol
+    horizontal = cw >= ch
+
+    if horizontal:
+        total = sum(o.width for o in objs) + spacing_px * (len(objs) - 1)
+        cursor = _main_start(align, col, x1, x2, cw, total)
+    else:
+        total = sum(o.height for o in objs) + spacing_px * (len(objs) - 1)
+        cursor = _main_start(align, row, y1, y2, ch, total)
+
+    boxes = []
+    for o in objs:
+        if horizontal:
+            py = _cross_pos(align, row, y1, y2, ch, o.height)
+            boxes.append((cursor, py, cursor + o.width, py + o.height))
+            cursor += o.width + spacing_px
+        else:
+            px = _cross_pos(align, col, x1, x2, cw, o.width)
+            boxes.append((px, cursor, px + o.width, cursor + o.height))
+            cursor += o.height + spacing_px
+    return boxes
 
 
 def finalize_layout(
@@ -113,7 +192,7 @@ def finalize_layout(
     """Place assigned objects in their grid cells (no scaling), tiling
     multi-object cells along the longer cell axis with fixed spacing."""
     meta = load_object_meta(
-        os.path.join(os.path.dirname(results_json_path), "objects"), results_json_path
+        str(Path(results_json_path).parent / "objects"), results_json_path
     )
     by_cell: Dict[CellName, List[ObjectMeta]] = {name: [] for name in GRID_CELLS}
     for oid, cell in assignments:
@@ -126,50 +205,25 @@ def finalize_layout(
         if not objs:
             continue
         x1, y1, x2, y2 = cells[cell]
-        cw = max(1, x2 - x1)
-        ch = max(1, y2 - y1)
-        n = len(objs)
-        row, col = cell_row_col(cell)
-        if n == 1:
+        rowcol = cell_row_col(cell)
+        if len(objs) == 1:
+            # single occupant: both axes behave as cross axes
             om = objs[0]
-            if align == "center":
-                px = x1 + (cw - om.width) // 2
-                py = y1 + (ch - om.height) // 2
-            else:
-                px = x1 if col == 0 else (x1 + (cw - om.width) // 2 if col == 1 else x2 - om.width)
-                py = y1 if row == 0 else (y1 + (ch - om.height) // 2 if row == 1 else y2 - om.height)
-            placements.append(Placement(om.object_id, cell, (px, py, px + om.width, py + om.height), 1.0))
-            continue
-        horizontal = cw >= ch
-        if horizontal:
-            total_w = sum(o.width for o in objs) + spacing_px * (n - 1)
-            cur_x = x1
-            if align == "center":
-                cur_x = x1 + (cw - total_w) // 2
-            elif col == 2:
-                cur_x = x2 - total_w
-            for o in objs:
-                if align == "center":
-                    py = y1 + (ch - o.height) // 2
-                else:
-                    py = y1 if row == 0 else (y1 + (ch - o.height) // 2 if row == 1 else y2 - o.height)
-                placements.append(Placement(o.object_id, cell, (cur_x, py, cur_x + o.width, py + o.height), 1.0))
-                cur_x += o.width + spacing_px
+            cw, ch = max(1, x2 - x1), max(1, y2 - y1)
+            px = _cross_pos(align, rowcol[1], x1, x2, cw, om.width)
+            py = _cross_pos(align, rowcol[0], y1, y2, ch, om.height)
+            boxes = [(px, py, px + om.width, py + om.height)]
         else:
-            total_h = sum(o.height for o in objs) + spacing_px * (n - 1)
-            cur_y = y1
-            if align == "center":
-                cur_y = y1 + (ch - total_h) // 2
-            elif row == 2:
-                cur_y = y2 - total_h
-            for o in objs:
-                if align == "center":
-                    px = x1 + (cw - o.width) // 2
-                else:
-                    px = x1 if col == 0 else (x1 + (cw - o.width) // 2 if col == 1 else x2 - o.width)
-                placements.append(Placement(o.object_id, cell, (px, cur_y, px + o.width, cur_y + o.height), 1.0))
-                cur_y += o.height + spacing_px
+            boxes = _tile_cell(objs, (x1, y1, x2, y2), rowcol, align, spacing_px)
+        placements.extend(
+            Placement(o.object_id, cell, box, 1.0) for o, box in zip(objs, boxes)
+        )
     return placements
+
+
+# --------------------------------------------------------------------------
+# Flow packing
+# --------------------------------------------------------------------------
 
 
 def pack_flow(
@@ -181,32 +235,34 @@ def pack_flow(
     """Centered vertical/horizontal flow packing of pre-scaled objects."""
     align = layout_params.get("align", "center")
     orientation = layout_params.get("orientation", "auto")
-    global_margin = layout_params.get("global_margin_px", 20)
-    global_spacing = layout_params.get("global_spacing_px", 20)
+    margin_px = layout_params.get("global_margin_px", 20)
+    spacing_px = layout_params.get("global_spacing_px", 20)
 
     tw, th = canvas_size
     if orientation == "auto":
         orientation = "vertical" if th >= tw else "horizontal"
+    vertical = orientation == "vertical"
+
+    steps = [(o.height if vertical else o.width) for o in scaled_objs]
+    span = th if vertical else tw
+    cursor = (span - (sum(steps) + (len(scaled_objs) - 1) * spacing_px)) // 2
 
     placements: List[Placement] = []
-    if orientation == "vertical":
-        total = sum(o.height for o in scaled_objs) + (len(scaled_objs) - 1) * global_spacing
-        cursor_y = (th - total) // 2
-        for o in scaled_objs:
-            px = (tw - o.width) // 2 if align == "center" else global_margin
-            scale = o.width / meta[o.object_id].width if meta[o.object_id].width > 0 else 1.0
-            placements.append(Placement(o.object_id, "flow_vertical",
-                                        (px, cursor_y, px + o.width, cursor_y + o.height), scale))
-            cursor_y += o.height + global_spacing
-    else:
-        total = sum(o.width for o in scaled_objs) + (len(scaled_objs) - 1) * global_spacing
-        cursor_x = (tw - total) // 2
-        for o in scaled_objs:
-            py = (th - o.height) // 2 if align == "center" else global_margin
-            scale = o.width / meta[o.object_id].width if meta[o.object_id].width > 0 else 1.0
-            placements.append(Placement(o.object_id, "flow_horizontal",
-                                        (cursor_x, py, cursor_x + o.width, py + o.height), scale))
-            cursor_x += o.width + global_spacing
+    for o, step in zip(scaled_objs, steps):
+        if vertical:
+            px = (tw - o.width) // 2 if align == "center" else margin_px
+            py = cursor
+        else:
+            px = cursor
+            py = (th - o.height) // 2 if align == "center" else margin_px
+        src_w = meta[o.object_id].width
+        placements.append(Placement(
+            o.object_id,
+            f"flow_{orientation}",
+            (px, py, px + o.width, py + o.height),
+            o.width / src_w if src_w > 0 else 1.0,
+        ))
+        cursor += step + spacing_px
     return placements, canvas_size
 
 

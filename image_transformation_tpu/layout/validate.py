@@ -6,16 +6,23 @@ Known divergence (intentional, documented in SURVEY.md §2.6.1): the
 reference's `_validate_flex_dsl` contains an indentation bug that makes its
 recursive check dead code — as-run, every validation raises a coverage
 mismatch and callers fall back to retry paths. This module implements the
-validator *as specified*: the recursion actually runs, sanitize modes
-actually strip fields, and the coverage/conflict checks see real data. The
+validator *as specified*: the walk actually runs, sanitize modes actually
+strip fields, and the coverage/conflict checks see real data. The
 orchestrator preserves the reference's *failure handling* (persist error,
 retry-once with feedback) for when validation legitimately fails.
+
+Structure: a mode dataclass + styling-snapshot policy pass per container,
+an in-order tree walk collecting leaf ids, and a separate post-order
+conflict sweep — rather than one large nested closure. Error strings match
+the reference (they are part of the retry-prompt protocol).
 """
 
 from __future__ import annotations
 
+import itertools
 import json
-from typing import Dict, List, Optional, Set, Tuple
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Set, Tuple
 
 from .flex import (
     ALLOWED_ALIGN,
@@ -32,17 +39,14 @@ LabelPair = Tuple[str, str]
 
 
 def extract_json_maybe(content: str) -> str:
-    """Strip markdown fences and slice the outermost JSON object."""
-    s = content.strip()
-    if s.startswith("```"):
-        parts = s.split("```", 2)
-        if len(parts) >= 3:
-            s = parts[1]
-    start = s.find("{")
-    end = s.rfind("}")
-    if start != -1 and end != -1 and end > start:
-        s = s[start : end + 1]
-    return s
+    """Strip one markdown fence and slice the outermost JSON object."""
+    text = content.strip()
+    if text.startswith("```"):
+        fenced = text.split("```", 2)
+        if len(fenced) >= 3:
+            text = fenced[1]
+    lo, hi = text.find("{"), text.rfind("}")
+    return text[lo : hi + 1] if 0 <= lo < hi else text
 
 
 def parse_flex_response(raw_text: str) -> Dict:
@@ -53,19 +57,217 @@ def parse_flex_response(raw_text: str) -> Dict:
         return {"error": "invalid_json", "raw": raw_text[:1000]}
 
 
+# --------------------------------------------------------------------------
+# Validation modes and per-container styling policy
+# --------------------------------------------------------------------------
+
+MAX_DEPTH = 2
+_SPACING_KEYS = ("gap_px", "padding_px")
+_ALIGN_KEYS = ("justify", "align")
+
+# Per-object tuning fields and their checkers (flex.py sanitizers raise
+# FlexError with the reference's wording).
+_TUNING_CHECKS: Dict[str, Callable] = {
+    "padding_px": sanitize_padding,
+    "pin": sanitize_pin,
+    "offset_px": sanitize_offset,
+    "stick_to": sanitize_stick_to,
+}
+
+
+@dataclass(frozen=True)
+class Mode:
+    """The six validator flags (same semantics as the reference's kwargs)."""
+
+    object_tuning: bool = False
+    container_spacing: bool = False
+    container_align: bool = False
+    freeze_root: bool = False
+    drop_styling: bool = False
+    sanitize: bool = False
+
+
+class _Styling:
+    """Snapshot of a container's styling fields.
+
+    Policy decisions are made against the snapshot (presence + value at
+    entry), while strips mutate the underlying node — mirroring the
+    reference's present/value local-variable discipline, including the
+    quirk that the final integer check validates the *captured* gap/pad
+    even when sanitize already removed the keys.
+    """
+
+    def __init__(self, node: Dict):
+        self.node = node
+        self.present = {k: k in node for k in _SPACING_KEYS + _ALIGN_KEYS}
+        self.gap = node.get("gap_px", 0)
+        self.pad = node.get("padding_px", 0)
+        self.justify = node.get("justify", "center")
+        self.align = node.get("align", "center")
+
+    def strip(self, *keys: str) -> None:
+        for k in keys:
+            self.node.pop(k, None)
+            self.present[k] = False
+
+    def clear_all(self) -> None:
+        self.strip(*_SPACING_KEYS, *_ALIGN_KEYS)
+        self.gap = self.pad = 0
+        self.justify = self.align = "center"
+
+    def off_center(self, key: str) -> bool:
+        value = self.justify if key == "justify" else self.align
+        return self.present[key] and value not in (None, "center")
+
+
+def _apply_container_policy(st: _Styling, mode: Mode, is_root: bool) -> None:
+    """Enforce/strip styling per the mode flags. Order of rules matches the
+    reference: whitelist, drop, align policy, root freeze, spacing policy,
+    integer checks."""
+    if st.justify not in ALLOWED_JUSTIFY:
+        raise FlexError("invalid justify")
+    if st.align not in ALLOWED_ALIGN:
+        raise FlexError("invalid align")
+
+    if mode.drop_styling and mode.sanitize:
+        st.clear_all()
+
+    if not mode.container_align:
+        if st.off_center("justify") or st.off_center("align"):
+            if not mode.sanitize:
+                raise FlexError("container align/justify not allowed in this mode")
+            st.strip(*_ALIGN_KEYS)
+        elif mode.sanitize:
+            # drop redundant center/None values too
+            st.strip(*(k for k in _ALIGN_KEYS if st.present[k]))
+
+    if mode.freeze_root and is_root:
+        if (st.present["gap_px"] and st.gap != 0) or (
+            st.present["padding_px"] and st.pad != 0
+        ):
+            raise FlexError("root container cannot set gap_px or padding_px")
+        if mode.sanitize:
+            st.strip(*_SPACING_KEYS)
+        if st.present["justify"] and st.justify != "center":
+            raise FlexError("root container cannot change justify")
+        if st.present["align"] and st.align != "center":
+            raise FlexError("root container cannot change align")
+        if mode.sanitize:
+            st.strip(*_ALIGN_KEYS)
+
+    if not mode.container_spacing and not mode.drop_styling:
+        for key, value in (("gap_px", st.gap), ("padding_px", st.pad)):
+            if st.present[key] and value not in (0, None):
+                raise FlexError(f"{key} not allowed in this mode")
+        if mode.sanitize:
+            st.strip(*_SPACING_KEYS)
+
+    for key, value in (("gap_px", st.gap), ("padding_px", st.pad)):
+        if not isinstance(value, int) or isinstance(value, bool) or value < 0:
+            raise FlexError(f"{key} must be non-negative int")
+
+
+def _check_object_leaf(ch: Dict, mode: Mode, id_to_label: Dict[int, str]) -> int:
+    """Validate one object child; returns its id."""
+    oid = int(ch["object_id"])
+    name = ch.get("name")
+    if not isinstance(name, str) or not name:
+        raise FlexError(f"missing or invalid 'name' for object_id {oid}")
+    known = id_to_label.get(oid, "").strip()
+    if known and name.strip() != known:
+        raise FlexError(
+            f"name mismatch for object_id {oid}: got '{name}', expected '{known}'"
+        )
+    if mode.object_tuning:
+        for key, check in _TUNING_CHECKS.items():
+            if ch.get(key) is not None:
+                check(ch[key], oid)
+    else:
+        extras = set(ch) - {"object_id", "name"}
+        if extras and not mode.sanitize:
+            raise FlexError(
+                f"object_id {oid} includes unsupported fields "
+                f"{sorted(extras)} in baseline mode"
+            )
+        for key in extras:
+            ch.pop(key, None)
+    return oid
+
+
+@dataclass
+class _WalkState:
+    mode: Mode
+    id_to_label: Dict[int, str]
+    seen_ids: List[int] = field(default_factory=list)
+    containers: List[Dict] = field(default_factory=list)  # post-order
+
+
+def _walk_container(node: Dict, depth: int, ws: _WalkState) -> None:
+    if depth > MAX_DEPTH:
+        raise FlexError(f"Nesting depth > {MAX_DEPTH} not allowed")
+    if node.get("type") != "flex":
+        raise FlexError("Only type=flex containers supported")
+    if node.get("direction") not in ALLOWED_DIRECTION:
+        raise FlexError("direction must be 'row' or 'column'")
+
+    _apply_container_policy(_Styling(node), ws.mode, is_root=depth == 1)
+
+    children = node.get("children", [])
+    if not isinstance(children, list) or not children:
+        raise FlexError("flex container must have children")
+    for ch in children:
+        if not isinstance(ch, dict):
+            raise FlexError("child must be object")
+        if "object_id" in ch:
+            ws.seen_ids.append(_check_object_leaf(ch, ws.mode, ws.id_to_label))
+        else:
+            _walk_container(ch, depth + 1, ws)
+    ws.containers.append(node)
+
+
+# --------------------------------------------------------------------------
+# Cross-child nesting-conflict sweep
+# --------------------------------------------------------------------------
+
+
 def _leaf_names(node: Dict) -> List[str]:
     """All object names under a node (itself if an object leaf)."""
-    out: List[str] = []
-    if isinstance(node, dict):
-        if "object_id" in node:
-            nm = node.get("name")
-            if isinstance(nm, str) and nm:
-                out.append(nm)
-        else:
-            for sub in node.get("children", []) or []:
-                if isinstance(sub, dict):
-                    out.extend(_leaf_names(sub))
-    return out
+    if not isinstance(node, dict):
+        return []
+    if "object_id" in node:
+        nm = node.get("name")
+        return [nm] if isinstance(nm, str) and nm else []
+    return [
+        name
+        for sub in node.get("children", []) or []
+        for name in _leaf_names(sub)
+    ]
+
+
+def _conflict_violations(
+    node: Dict,
+    row_bad_pairs: Optional[Set[frozenset]],
+    col_bad_pairs: Optional[Set[frozenset]],
+) -> List[str]:
+    """Cartesian cross-child check: a bad pair split across two children of
+    the same container still violates the axis constraint (prevents bypass
+    via grouping)."""
+    by_axis = {"row": ("Row", row_bad_pairs), "column": ("Column", col_bad_pairs)}
+    word, bad_pairs = by_axis.get(node.get("direction"), ("", None))
+    if not bad_pairs:
+        return []
+    groups = [_leaf_names(ch) for ch in node.get("children", []) or []]
+    return [
+        f"{word} container indirectly nests non-nestable pair via grouping: {a} + {b}"
+        for ga, gb in itertools.combinations(groups, 2)
+        for a, b in itertools.product(ga, gb)
+        if frozenset({a, b}) in bad_pairs
+    ]
+
+
+# --------------------------------------------------------------------------
+# Public surface
+# --------------------------------------------------------------------------
 
 
 def validate_flex_dsl(
@@ -94,163 +296,32 @@ def validate_flex_dsl(
     if not isinstance(root, dict):
         raise FlexError("root must be an object")
 
-    seen_ids: List[int] = []
-    violations: List[str] = []
+    ws = _WalkState(
+        mode=Mode(
+            object_tuning=allow_object_tuning,
+            container_spacing=allow_container_spacing,
+            container_align=allow_container_align,
+            freeze_root=forbid_root_spacing,
+            drop_styling=drop_container_styling,
+            sanitize=sanitize,
+        ),
+        id_to_label=id_to_label,
+    )
+    _walk_container(root, 1, ws)
 
-    def check_conflicts(node: Dict) -> None:
-        direction = node.get("direction")
-        children = node.get("children", []) or []
-        if not children:
-            return
-        name_sets = [
-            _leaf_names(ch) if isinstance(ch, dict) else [] for ch in children
-        ]
-        for i in range(len(name_sets)):
-            for j in range(i + 1, len(name_sets)):
-                for ai in name_sets[i]:
-                    for bj in name_sets[j]:
-                        pair = frozenset({ai, bj})
-                        if direction == "row" and row_bad_pairs and pair in row_bad_pairs:
-                            violations.append(
-                                "Row container indirectly nests non-nestable "
-                                f"pair via grouping: {ai} + {bj}"
-                            )
-                        if direction == "column" and col_bad_pairs and pair in col_bad_pairs:
-                            violations.append(
-                                "Column container indirectly nests non-nestable "
-                                f"pair via grouping: {ai} + {bj}"
-                            )
-
-    def validate_container(node: Dict, depth: int) -> None:
-        if depth > 2:
-            raise FlexError("Nesting depth > 2 not allowed")
-        if node.get("type") != "flex":
-            raise FlexError("Only type=flex containers supported")
-        if node.get("direction") not in ALLOWED_DIRECTION:
-            raise FlexError("direction must be 'row' or 'column'")
-
-        justify_present = "justify" in node
-        align_present = "align" in node
-        justify = node.get("justify", "center")
-        align = node.get("align", "center")
-        if justify not in ALLOWED_JUSTIFY:
-            raise FlexError("invalid justify")
-        if align not in ALLOWED_ALIGN:
-            raise FlexError("invalid align")
-
-        gap_present = "gap_px" in node
-        pad_present = "padding_px" in node
-        gap = node.get("gap_px", 0)
-        pad = node.get("padding_px", 0)
-
-        if drop_container_styling and sanitize:
-            for key in ("gap_px", "padding_px", "justify", "align"):
-                node.pop(key, None)
-            gap_present = pad_present = justify_present = align_present = False
-            gap = pad = 0
-            justify = align = "center"
-
-        if not allow_container_align:
-            non_center = (justify_present and justify not in (None, "center")) or (
-                align_present and align not in (None, "center")
-            )
-            if non_center:
-                if sanitize:
-                    node.pop("justify", None)
-                    node.pop("align", None)
-                    justify_present = align_present = False
-                else:
-                    raise FlexError("container align/justify not allowed in this mode")
-            elif sanitize:
-                if justify_present and justify in (None, "center"):
-                    node.pop("justify", None)
-                    justify_present = False
-                if align_present and align in (None, "center"):
-                    node.pop("align", None)
-                    align_present = False
-
-        if forbid_root_spacing and depth == 1:
-            if (gap_present and gap != 0) or (pad_present and pad != 0):
-                raise FlexError("root container cannot set gap_px or padding_px")
-            if sanitize:
-                node.pop("gap_px", None)
-                node.pop("padding_px", None)
-            if justify_present and justify != "center":
-                raise FlexError("root container cannot change justify")
-            if align_present and align != "center":
-                raise FlexError("root container cannot change align")
-            if sanitize:
-                node.pop("justify", None)
-                node.pop("align", None)
-                justify_present = align_present = False
-
-        if not allow_container_spacing and not drop_container_styling:
-            if gap_present and gap not in (0, None):
-                raise FlexError("gap_px not allowed in this mode")
-            if pad_present and pad not in (0, None):
-                raise FlexError("padding_px not allowed in this mode")
-            if sanitize:
-                node.pop("gap_px", None)
-                node.pop("padding_px", None)
-
-        if not isinstance(gap, int) or isinstance(gap, bool) or gap < 0:
-            raise FlexError("gap_px must be non-negative int")
-        if not isinstance(pad, int) or isinstance(pad, bool) or pad < 0:
-            raise FlexError("padding_px must be non-negative int")
-
-        children = node.get("children", [])
-        if not isinstance(children, list) or not children:
-            raise FlexError("flex container must have children")
-        for ch in children:
-            if not isinstance(ch, dict):
-                raise FlexError("child must be object")
-            if "object_id" in ch:
-                oid = int(ch["object_id"])
-                seen_ids.append(oid)
-                name = ch.get("name")
-                if not isinstance(name, str) or not name:
-                    raise FlexError(f"missing or invalid 'name' for object_id {oid}")
-                known = id_to_label.get(oid, "").strip()
-                if known and name.strip() != known:
-                    raise FlexError(
-                        f"name mismatch for object_id {oid}: got '{name}', expected '{known}'"
-                    )
-                if not allow_object_tuning:
-                    extras = set(ch.keys()) - {"object_id", "name"}
-                    if extras:
-                        if sanitize:
-                            for key in extras:
-                                ch.pop(key, None)
-                        else:
-                            raise FlexError(
-                                f"object_id {oid} includes unsupported fields "
-                                f"{sorted(extras)} in baseline mode"
-                            )
-                else:
-                    if ch.get("padding_px") is not None:
-                        sanitize_padding(ch.get("padding_px"), oid)
-                    if ch.get("pin") is not None:
-                        sanitize_pin(ch.get("pin"), oid)
-                    if ch.get("offset_px") is not None:
-                        sanitize_offset(ch.get("offset_px"), oid)
-                    if ch.get("stick_to") is not None:
-                        sanitize_stick_to(ch.get("stick_to"), oid)
-            else:
-                validate_container(ch, depth + 1)
-        check_conflicts(node)
-
-    # NOTE: in the reference this call is unreachably indented inside the
-    # function body (macro_placement_test.py:573); here it actually runs.
-    validate_container(root, 1)
-
-    if sorted(seen_ids) != sorted(required_obj_ids):
+    if sorted(ws.seen_ids) != sorted(required_obj_ids):
         raise FlexError(
-            f"object_id coverage mismatch. seen={sorted(seen_ids)}, "
+            f"object_id coverage mismatch. seen={sorted(ws.seen_ids)}, "
             f"required={sorted(required_obj_ids)}"
         )
+    violations = [
+        v
+        for container in ws.containers
+        for v in _conflict_violations(container, row_bad_pairs, col_bad_pairs)
+    ]
     if violations:
         raise FlexError("; ".join(violations))
-    return data, seen_ids
+    return data, ws.seen_ids
 
 
 def compute_nesting_conflicts(
@@ -269,15 +340,17 @@ def compute_nesting_conflicts(
     inner_h = max(1, int(h - 2 * (margin_pct * h)))
     min_gap = max(8, int(min(w, h) * 0.01))
 
+    def overflows(a: int, b: int, inner: int) -> bool:
+        return a >= inner or b >= inner or (a + b + min_gap) > inner
+
     row_bad: Set[LabelPair] = set()
     col_bad: Set[LabelPair] = set()
-    n = len(labels)
-    for i in range(n):
-        for j in range(i + 1, n):
-            wi, hi = sizes[i]
-            wj, hj = sizes[j]
-            if wi >= inner_w or wj >= inner_w or (wi + wj + min_gap) > inner_w:
-                row_bad.add(tuple(sorted((labels[i], labels[j]))))
-            if hi >= inner_h or hj >= inner_h or (hi + hj + min_gap) > inner_h:
-                col_bad.add(tuple(sorted((labels[i], labels[j]))))
+    for (la, (wa, ha)), (lb, (wb, hb)) in itertools.combinations(
+        zip(labels, sizes), 2
+    ):
+        pair = tuple(sorted((la, lb)))
+        if overflows(wa, wb, inner_w):
+            row_bad.add(pair)
+        if overflows(ha, hb, inner_h):
+            col_bad.add(pair)
     return sorted(row_bad), sorted(col_bad)

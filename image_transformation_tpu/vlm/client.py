@@ -14,7 +14,13 @@ Differences from the reference (deliberate):
   dropped them, making its agentic micro-agent dead code — SURVEY.md
   §2.6.2);
 - :class:`FakeClient` provides canned/scripted responses so the whole
-  iterate loop runs hermetically (tests, benchmarks, fault injection).
+  iterate loop runs hermetically (tests, benchmarks, fault injection);
+- when the ``openai``/``ollama`` SDKs are absent, both backends fall back
+  to a dependency-free raw-HTTP transport (urllib) speaking the same wire
+  protocols (OpenAI chat-completions REST for Nebius,
+  /root/reference/api_client.py:154-221; Ollama's /api/chat,
+  /root/reference/api_client.py:223-261), so the framework deploys without
+  either SDK and the adapters are testable against a local HTTP server.
 
 This module is pure host I/O — the device never blocks on it; the
 orchestrator overlaps VLM round-trips with device compose via async
@@ -28,6 +34,8 @@ import io
 import json
 import os
 import re
+import urllib.error
+import urllib.request
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Union
 
@@ -52,6 +60,28 @@ NEBIUS_DEFAULT_VLM = "Qwen/Qwen2.5-VL-72B-Instruct"
 NEBIUS_DEFAULT_TEXT = "openai/gpt-oss-20b"
 OLLAMA_DEFAULT_VLM = "llava:13b"
 OLLAMA_DEFAULT_TEXT = "mistral:7b"
+OLLAMA_DEFAULT_HOST = "http://localhost:11434"
+
+
+def http_post_json(url: str, payload: Dict[str, Any],
+                   headers: Optional[Dict[str, str]] = None,
+                   timeout: float = 120.0) -> Dict[str, Any]:
+    """POST a JSON body, return the parsed JSON response (stdlib only)."""
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode("utf-8"),
+        method="POST",
+        headers={"Content-Type": "application/json", **(headers or {})},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as e:
+        try:
+            detail = e.read().decode("utf-8", "replace")[:2000]
+        except Exception:
+            detail = ""
+        raise RuntimeError(f"HTTP {e.code} from {url}: {detail}") from e
 
 
 def load_dotenv_if_present(extra_dirs: Optional[List[Path]] = None) -> None:
@@ -118,30 +148,46 @@ def extract_json_from_content(content: str) -> Dict[str, Any]:
 class APIClient:
     """Unified chat-completion client over Nebius or Ollama."""
 
-    def __init__(self, api_type: str = "auto", api_key: Optional[str] = None):
+    def __init__(self, api_type: str = "auto", api_key: Optional[str] = None,
+                 base_url: Optional[str] = None):
         self.api_type = api_type
         self.api_key = api_key
-        self.nebius_client = None
+        self.nebius_client = None  # OpenAI SDK client when available
+        self._nebius_key: Optional[str] = None
         load_dotenv_if_present()
 
         if api_type == "auto":
-            if OPENAI_AVAILABLE and (self.api_key or os.getenv("NEBIUS_API_KEY")):
+            # A key is enough for Nebius: without the openai SDK the raw-HTTP
+            # transport takes over (the reference also required the package,
+            # /root/reference/api_client.py:48-54).
+            if self.api_key or os.getenv("NEBIUS_API_KEY"):
                 self.api_type = "nebius"
             elif OLLAMA_AVAILABLE:
                 self.api_type = "ollama"
             else:
                 raise RuntimeError(
-                    "Neither Nebius API nor Ollama is available. Install the "
-                    "required packages and set NEBIUS_API_KEY."
+                    "Neither Nebius API nor Ollama is available. Set "
+                    "NEBIUS_API_KEY, or install/run Ollama."
                 )
 
         if self.api_type == "nebius":
-            if not OPENAI_AVAILABLE:
-                raise RuntimeError("OpenAI package not available; pip install openai")
             key = self.api_key or os.getenv("NEBIUS_API_KEY")
             if not key:
                 raise RuntimeError("NEBIUS_API_KEY environment variable not set")
-            self.nebius_client = OpenAI(base_url=NEBIUS_BASE_URL, api_key=key)
+            self._nebius_key = key
+            self.nebius_base_url = (
+                base_url or os.getenv("NEBIUS_BASE_URL") or NEBIUS_BASE_URL
+            )
+            if not self.nebius_base_url.endswith("/"):
+                self.nebius_base_url += "/"
+            if OPENAI_AVAILABLE:
+                self.nebius_client = OpenAI(
+                    base_url=self.nebius_base_url, api_key=key
+                )
+        elif self.api_type == "ollama":
+            self.ollama_host = (
+                base_url or os.getenv("OLLAMA_HOST") or OLLAMA_DEFAULT_HOST
+            ).rstrip("/")
 
     # ---------------- reference-surface helper methods ----------------
 
@@ -210,11 +256,11 @@ class APIClient:
             params["tools"] = tools
             if tool_choice is not None:
                 params["tool_choice"] = tool_choice
-        response = self.nebius_client.chat.completions.create(**params)
-        choice = response.choices[0].message
-        normalized: Dict[str, Any] = {"message": {"content": choice.content or ""}}
-        if getattr(choice, "tool_calls", None):
-            normalized["message"]["tool_calls"] = [
+        if self.nebius_client is not None:
+            response = self.nebius_client.chat.completions.create(**params)
+            choice = response.choices[0].message
+            content = choice.content or ""
+            tool_calls = [
                 {
                     "id": tc.id,
                     "function": {
@@ -222,8 +268,31 @@ class APIClient:
                         "arguments": tc.function.arguments,
                     },
                 }
-                for tc in choice.tool_calls
+                for tc in (getattr(choice, "tool_calls", None) or [])
             ]
+        else:
+            # SDK-free transport: same OpenAI chat-completions REST protocol
+            # the SDK speaks (POST {base}/chat/completions, bearer auth).
+            payload = http_post_json(
+                self.nebius_base_url + "chat/completions",
+                params,
+                headers={"Authorization": f"Bearer {self._nebius_key}"},
+            )
+            choice = (payload.get("choices") or [{}])[0].get("message") or {}
+            content = choice.get("content") or ""
+            tool_calls = [
+                {
+                    "id": tc.get("id"),
+                    "function": {
+                        "name": (tc.get("function") or {}).get("name"),
+                        "arguments": (tc.get("function") or {}).get("arguments"),
+                    },
+                }
+                for tc in (choice.get("tool_calls") or [])
+            ]
+        normalized: Dict[str, Any] = {"message": {"content": content}}
+        if tool_calls:
+            normalized["message"]["tool_calls"] = tool_calls
         return normalized
 
     def _ollama(self, messages, model, temperature, max_tokens, format,
@@ -245,9 +314,13 @@ class APIClient:
         if "keep_alive" in kwargs:
             params["keep_alive"] = kwargs["keep_alive"]
         try:
-            return ollama.chat(**params)
+            if OLLAMA_AVAILABLE:
+                return ollama.chat(**params)
+            # SDK-free transport: Ollama's native /api/chat endpoint already
+            # answers in the normalized {"message": {...}} shape.
+            return http_post_json(self.ollama_host + "/api/chat", params)
         except Exception as e:
-            if "not found" in str(e) or "status code: 404" in str(e):
+            if any(tok in str(e) for tok in ("not found", "status code: 404", "HTTP 404")):
                 raise RuntimeError(
                     f"Ollama model not found. Pull it first: 'ollama pull "
                     f"{params['model']}'. Ensure 'ollama serve' is running."
