@@ -10,6 +10,9 @@ from __future__ import annotations
 import os
 
 
+_PRUNE_MARKER = ".last_prune"
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Idempotently point JAX at a persistent compilation cache dir."""
     import jax
@@ -24,8 +27,70 @@ def enable_compile_cache(path: str | None = None) -> None:
         # compile costs ~0.5 s through the remote compile helper, and a
         # fresh process re-pays dozens of them (measured: the contact-sheet
         # step alone took 178-404 s cold vs seconds warm). Disk entries are
-        # a few KB each; lookups are local.
+        # a few KB each; lookups are local. The zero thresholds mean the
+        # dir grows with every new shape, so prune_cache_dir keeps it
+        # bounded (daily, oldest entries first).
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+    prune_cache_dir(cache_dir)
+
+
+def prune_cache_dir(
+    cache_dir: str,
+    max_bytes: int | None = None,
+    min_interval_s: float = 86400.0,
+    force: bool = False,
+) -> int:
+    """Bound the persistent cache's disk footprint.
+
+    Deletes oldest-mtime entries until the directory fits ``max_bytes``
+    (default 4 GiB; override with ITPU_COMPILE_CACHE_MAX_BYTES). Runs at
+    most once per ``min_interval_s`` (marker file) so steady-state startups
+    don't pay a directory scan. Returns the number of files removed.
+    """
+    import time
+
+    if max_bytes is None:
+        max_bytes = int(
+            os.environ.get("ITPU_COMPILE_CACHE_MAX_BYTES", 4 << 30)
+        )
+    marker = os.path.join(cache_dir, _PRUNE_MARKER)
+    now = time.time()
+    if not force:
+        try:
+            if now - os.path.getmtime(marker) < min_interval_s:
+                return 0
+        except OSError:
+            pass
+    entries = []
+    total = 0
+    try:
+        with os.scandir(cache_dir) as it:
+            for e in it:
+                if e.name == _PRUNE_MARKER or not e.is_file():
+                    continue
+                st = e.stat()
+                entries.append((st.st_mtime, st.st_size, e.path))
+                total += st.st_size
+    except OSError:
+        return 0
+    removed = 0
+    if total > max_bytes:
+        entries.sort()  # oldest first
+        for _, size, p in entries:
+            if total <= max_bytes:
+                break
+            try:
+                os.remove(p)
+                total -= size
+                removed += 1
+            except OSError:
+                pass
+    try:
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write(str(now))
+    except OSError:
+        pass
+    return removed

@@ -241,6 +241,34 @@ def composite_canvas_tables_indexed(
     return work[:h_c, :w_c]
 
 
+@jax.jit
+def composite_canvas_tables_indexed_many(
+    canvas_u8: jnp.ndarray,
+    objs_all: jnp.ndarray,
+    perm: jnp.ndarray,
+    boxes: jnp.ndarray,
+    kh_i32: jnp.ndarray,
+    kv_i32: jnp.ndarray,
+    same_size: jnp.ndarray,
+) -> jnp.ndarray:
+    """A batch of independent placement sets (leading axis) composed onto
+    one shared canvas/object tensor in a single dispatch.
+
+    This is the serving coalescer's op: B queued compatible requests run as
+    one vmapped program instead of B sequential dispatches. Placement-count
+    padding uses all-zero coefficient tables (a fully transparent source is
+    an exact alpha-over no-op), so ragged request sizes share one compile
+    key. Returns uint8 [B, H, W, 4].
+    """
+
+    def one(p, b, kh, kv, s):
+        return composite_canvas_tables_indexed(
+            canvas_u8, objs_all, p, b, kh, kv, s
+        )
+
+    return jax.vmap(one)(perm, boxes, kh_i32, kv_i32, same_size)
+
+
 def composite_exact(
     canvas_u8,
     objs_u8,

@@ -131,6 +131,8 @@ def make_solid_render_step(
     pallas/XLA step (which does consume the canvases) on kernel failure.
     """
     from ..ops.compose_pallas import (
+        _round_up,
+        fused_canvas_pad_hw,
         pack_rgba_scalar,
         packed_luma,
         planarize_objects,
@@ -139,6 +141,9 @@ def make_solid_render_step(
 
     H, W = canvas_hw
     bg = pack_rgba_scalar(bg_rgba)
+    hp, wp = fused_canvas_pad_hw(
+        (H, W), (_round_up(out_max_hw[0], 8), _round_up(out_max_hw[1], 128))
+    )
 
     @jax.jit
     def render(objs, obj_hw, boxes):
@@ -147,6 +152,14 @@ def make_solid_render_step(
             objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method
         )
         return out, packed_luma(out[:, :H, :W])
+
+    @jax.jit
+    def to_packed(out_u8):
+        # fold the fallback's u8 NHWC into the SAME padded packed-i32 plane
+        # the fast path returns, so callers see one output convention
+        # regardless of which tier latched
+        plane = jax.lax.bitcast_convert_type(out_u8, jnp.int32)
+        return jnp.pad(plane, ((0, 0), (0, hp - H), (0, wp - W)))
 
     fallback = [None]
 
@@ -175,7 +188,8 @@ def make_solid_render_step(
         # paths return identical pixels regardless of what callers pass
         rgba = jnp.array(bg_rgba, jnp.uint8)
         bg_canvases = jnp.broadcast_to(rgba, (objs.shape[0], H, W, 4))
-        return fallback[0](bg_canvases, objs_u8, obj_hw, boxes)
+        out, luma = fallback[0](bg_canvases, objs_u8, obj_hw, boxes)
+        return to_packed(out), luma
 
     step.fallback = fallback  # introspectable for tests
     return step

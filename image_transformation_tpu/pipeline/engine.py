@@ -17,7 +17,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.bundle import BundleArrays
-from ..ops.compose import composite_canvas_tables_indexed
+from ..ops.compose import (
+    composite_canvas_tables_indexed,
+    composite_canvas_tables_indexed_many,
+)
 from ..ops.resize import build_coeffs_host
 
 # Process-wide latch: once the fused exact kernel fails anywhere (e.g. a
@@ -124,15 +127,7 @@ class ComposeEngine:
         live = [p for p in placements if int(p["object_id"]) in self._id_to_idx]
         if not live:
             return self.canvas_dev
-        for p in live:
-            x1, y1, x2, y2 = (int(v) for v in p["box"])
-            w, h = max(1, x2 - x1), max(1, y2 - y1)
-            if w > self.out_max_w or h > self.out_max_h:
-                raise ValueError(
-                    f"placement box {w}x{h} exceeds the downscale-only "
-                    f"envelope {self.out_max_w}x{self.out_max_h}; use "
-                    "ops.compose.composite_exact for upscaling placements"
-                )
+        self._check_envelope(live)
         signature = tuple(
             (int(p["object_id"]), tuple(int(v) for v in p["box"])) for p in live
         )
@@ -169,12 +164,25 @@ class ComposeEngine:
             return composite_canvas_tables_indexed(
                 self.canvas_dev, self.objs_dev, *cached
             )
-        n = len(live)
-        perm = np.zeros((n,), np.int32)
-        boxes = np.zeros((n, 4), np.int32)
-        kh = np.zeros((n, self.out_max_w, self.pad_w), np.int32)
-        kv = np.zeros((n, self.out_max_h, self.pad_h), np.int32)
-        same = np.zeros((n,), bool)
+        dev_args = tuple(
+            jnp.asarray(a) for a in self._indexed_args_np(live, len(live))
+        )
+        if len(self._call_cache) < 64:
+            self._call_cache[signature] = dev_args
+        return composite_canvas_tables_indexed(
+            self.canvas_dev, self.objs_dev, *dev_args
+        )
+
+    def _indexed_args_np(self, live: List[Dict], n_pad: int):
+        """Host-side per-placement args (perm, boxes, kh, kv, same), padded
+        to ``n_pad`` rows with exact no-op entries (all-zero coefficient
+        tables resample to a fully transparent source)."""
+        perm = np.zeros((n_pad,), np.int32)
+        boxes = np.zeros((n_pad, 4), np.int32)
+        kh = np.zeros((n_pad, self.out_max_w, self.pad_w), np.int32)
+        kv = np.zeros((n_pad, self.out_max_h, self.pad_h), np.int32)
+        same = np.zeros((n_pad,), bool)
+        boxes[len(live):] = (0, 0, 1, 1)
         for k, p in enumerate(live):
             idx = self._id_to_idx[int(p["object_id"])]
             perm[k] = idx
@@ -185,15 +193,41 @@ class ComposeEngine:
             kh[k] = build_coeffs_host(ow, w, self.pad_w, self.out_max_w, self.method)
             kv[k] = build_coeffs_host(oh, h, self.pad_h, self.out_max_h, self.method)
             same[k] = (w == ow) and (h == oh)
-        dev_args = (
-            jnp.asarray(perm),
-            jnp.asarray(boxes),
-            jnp.asarray(kh),
-            jnp.asarray(kv),
-            jnp.asarray(same),
+        return perm, boxes, kh, kv, same
+
+    def _check_envelope(self, live: List[Dict]) -> None:
+        for p in live:
+            x1, y1, x2, y2 = (int(v) for v in p["box"])
+            w, h = max(1, x2 - x1), max(1, y2 - y1)
+            if w > self.out_max_w or h > self.out_max_h:
+                raise ValueError(
+                    f"placement box {w}x{h} exceeds the downscale-only "
+                    f"envelope {self.out_max_w}x{self.out_max_h}; use "
+                    "ops.compose.composite_exact for upscaling placements"
+                )
+
+    def compose_many(self, placements_batch: List[List[Dict]]) -> jnp.ndarray:
+        """Compose several placement sets in ONE vmapped dispatch.
+
+        The serving coalescer's entry point: B queued compatible requests
+        (same bundle/canvas/background) become one device program instead
+        of B sequential dispatches. Placement counts are padded to the
+        batch max with no-op rows, so ragged sets share the compile key.
+        Returns the device array uint8 [B, H, W, 4]; each slice is
+        bit-exact vs the sequential compose() result.
+        """
+        lives = [
+            [p for p in ps if int(p["object_id"]) in self._id_to_idx]
+            for ps in placements_batch
+        ]
+        for live in lives:
+            self._check_envelope(live)
+        n_pad = max(max((len(live) for live in lives), default=1), 1)
+        per_req = [self._indexed_args_np(live, n_pad) for live in lives]
+        stacked = tuple(
+            jnp.asarray(np.stack([args[i] for args in per_req]))
+            for i in range(5)
         )
-        if len(self._call_cache) < 64:
-            self._call_cache[signature] = dev_args
-        return composite_canvas_tables_indexed(
-            self.canvas_dev, self.objs_dev, *dev_args
+        return composite_canvas_tables_indexed_many(
+            self.canvas_dev, self.objs_dev, *stacked
         )

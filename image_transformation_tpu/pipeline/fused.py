@@ -34,19 +34,28 @@ def make_fused_render(
     method: str = "lanczos",
     kernel: str = "xla",
     interpret: bool = False,
+    background: str = "solid",
+    gradient_horizontal: bool = True,
 ):
     """Build the jitted fused step for one layout structure.
 
     Returned step signature:
         step(canvas_wh [V,2] int32  (W, H per variant),
-             bg_color  [3] uint8    (solid background color),
+             bg        uint8: [3] solid color, or [2, 3] gradient (c1, c2),
              objs      [N, Hm, Wm, 4] uint8,
              obj_wh    [N, 2] int32 (w, h),
              obj_known [N] bool)
         -> (canvases [V, Hmax, Wmax, 4] uint8, boxes [V, N, 4], luma [V])
 
     Out-of-canvas area of each padded render is garbage-by-construction
-    (solid background); crop with the per-variant (W, H) before use.
+    (background extrapolation); crop with the per-variant (W, H) before use.
+
+    ``background="gradient"`` synthesizes the linear c1 -> c2 ramp on
+    device per variant, spanning the variant's TRUE extent along the
+    (static) ``gradient_horizontal`` axis — same f32 lerp + truncating u8
+    cast as ops.background.gradient_canvas (the reference's fill_gradient,
+    /root/reference/background_resizing.py:63-98), so the cropped region is
+    bit-identical to the per-request path.
 
     ``kernel="pallas"`` swaps the vmapped XLA compose for the gen-3 fused
     Pallas kernel (in-kernel tables) INSIDE the same program — layout
@@ -57,11 +66,33 @@ def make_fused_render(
     interpreter (CPU tests).
     """
     h_max, w_max = canvas_max_hw
+    if background not in ("solid", "gradient"):
+        raise ValueError(f"unknown background mode: {background!r}")
 
-    def render_one(wh, bg_color, objs, obj_wh, obj_known):
+    def padded_canvas(bg, wh):
+        """uint8 [h_max, w_max, 4] background for one variant."""
+        if background == "solid":
+            rgba = jnp.concatenate([bg, jnp.array([255], jnp.uint8)])
+            return jnp.broadcast_to(rgba, (h_max, w_max, 4))
+        c1f = bg[0].astype(jnp.float32)
+        c2f = bg[1].astype(jnp.float32)
+        span, extent = (
+            (w_max, wh[0]) if gradient_horizontal else (h_max, wh[1])
+        )
+        t = jnp.arange(span, dtype=jnp.float32) / jnp.maximum(
+            1.0, extent.astype(jnp.float32) - 1.0
+        )
+        ramp = ((1.0 - t)[:, None] * c1f + t[:, None] * c2f).astype(jnp.uint8)
+        if gradient_horizontal:
+            rgb = jnp.broadcast_to(ramp[None, :, :], (h_max, w_max, 3))
+        else:
+            rgb = jnp.broadcast_to(ramp[:, None, :], (h_max, w_max, 3))
+        alpha = jnp.full((h_max, w_max, 1), 255, jnp.uint8)
+        return jnp.concatenate([rgb, alpha], axis=-1)
+
+    def render_one(wh, bg, objs, obj_wh, obj_known):
         boxes, scales = solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
-        rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
-        canvas = jnp.broadcast_to(rgba, (h_max, w_max, 4))
+        canvas = padded_canvas(bg, wh)
         hw_swapped = obj_wh[:, ::-1]  # compose wants (h, w)
         out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
         chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(0, 1))
@@ -93,7 +124,7 @@ def make_fused_render(
     hp, wp = fused_canvas_pad_hw((h_max, w_max), (mh_a, mw_a))
 
     @jax.jit
-    def pallas_step(canvas_wh, bg_color, objs, obj_wh, obj_known):
+    def pallas_step(canvas_wh, bg, objs, obj_wh, obj_known):
         v = canvas_wh.shape[0]
         boxes, scales = jax.vmap(
             lambda wh: solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
@@ -108,9 +139,19 @@ def make_fused_render(
                 hw_swapped, b_, (h_max, w_max), (hp, wp), (MH, MW)
             )
         )(boxes)
-        rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
-        bg_packed = jax.lax.bitcast_convert_type(rgba, jnp.int32)[()]
-        canvas_v = jnp.broadcast_to(bg_packed, (v, hp, wp))
+        if background == "solid":
+            rgba = jnp.concatenate([bg, jnp.array([255], jnp.uint8)])
+            bg_packed = jax.lax.bitcast_convert_type(rgba, jnp.int32)[()]
+            canvas_v = jnp.broadcast_to(bg_packed, (v, hp, wp))
+        else:
+            # per-variant gradient plane, packed u8x4 -> i32 (the kernel's
+            # canvas convention); pad region extrapolates, crop discards it
+            def grad_plane(wh):
+                rgba = padded_canvas(bg, wh)
+                padded = jnp.zeros((hp, wp, 4), jnp.uint8)
+                padded = padded.at[:h_max, :w_max].set(rgba)
+                return jax.lax.bitcast_convert_type(padded, jnp.int32)
+            canvas_v = jax.vmap(grad_plane)(canvas_wh)
         objs_p = jnp.broadcast_to(
             planarize_objects(objs[None]), (v, objs.shape[0], 4,
                                             _round_up(objs.shape[1], 8),
@@ -175,6 +216,28 @@ def make_sharded_fused_render(
     return step
 
 
+def background_spec(bg_rgba_u8, mode: str = "solid"):
+    """(bg array for make_fused_render, gradient_horizontal flag).
+
+    "solid": uint8 [3] masked-median color. "gradient": uint8 [2, 3] edge
+    colors along the lower-variance axis (the reference's fill_gradient
+    axis selection, /root/reference/background_resizing.py:58-75).
+    """
+    from ..ops.background import axis_variance, edge_strip_medians, masked_median_rgb
+
+    if mode == "solid":
+        return masked_median_rgb(bg_rgba_u8).astype(jnp.uint8), True
+    if mode != "gradient":
+        raise ValueError(f"unknown background mode: {mode!r}")
+    left, right, top, bottom = (
+        tuple(int(x) for x in np.asarray(c))
+        for c in edge_strip_medians(bg_rgba_u8)
+    )
+    horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
+    c1, c2 = (left, right) if horizontal else (top, bottom)
+    return jnp.asarray(np.array([c1, c2], np.uint8)), horizontal
+
+
 def fused_multi_ratio_render(
     bundle,
     root: Dict,
@@ -182,6 +245,7 @@ def fused_multi_ratio_render(
     method: str = "lanczos",
     kernel: str = "xla",
     interpret: bool = False,
+    background: str = "solid",
 ):
     """Render one bundle's layout at several ratios in a single device pass.
 
@@ -191,7 +255,6 @@ def fused_multi_ratio_render(
     retry with the default.
     """
     from ..layout.canvas import compute_canvas_size
-    from ..ops.background import masked_median_rgb
 
     sizes = [compute_canvas_size(bundle.background.size, r, verbose=False) for r in ratios]
     w_max = max(w for w, _ in sizes)
@@ -215,13 +278,17 @@ def fused_multi_ratio_render(
             obj_wh[k] = size_map[oid]
             known[k] = True
 
-    median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+    bg, horizontal = background_spec(
+        jnp.asarray(np.asarray(bundle.background)), background
+    )
     step = make_fused_render(
-        prog, (h_max, w_max), obj_pad, method, kernel=kernel, interpret=interpret
+        prog, (h_max, w_max), obj_pad, method, kernel=kernel,
+        interpret=interpret, background=background,
+        gradient_horizontal=horizontal,
     )
     out, boxes, scales, luma = step(
         jnp.asarray(np.asarray(sizes, np.int32)),
-        median.astype(jnp.uint8),
+        bg,
         jnp.asarray(objs),
         jnp.asarray(obj_wh),
         jnp.asarray(known),

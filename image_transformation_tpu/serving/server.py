@@ -19,10 +19,23 @@ API:
          "boxes_only": false?}               # true -> JSON placements, no PNG
     POST /v1/render_batch    -> JSON {ratio: {canvas, boxes, png_b64}}
         {"bundle": "<stem>", "ratios": ["9:16", "1:1", ...],
-         "layout": {"root": {...}}?}
+         "layout": {"root": {...}}?,
+         "background": "solid"|"gradient"?}
         All variants render in ONE fused device pass (solve + background +
         gen-3 Pallas compose; traced-table numerics <= 2/255 vs PIL — the
         per-request /v1/render path stays bit-exact).
+
+Concurrency/caching design:
+- step/engine/input construction is serialized per cache key (one thread
+  compiles, the rest wait — no discarded duplicate compiles or buffers);
+- the batch-step cache key canonicalizes the ratio set (sorted, deduped),
+  so request order/duplicates never recompile;
+- device inputs (object tensors) are cached separately from compiled steps
+  and shared across every ratio-set/background entry of a bundle;
+- concurrent /v1/render requests against the same engine coalesce into one
+  vmapped dispatch (ComposeEngine.compose_many);
+- built batch-step keys persist to a manifest so a restarted daemon can
+  warm-start them (re-trace + persistent-XLA-cache compile) before traffic.
 """
 
 from __future__ import annotations
@@ -32,19 +45,120 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
+
+
+class _Coalescer:
+    """Per-engine render queue: while one dispatch is in flight, arriving
+    compatible requests queue up and ride the next dispatch together."""
+
+    #: queued requests merged per dispatch (compile keys: one per pow2 size)
+    MAX_MERGE = 8
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._lock = threading.Lock()
+        self._pending: List[tuple] = []
+        self._busy = False
+        self.requests = 0
+        self.dispatches = 0
+
+    def render(self, placements) -> "object":
+        """Compose one placement set; returns the np.uint8 [H, W, 4] image."""
+        ticket = {"event": threading.Event()}
+        with self._lock:
+            self.requests += 1
+            self._pending.append((placements, ticket))
+            leader = not self._busy
+            self._busy = True
+        if leader:
+            self._drain()
+        ticket["event"].wait()
+        if "error" in ticket:
+            raise ticket["error"]
+        return ticket["result"]
+
+    def _drain(self) -> None:
+        while True:
+            with self._lock:
+                batch = self._pending[: self.MAX_MERGE]
+                del self._pending[: len(batch)]
+                if not batch:
+                    self._busy = False
+                    return
+            self._dispatch(batch)
+
+    def _dispatch(self, batch: List[tuple]) -> None:
+        import numpy as np
+
+        # per-request validation first: one malformed request must fail
+        # alone, not poison the merged dispatch for its batch-mates
+        checked = []
+        for placements, ticket in batch:
+            try:
+                live = [
+                    p for p in placements
+                    if int(p["object_id"]) in self.engine._id_to_idx
+                ]
+                self.engine._check_envelope(live)
+                checked.append((placements, ticket))
+            except Exception as e:  # noqa: BLE001
+                ticket["error"] = e
+                ticket["event"].set()
+        batch = checked
+        if not batch:
+            return
+
+        sets = [placements for placements, _ in batch]
+        try:
+            if len(sets) == 1:
+                results = [np.asarray(self.engine.compose(sets[0]))]
+            else:
+                # pad to the next power of two so merge sizes share a
+                # handful of compile keys; extra legs repeat request 0
+                full = 1 << (len(sets) - 1).bit_length()
+                padded = sets + [sets[0]] * (full - len(sets))
+                stacked = np.asarray(self.engine.compose_many(padded))
+                results = [stacked[i] for i in range(len(sets))]
+            self.dispatches += 1
+            for (_, ticket), img in zip(batch, results):
+                ticket["result"] = img
+                ticket["event"].set()
+        except Exception as e:  # noqa: BLE001 - propagate to every waiter
+            for _, ticket in batch:
+                ticket["error"] = e
+                ticket["event"].set()
 
 
 class ComposeService:
     """Bundle/engine cache + render entry points (thread-safe)."""
 
-    def __init__(self, bundles_root: Path):
+    MAX_BATCH_STEPS = 32
+    MAX_DEVICE_INPUTS = 8
+    MANIFEST_RECORDS = 64
+
+    def __init__(self, bundles_root: Path, manifest_path: Optional[Path] = None):
+        import os
+
         self.root = Path(bundles_root)
         self._lock = threading.Lock()
+        self._key_locks: Dict[tuple, threading.Lock] = {}
         self._bundles: Dict[str, object] = {}
         self._engines: Dict[Tuple[str, int, int, str], object] = {}
+        self._coalescers: Dict[Tuple[str, int, int, str], _Coalescer] = {}
         self._batch_steps: Dict[tuple, tuple] = {}
+        self._device_inputs: Dict[tuple, tuple] = {}
         self._batch_latched = False
+        env_manifest = os.environ.get("ITPU_SERVING_MANIFEST")
+        self.manifest_path = Path(
+            manifest_path or env_manifest
+            or Path.home() / ".cache" / "image_transformation_tpu"
+            / "serving_steps.json"
+        )
+
+    def _key_lock(self, kind: str, key) -> threading.Lock:
+        with self._lock:
+            return self._key_locks.setdefault((kind, key), threading.Lock())
 
     def list_bundles(self):
         """Cheap listing: results.json + the PNG header only (no object
@@ -70,9 +184,17 @@ class ComposeService:
         from ..core.bundle import load_bundle
 
         with self._lock:
-            if stem not in self._bundles:
-                self._bundles[stem] = load_bundle(self.root / stem)
-            return self._bundles[stem]
+            bundle = self._bundles.get(stem)
+        if bundle is not None:
+            return bundle
+        with self._key_lock("bundle", stem):
+            with self._lock:
+                bundle = self._bundles.get(stem)
+            if bundle is None:
+                bundle = load_bundle(self.root / stem)
+                with self._lock:
+                    bundle = self._bundles.setdefault(stem, bundle)
+            return bundle
 
     def _canvas_np(self, bundle, canvas_size, background: str):
         import jax.numpy as jnp
@@ -94,13 +216,34 @@ class ComposeService:
             engine = self._engines.get(key)
         if engine is not None:
             return engine
-        bundle = self._bundle(stem)
-        canvas_np = self._canvas_np(bundle, canvas_size, background)
-        engine = ComposeEngine(bundle.to_arrays(), canvas_np)
+        # serialize per key: exactly one thread builds/uploads the engine,
+        # concurrent first requests wait instead of racing duplicate builds
+        with self._key_lock("engine", key):
+            with self._lock:
+                engine = self._engines.get(key)
+            if engine is None:
+                bundle = self._bundle(stem)
+                canvas_np = self._canvas_np(bundle, canvas_size, background)
+                engine = ComposeEngine(bundle.to_arrays(), canvas_np)
+                with self._lock:
+                    engine = self._engines.setdefault(key, engine)
+                    self._coalescers.setdefault(key, _Coalescer(engine))
+            return engine
+
+    def _coalescer(self, stem: str, canvas_size, background: str) -> _Coalescer:
+        key = (stem, canvas_size[0], canvas_size[1], background)
+        self._engine(stem, canvas_size, background)
         with self._lock:
-            # concurrent first requests race to build; keep ONE device-
-            # resident engine (the setdefault winner), drop the loser
-            return self._engines.setdefault(key, engine)
+            return self._coalescers[key]
+
+    def coalescing_stats(self) -> Dict[str, int]:
+        """Totals across engines: requests served vs device dispatches."""
+        with self._lock:
+            cos = list(self._coalescers.values())
+        return {
+            "requests": sum(c.requests for c in cos),
+            "dispatches": sum(c.dispatches for c in cos),
+        }
 
     @staticmethod
     def _resolve_layout(bundle, layout: Optional[Dict]) -> Dict:
@@ -135,116 +278,225 @@ class ComposeService:
         layout: Optional[Dict] = None,
         background: str = "solid",
     ):
-        """Returns (placements, canvas_size, composed np.uint8 [H, W, 4])."""
+        """Returns (placements, canvas_size, composed np.uint8 [H, W, 4]).
+
+        Requests route through the engine's coalescer: under concurrent
+        load, queued compatible requests merge into one vmapped dispatch.
+        """
+        placements, canvas_size = self.solve(stem, ratio, layout)
+        composed = self._coalescer(stem, canvas_size, background).render(placements)
+        return placements, canvas_size, composed
+
+    def _get_device_inputs(self, stem: str, bundle, prog):
+        """Object tensors on device, shared by every batch step of this
+        (bundle, layout-object-order) — cached separately from compiled
+        steps so evicted step entries don't strand large HBM buffers."""
+        import jax.numpy as jnp
         import numpy as np
 
-        placements, canvas_size = self.solve(stem, ratio, layout)
-        engine = self._engine(stem, canvas_size, background)
-        composed = np.asarray(engine.compose(placements))
-        return placements, canvas_size, composed
+        input_key = (stem, tuple(int(oid) for oid in prog.obj_ids))
+        with self._lock:
+            inputs = self._device_inputs.get(input_key)
+        if inputs is not None:
+            return inputs
+        with self._key_lock("inputs", input_key):
+            with self._lock:
+                inputs = self._device_inputs.get(input_key)
+            if inputs is None:
+                arrays = bundle.to_arrays()
+                n = prog.n_objects
+                objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+                obj_wh = np.zeros((n, 2), np.int32)
+                known = np.zeros((n,), bool)
+                size_map = bundle.sizes()
+                for k, oid in enumerate(prog.obj_ids):
+                    oid = int(oid)
+                    if oid in size_map:
+                        objs[k] = arrays.objects[arrays.index_of(oid)]
+                        obj_wh[k] = size_map[oid]
+                        known[k] = True
+                inputs = (
+                    jnp.asarray(objs), jnp.asarray(obj_wh), jnp.asarray(known)
+                )
+                with self._lock:
+                    if len(self._device_inputs) >= self.MAX_DEVICE_INPUTS:
+                        self._device_inputs.pop(next(iter(self._device_inputs)))
+                    inputs = self._device_inputs.setdefault(input_key, inputs)
+            return inputs
+
+    def _build_batch_step(self, stem: str, bundle, prog, canon_ratios,
+                          background: str):
+        """Compile the fused step for one canonical ratio set. Returns
+        (step, sizes_dev, bg_dev, canon_sizes)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..layout.canvas import compute_canvas_size
+        from ..pipeline.fused import background_spec, make_fused_render
+
+        canon_sizes = [
+            compute_canvas_size(bundle.background.size, r, verbose=False)
+            for r in canon_ratios
+        ]
+        w_max = max(w for w, _ in canon_sizes)
+        h_max = max(h for _, h in canon_sizes)
+        arrays = bundle.to_arrays()
+        obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+        bg_dev, horizontal = background_spec(
+            jnp.asarray(np.asarray(bundle.background)), background
+        )
+        sizes_dev = jnp.asarray(np.asarray(canon_sizes, np.int32))
+        inputs = self._get_device_inputs(stem, bundle, prog)
+
+        step = None
+        if not self._batch_latched:
+            try:
+                step = make_fused_render(
+                    prog, (h_max, w_max), obj_pad, kernel="pallas",
+                    background=background, gradient_horizontal=horizontal,
+                )
+                probe = step(sizes_dev, bg_dev, *inputs)
+                np.asarray(probe[-1])  # fence: async failures latch HERE
+            except Exception as e:  # noqa: BLE001 - no Mosaic here
+                import sys
+
+                print(f"[serving] pallas batch render failed ({e!r}); "
+                      "latching the XLA compose", file=sys.stderr)
+                with self._lock:
+                    self._batch_latched = True
+                step = None
+        if step is None:
+            step = make_fused_render(
+                prog, (h_max, w_max), obj_pad,
+                background=background, gradient_horizontal=horizontal,
+            )
+        return step, sizes_dev, bg_dev, canon_sizes
 
     def render_batch(
         self,
         stem: str,
         ratios,
         layout: Optional[Dict] = None,
+        background: str = "solid",
     ):
         """All ratio variants in ONE device pass (throughput path).
 
         Uses the fused solve+background+compose program with the gen-3
         Pallas kernel (latched fallback to the XLA compose — e.g. on
-        backends without Mosaic); solid median background. The compiled
-        step and its device inputs are CACHED per (bundle, layout
-        structure, ratio set) — jax.jit caches by function identity, so
-        rebuilding the closure per request would re-trace/re-compile every
-        time. Request validation happens before any kernel work, so user
-        errors (bad ratio/layout) raise without latching the fallback.
+        backends without Mosaic); solid median or edge-gradient background.
+        The compiled step is CACHED per (bundle, layout structure,
+        canonical ratio set, background) — the ratio set is sorted/deduped
+        so request order never recompiles — and construction is serialized
+        per key (one compile, waiters reuse it). Request validation happens
+        before any kernel work, so user errors (bad ratio/layout) raise
+        without latching the fallback.
         Returns {ratio: (canvas_size, boxes list, np.uint8 [H, W, 4])}.
         Numerics: traced-table envelope (<= 2/255 vs PIL), vs the
         bit-exact per-request /v1/render path.
         """
         import json as _json
 
-        import jax.numpy as jnp
         import numpy as np
 
         from ..layout.canvas import compute_canvas_size
         from ..layout.solve import FlexProgram
-        from ..ops.background import masked_median_rgb
-        from ..pipeline.fused import make_fused_render
 
+        if background not in ("solid", "gradient"):
+            raise ValueError(f"unknown background mode: {background!r}")
         bundle = self._bundle(stem)
         layout = self._resolve_layout(bundle, layout)
         ratios = list(ratios)
         # ---- user-input validation: raises BEFORE any kernel attempt ----
-        sizes = [
+        for r in ratios:
             compute_canvas_size(bundle.background.size, r, verbose=False)
-            for r in ratios
-        ]
         prog = FlexProgram.from_dsl(layout["root"])
 
-        w_max = max(w for w, _ in sizes)
-        h_max = max(h for _, h in sizes)
+        canon = sorted(set(ratios))
         key = (
             stem, _json.dumps(layout["root"], sort_keys=True),
-            tuple(ratios), h_max, w_max,
+            tuple(canon), background,
         )
         with self._lock:
             entry = self._batch_steps.get(key)
         if entry is None:
-            arrays = bundle.to_arrays()
-            obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
-            n = prog.n_objects
-            objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
-            obj_wh = np.zeros((n, 2), np.int32)
-            known = np.zeros((n,), bool)
-            size_map = bundle.sizes()
-            for k, oid in enumerate(prog.obj_ids):
-                oid = int(oid)
-                if oid in size_map:
-                    objs[k] = arrays.objects[arrays.index_of(oid)]
-                    obj_wh[k] = size_map[oid]
-                    known[k] = True
-            median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
-            args = (
-                jnp.asarray(np.asarray(sizes, np.int32)),
-                median.astype(jnp.uint8),
-                jnp.asarray(objs),
-                jnp.asarray(obj_wh),
-                jnp.asarray(known),
-            )
-            step = None
-            if not self._batch_latched:
-                try:
-                    step = make_fused_render(
-                        prog, (h_max, w_max), obj_pad, kernel="pallas"
+            with self._key_lock("batch", key):
+                with self._lock:
+                    entry = self._batch_steps.get(key)
+                if entry is None:
+                    entry = self._build_batch_step(
+                        stem, bundle, prog, canon, background
                     )
-                    probe = step(*args)
-                    np.asarray(probe[-1])  # fence: async failures latch HERE
-                except Exception as e:  # noqa: BLE001 - no Mosaic here
-                    import sys
-
-                    print(f"[serving] pallas batch render failed ({e!r}); "
-                          "latching the XLA compose", file=sys.stderr)
                     with self._lock:
-                        self._batch_latched = True
-                    step = None
-            if step is None:
-                step = make_fused_render(prog, (h_max, w_max), obj_pad)
-            entry = (step, args)
-            with self._lock:
-                if len(self._batch_steps) >= 32:  # bound device/host memory
-                    self._batch_steps.pop(next(iter(self._batch_steps)))
-                entry = self._batch_steps.setdefault(key, entry)
-        step, args = entry
-        result = step(*args)
+                        if len(self._batch_steps) >= self.MAX_BATCH_STEPS:
+                            self._batch_steps.pop(next(iter(self._batch_steps)))
+                        entry = self._batch_steps.setdefault(key, entry)
+                    self._remember_step(stem, layout, canon, background)
+        step, sizes_dev, bg_dev, canon_sizes = entry
+        inputs = self._get_device_inputs(stem, bundle, prog)
+        result = step(sizes_dev, bg_dev, *inputs)
         out_np = np.asarray(result[0])
         boxes_np = np.asarray(result[1])
+        index = {r: i for i, r in enumerate(canon)}
         out = {}
-        for i, r in enumerate(ratios):
-            w, h = sizes[i]
+        for r in ratios:
+            i = index[r]
+            w, h = canon_sizes[i]
             out[r] = ((w, h), boxes_np[i].tolist(), out_np[i, :h, :w])
         return out
+
+    # ------------------- warm-start manifest (restarts) -------------------
+
+    def _remember_step(self, stem: str, layout: Dict, canon_ratios,
+                       background: str) -> None:
+        """Record a built batch-step key so a restarted daemon can rebuild
+        it before traffic (compiles hit the persistent XLA cache)."""
+        record = {
+            "stem": stem,
+            "layout": layout,
+            "ratios": list(canon_ratios),
+            "background": background,
+        }
+        try:
+            with self._key_lock("manifest", "manifest"):
+                records = self._load_manifest()
+                if record not in records:
+                    records.append(record)
+                    records = records[-self.MANIFEST_RECORDS:]
+                    self.manifest_path.parent.mkdir(parents=True, exist_ok=True)
+                    tmp = self.manifest_path.with_suffix(".tmp")
+                    tmp.write_text(json.dumps(records), encoding="utf-8")
+                    tmp.replace(self.manifest_path)
+        except OSError:
+            pass  # manifest is an optimization; never fail a request on it
+
+    def _load_manifest(self) -> List[Dict]:
+        try:
+            records = json.loads(self.manifest_path.read_text(encoding="utf-8"))
+            return records if isinstance(records, list) else []
+        except (OSError, ValueError):
+            return []
+
+    def warm_start(self) -> int:
+        """Rebuild every manifest-recorded batch step whose bundle still
+        exists. Returns the number of steps warmed."""
+        warmed = 0
+        for record in self._load_manifest():
+            stem = record.get("stem", "")
+            if not (self.root / stem / "results.json").exists():
+                continue
+            try:
+                self.render_batch(
+                    stem, record.get("ratios") or ["1:1"],
+                    layout=record.get("layout"),
+                    background=record.get("background", "solid"),
+                )
+                warmed += 1
+            except Exception as e:  # noqa: BLE001 - warmup must not crash
+                import sys
+
+                print(f"[serving] warm-start skipped {record}: {e!r}",
+                      file=sys.stderr)
+        return warmed
 
 
 def make_handler(service: ComposeService):
@@ -321,7 +573,8 @@ def make_handler(service: ComposeService):
             """POST /v1/render_batch: all ratio variants in one device pass.
 
             {"bundle": "<stem>", "ratios": ["9:16", ...],
-             "layout": {"root": {...}}?}  ->
+             "layout": {"root": {...}}?,
+             "background": "solid"|"gradient"?}  ->
             {"<ratio>": {"canvas": {...}, "boxes": [...], "png_b64": "..."}}
             """
             try:
@@ -335,7 +588,8 @@ def make_handler(service: ComposeService):
                 stem = req["bundle"]
                 ratios = req.get("ratios") or ["1:1"]
                 results = service.render_batch(
-                    stem, ratios, layout=req.get("layout")
+                    stem, ratios, layout=req.get("layout"),
+                    background=req.get("background", "solid"),
                 )
                 payload = {}
                 for r, (canvas_size, boxes, img) in results.items():
@@ -358,8 +612,12 @@ def make_handler(service: ComposeService):
     return Handler
 
 
-def serve(bundles_root, host: str = "127.0.0.1", port: int = 8601):
-    return ThreadingHTTPServer((host, port), make_handler(ComposeService(bundles_root)))
+def serve(bundles_root, host: str = "127.0.0.1", port: int = 8601,
+          service: Optional[ComposeService] = None):
+    service = service or ComposeService(bundles_root)
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    server.service = service
+    return server
 
 
 def main(argv=None) -> None:
@@ -367,12 +625,26 @@ def main(argv=None) -> None:
     parser.add_argument("--bundles-root", default="data")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8601)
+    parser.add_argument(
+        "--no-warm-start", action="store_true",
+        help="skip rebuilding manifest-recorded batch steps at startup",
+    )
     args = parser.parse_args(argv)
 
     from ..core.cache import enable_compile_cache
 
     enable_compile_cache()
     server = serve(args.bundles_root, args.host, args.port)
+    if not args.no_warm_start:
+        # rebuild previously-served batch steps in the background so the
+        # first real request after a restart finds them compiled (traces
+        # re-run; executable compiles hit the persistent cache)
+        def _warm():
+            warmed = server.service.warm_start()
+            if warmed:
+                print(f"[serving] warm-started {warmed} batch step(s)")
+
+        threading.Thread(target=_warm, daemon=True).start()
     print(f"serving bundles from {args.bundles_root} on http://{args.host}:{args.port}")
     try:
         server.serve_forever()

@@ -58,3 +58,24 @@ def test_run_config_roundtrip_and_redaction():
     # defaults match the reference CLI
     assert cfg.align == "center" and cfg.margin == 0.05
     assert cfg.temperature == 1.0 and cfg.samples == 1
+
+
+def test_prune_cache_dir_bounds_disk(tmp_path):
+    """The persistent compile cache prunes oldest entries to the budget."""
+    import os
+    import time
+
+    from image_transformation_tpu.core.cache import prune_cache_dir
+
+    for i in range(5):
+        p = tmp_path / f"entry_{i}.bin"
+        p.write_bytes(b"x" * 100)
+        os.utime(p, (time.time() - 1000 + i, time.time() - 1000 + i))
+    # budget allows only the 3 newest 100-byte entries
+    removed = prune_cache_dir(str(tmp_path), max_bytes=300, force=True)
+    assert removed == 2
+    left = sorted(p.name for p in tmp_path.iterdir() if p.name.startswith("entry"))
+    assert left == ["entry_2.bin", "entry_3.bin", "entry_4.bin"]
+    # marker written; a non-forced immediate re-run is a no-op
+    assert (tmp_path / ".last_prune").exists()
+    assert prune_cache_dir(str(tmp_path), max_bytes=0) == 0

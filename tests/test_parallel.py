@@ -218,5 +218,10 @@ def test_solid_render_step_falls_back_on_cpu():
     step_s = make_solid_render_step((H, W), pad)
     out_s, luma_s = step_s(*args)
     assert step_s.fallback[0] is not None  # latched on CPU
-    assert np.array_equal(np.asarray(out_x), np.asarray(out_s))
+    # both tiers return the SAME padded packed-plane convention; the host
+    # byte view-crop recovers u8 NHWC
+    from image_transformation_tpu.ops.compose_pallas import packed_to_u8_np
+
+    got = packed_to_u8_np(np.asarray(out_s))[:, :H, :W]
+    assert np.array_equal(np.asarray(out_x), got)
     assert np.allclose(np.asarray(luma_x), np.asarray(luma_s))

@@ -164,3 +164,115 @@ def test_concurrent_render_requests(server):
     # identical requests -> identical PNG bytes
     for ratio, bodies in by_ratio.items():
         assert len(bodies) == 1, f"{ratio}: {len(bodies)} distinct renders"
+
+
+def test_render_batch_gradient_background():
+    """Batch endpoint renders gradient backgrounds: uncovered pixels match
+    the per-request gradient canvas within the documented f32-lerp
+    truncation envelope (<= 1/255 — the fused step divides by a traced
+    extent, the standalone canvas by a static one, so truncation at ramp
+    boundaries can flip by one, exactly like the reference cross-check in
+    test_cross_legacy.py)."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.background import synthesize_canvas
+
+    svc = ComposeService("data")
+    out = svc.render_batch("audio_book", ["1:1", "9:16"], background="gradient")
+    for ratio, ((w, h), boxes, img) in out.items():
+        assert img.shape == (h, w, 4)
+        bg = np.asarray(synthesize_canvas(
+            jnp.asarray(np.asarray(svc._bundle("audio_book").background)),
+            w, h, "gradient",
+        ))
+        covered = np.zeros((h, w), bool)
+        for x1, y1, x2, y2 in boxes:
+            covered[max(0, y1):max(0, y2), max(0, x1):max(0, x2)] = True
+        assert not covered.all(), "need uncovered background to compare"
+        diff = np.abs(img[~covered].astype(int) - bg[~covered].astype(int))
+        assert diff.max() <= 1, (ratio, diff.max())
+
+
+def test_render_batch_ratio_order_shares_cache():
+    """The compiled batch step is keyed on the canonical ratio set: request
+    order and duplicates reuse one entry, responses keep request order."""
+    svc = ComposeService("data")
+    a = svc.render_batch("squarespace", ["9:16", "1:1"])
+    assert len(svc._batch_steps) == 1
+    entry = next(iter(svc._batch_steps.values()))
+    b = svc.render_batch("squarespace", ["1:1", "9:16"])
+    c = svc.render_batch("squarespace", ["1:1", "1:1", "9:16"])
+    assert len(svc._batch_steps) == 1
+    assert next(iter(svc._batch_steps.values())) is entry
+    for ratio in ("9:16", "1:1"):
+        assert a[ratio][0] == b[ratio][0] == c[ratio][0]
+        assert np.array_equal(a[ratio][2], b[ratio][2])
+        assert np.array_equal(a[ratio][2], c[ratio][2])
+
+
+def test_engine_compose_many_matches_sequential():
+    """The coalescer's vmapped batch compose is bit-exact vs sequential
+    compose, including ragged placement counts (no-op padding)."""
+    svc = ComposeService("data")
+    full, canvas_size = svc.solve("squarespace", "1:1")
+    partial = full[:2]
+    engine = svc._engine("squarespace", canvas_size, "solid")
+    stacked = np.asarray(engine.compose_many([full, partial, full]))
+    assert stacked.shape[0] == 3
+    seq_full = np.asarray(engine.compose(full))
+    seq_partial = np.asarray(engine.compose(partial))
+    assert np.array_equal(stacked[0], seq_full)
+    assert np.array_equal(stacked[1], seq_partial)
+    assert np.array_equal(stacked[2], seq_full)
+
+
+def test_concurrent_renders_coalesce_dispatches():
+    """Queued compatible requests merge into fewer device dispatches than
+    requests (the first dispatch is slowed so a queue builds up)."""
+    import concurrent.futures
+    import time
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    engine = svc._engine("squarespace", canvas_size, "solid")
+    # warm the compiled paths so timing is deterministic
+    np.asarray(engine.compose(placements))
+    np.asarray(engine.compose_many([placements, placements]))
+
+    real_compose = engine.compose
+
+    def slow_compose(p):
+        time.sleep(0.3)  # let followers pile into the coalescer queue
+        return real_compose(p)
+
+    engine.compose = slow_compose
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+            outs = list(pool.map(
+                lambda _: svc.render("squarespace", "1:1")[2], range(6)
+            ))
+    finally:
+        engine.compose = real_compose
+    stats = svc.coalescing_stats()
+    assert stats["requests"] == 6
+    assert stats["dispatches"] < stats["requests"], stats
+    for out in outs[1:]:
+        assert np.array_equal(out, outs[0])
+
+
+def test_warm_start_rebuilds_recorded_steps(tmp_path):
+    """A restarted service rebuilds manifest-recorded batch steps before
+    traffic; the next request reuses the warmed entry."""
+    manifest = tmp_path / "steps.json"
+    svc1 = ComposeService("data", manifest_path=manifest)
+    first = svc1.render_batch("squarespace", ["1:1", "9:16"])
+    assert manifest.exists()
+
+    svc2 = ComposeService("data", manifest_path=manifest)
+    assert svc2.warm_start() == 1
+    assert len(svc2._batch_steps) == 1
+    entry = next(iter(svc2._batch_steps.values()))
+    again = svc2.render_batch("squarespace", ["9:16", "1:1"])
+    assert next(iter(svc2._batch_steps.values())) is entry
+    for ratio in ("1:1", "9:16"):
+        assert np.array_equal(first[ratio][2], again[ratio][2])
