@@ -40,6 +40,29 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "spatial"))
 
 
+def make_slice_mesh(
+    devices: Optional[Sequence] = None,
+    slices: int = 2,
+    data: Optional[int] = None,
+) -> Mesh:
+    """Two-level (slice, data) mesh simulating a multi-slice pod: the
+    leading ``slice`` axis stands in for DCN between slices, the inner
+    ``data`` axis for ICI within a slice. Collectives spanning both axes
+    (e.g. run-level stats sharded P(("slice", "data"))) cross both levels,
+    which is exactly how a cross-slice reduction lowers on real hardware.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        if n % slices:
+            raise ValueError(f"{n} devices not divisible into {slices} slices")
+        data = n // slices
+    if slices * data != n:
+        raise ValueError(f"mesh {slices}x{data} != {n} devices")
+    dev_array = np.array(devices).reshape(slices, data)
+    return Mesh(dev_array, axis_names=("slice", "data"))
+
+
 def shard_batched(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedSharding:
     """Sharding for a batched canvas tensor [B, H, W, C]: batch over
     ``data`` and (optionally) H over ``spatial``."""

@@ -174,10 +174,23 @@ def make_sharded_fused_render(
     obj_pad_hw: Tuple[int, int],
     method: str = "lanczos",
     spatial: bool = False,
+    batch_axes: Tuple[str, ...] = ("data",),
+    masked: bool = False,
 ):
-    """Multi-chip fused step: variants shard over the mesh ``data`` axis
+    """Multi-chip fused step: variants shard over the mesh batch axes
     (canvas rows over ``spatial`` when set); object tensors replicate; the
     global mean luminance is a cross-device all-reduce.
+
+    ``batch_axes`` names the mesh axes the variant batch shards over —
+    ``("data",)`` for one slice, ``("slice", "data")`` to span a two-level
+    mesh where the leading axis stands in for DCN between slices (the
+    stats all-reduce then crosses both levels, exactly the multi-slice
+    production topology).
+
+    ``masked=True`` adds a ``valid [V] bool`` argument (sharded with the
+    batch): ragged variant counts pad up to the mesh extent (see
+    ``pad_ragged_variants``) and the global luminance is the masked mean —
+    padding legs render but never contaminate the run-level stat.
 
     This is the full device step (solve -> background -> compose -> stats)
     the production sweep runs, and what __graft_entry__.dryrun_multichip
@@ -188,9 +201,10 @@ def make_sharded_fused_render(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     h_max, w_max = canvas_max_hw
-    batch = NamedSharding(mesh, P("data"))
+    axes = batch_axes if len(batch_axes) > 1 else batch_axes[0]
+    batch = NamedSharding(mesh, P(axes))
     repl = NamedSharding(mesh, P())
-    out_spec = NamedSharding(mesh, P("data", "spatial") if spatial else P("data"))
+    out_spec = NamedSharding(mesh, P(axes, "spatial") if spatial else P(axes))
 
     def render_one(wh, bg_color, objs, obj_wh, obj_known):
         boxes, scales = solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
@@ -202,18 +216,53 @@ def make_sharded_fused_render(
         luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
         return out, boxes, luma
 
+    def render_all(canvas_wh, bg_color, objs, obj_wh, obj_known):
+        return jax.vmap(render_one, in_axes=(0, None, None, None, None))(
+            canvas_wh, bg_color, objs, obj_wh, obj_known
+        )
+
+    if masked:
+        @partial(
+            jax.jit,
+            in_shardings=(batch, repl, repl, repl, repl, batch),
+            out_shardings=(out_spec, batch, repl),
+        )
+        def masked_step(canvas_wh, bg_color, objs, obj_wh, obj_known, valid):
+            out, boxes, luma = render_all(canvas_wh, bg_color, objs, obj_wh,
+                                          obj_known)
+            w = valid.astype(jnp.float32)
+            total = jnp.sum(luma * w) / jnp.maximum(1.0, jnp.sum(w))
+            return out, boxes, total[None]  # cross-device (and slice) reduce
+
+        return masked_step
+
     @partial(
         jax.jit,
         in_shardings=(batch, repl, repl, repl, repl),
         out_shardings=(out_spec, batch, repl),
     )
     def step(canvas_wh, bg_color, objs, obj_wh, obj_known):
-        out, boxes, luma = jax.vmap(render_one, in_axes=(0, None, None, None, None))(
-            canvas_wh, bg_color, objs, obj_wh, obj_known
-        )
+        out, boxes, luma = render_all(canvas_wh, bg_color, objs, obj_wh,
+                                      obj_known)
         return out, boxes, jnp.mean(luma, keepdims=True)  # cross-device reduce
 
     return step
+
+
+def pad_ragged_variants(canvas_wh: np.ndarray, multiple: int):
+    """(padded canvas_wh, valid mask): repeat the last variant row up to the
+    next multiple of the mesh batch extent (jit sharding requires divisible
+    batch dims), returning the mask that keeps padding out of masked stats
+    and lets callers slice the real outputs back out."""
+    v = canvas_wh.shape[0]
+    pad = (-v) % multiple
+    valid = np.ones((v + pad,), bool)
+    valid[v:] = False
+    if pad:
+        canvas_wh = np.concatenate(
+            [canvas_wh, np.repeat(canvas_wh[-1:], pad, axis=0)]
+        )
+    return canvas_wh, valid
 
 
 def background_spec(bg_rgba_u8, mode: str = "solid"):
