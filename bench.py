@@ -75,6 +75,14 @@ def main() -> None:
         ),
     )
     parser.add_argument(
+        "--superbatch", type=int, default=0, metavar="K",
+        help=(
+            "also measure the cross-dispatch-pipelined path: K box-batches "
+            "scanned inside ONE device program (amortizes the per-dispatch "
+            "host/tunnel gap K-fold; per-batch stats prove execution)"
+        ),
+    )
+    parser.add_argument(
         "--kernel", choices=["xla", "pallas"], default="pallas",
         help=(
             "compose path: packed-u32 Pallas blend (default; ~15%% faster, "
@@ -251,6 +259,63 @@ def main() -> None:
     ours = B * args.reps / dt
     log(f"tpu: {ours:.1f} canvases/sec ({dt / args.reps * 1e3:.1f} ms/batch of {B})")
 
+    pipelined = None
+    if args.superbatch > 1 and args.kernel == "pallas":
+        # Cross-dispatch pipelining: scan K box-batches inside ONE program.
+        # The per-batch data is only the boxes ([K, B, N, 4] int32 — a few
+        # KB); the object tensor is shared and the background synthesizes
+        # on device, so one dispatch composes K*B canvases and the
+        # ~1.7 ms/dispatch tunnel gap amortizes K-fold. Each scan step
+        # returns a per-batch stat, so every batch provably executed; the
+        # composed frames are consumed on device (same consumption
+        # semantics as the headline loop, which never reads frames back).
+        import jax as _jax
+
+        from image_transformation_tpu.ops.compose_pallas import (
+            pack_rgba_scalar,
+            render_solid_fused_v3_program,
+        )
+
+        K = args.superbatch
+        bg_packed = pack_rgba_scalar(bg_rgba)
+        boxes_k = np.stack([
+            np.stack([
+                random_downscale_boxes(rng, arrays.obj_hw, (H, W))
+                for _ in range(B)
+            ])
+            for _ in range(K)
+        ])
+
+        @_jax.jit
+        def super_step(o, h_, bk):
+            def body(carry, b):
+                out = render_solid_fused_v3_program(o, h_, b, (H, W), bg_packed)
+                return carry, jnp.sum(out[:, 0, :128], axis=1)
+            _, stats = _jax.lax.scan(body, 0, bk)
+            return stats
+
+        try:
+            sb_args = (dev_args[1], dev_args[2], jnp.asarray(boxes_k))
+            t0 = time.perf_counter()
+            stats = super_step(*sb_args)
+            fence(stats)
+            log(f"superbatch first call (incl. compile): "
+                f"{time.perf_counter() - t0:.1f}s")
+            sb_reps = max(1, args.reps // K)
+            t0 = time.perf_counter()
+            for _ in range(sb_reps):
+                stats = super_step(*sb_args)
+            fence(stats)
+            dt_sb = time.perf_counter() - t0
+            pipelined = K * B * sb_reps / dt_sb
+            log(
+                f"tpu pipelined (K={K} batches/dispatch): "
+                f"{pipelined:.1f} canvases/sec "
+                f"({dt_sb / sb_reps * 1e3:.1f} ms per {K}-batch dispatch)"
+            )
+        except Exception as e:  # noqa: BLE001 - diagnostic path only
+            log(f"superbatch path failed ({e!r}); skipping")
+
     log("measuring PIL reference baseline ...")
     pil = pil_baseline_canvases_per_sec(
         bundle, boxes, (H, W), n_canvases=args.pil_canvases
@@ -267,16 +332,16 @@ def main() -> None:
         )
         log(f"sweep: {json.dumps(sweep['ratios'])}")
 
-    print(
-        json.dumps(
-            {
-                "metric": "composited 1080p canvases/sec/chip",
-                "value": round(ours, 2),
-                "unit": "canvases/sec",
-                "vs_baseline": round(ours / pil, 2),
-            }
-        )
-    )
+    payload = {
+        "metric": "composited 1080p canvases/sec/chip",
+        "value": round(ours, 2),
+        "unit": "canvases/sec",
+        "vs_baseline": round(ours / pil, 2),
+    }
+    if pipelined:
+        payload["pipelined_canvases_per_sec"] = round(pipelined, 2)
+        payload["pipelined_vs_baseline"] = round(pipelined / pil, 2)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -54,14 +54,22 @@ class ComposeEngine:
         # re-uploading the coefficient tables (the dominant per-call cost
         # on tunneled hosts).
         self._call_cache: dict = {}
-        # kernel="pallas"/"auto": OPT-IN bit-exact fused gen-2 kernel with
-        # host tables (~2x the batched XLA exact path device time, one
-        # dispatch per compose) with a loud latched fallback to the XLA
-        # indexed path. NOT the default: the gen-2 kernel pays a
-        # minutes-long compile per new canvas geometry (measured 60-490 s
-        # through the remote compile helper, and the persistent cache does
-        # not reliably cover it), while the XLA indexed path compiles in
-        # seconds-to-tens and is equally bit-exact.
+        # kernel="auto"/"pallas": OPT-IN bit-exact fused gen-2 kernel with
+        # host tables, loud latched fallback to the XLA indexed path.
+        # Round-2 resolution of the default question (ROADMAP item 4):
+        # (a) the round-1 "3 s-8 min Mosaic compile variance" that blocked
+        #     flipping was DIAGNOSED as the fresh-process backend-warmup
+        #     artifact — after warmup a new geometry compiles in p50 5.0 s
+        #     and the persistent cache covers Mosaic across processes
+        #     (p50 0.75 s; benchmarks/compile_variance_results.json);
+        # (b) BUT measured on the engine's actual workload (SINGLE-canvas
+        #     composes), the XLA indexed path beats the fused gen-2 at
+        #     every geometry — 1.4 vs 7.0 ms at 369x657 (the 9:16
+        #     pipeline), 4.0 vs 10.3 ms at 1080p, 14.6 vs 19.5 ms at
+        #     2880^2 (v5e, warm, fenced): gen-2's ~7 ms fixed per-program
+        #     cost only amortizes across BATCHED composes, where gen-3
+        #     already serves render_batch/bench. So kernel="xla" stays the
+        #     single-compose default on measurement, not compile fear.
         self._use_fused = kernel in ("auto", "pallas")
         self._objs_planar = None
         self._perm_cache: dict = {}
