@@ -188,6 +188,44 @@ def batch_decode_into_padded(
     return tensor, out_hw
 
 
+def encode_png_rgba_bytes(rgba: np.ndarray, level: int = 1) -> Optional[bytes]:
+    """Encode uint8 [H, W, 4] to PNG bytes in memory (serving hot path);
+    None -> caller should fall back to PIL."""
+    lib = load_library()
+    if lib is None:
+        return None
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    h, w = rgba.shape[:2]
+    src = rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    cap = lib.png_encode_rgba(src, w, h, level, None, 0)
+    if cap <= 0:
+        return None
+    out = np.empty((int(cap),), np.uint8)
+    n = lib.png_encode_rgba(
+        src, w, h, level,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes,
+    )
+    if n <= 0:
+        return None
+    return out[: int(n)].tobytes()
+
+
+def png_bytes(rgba: np.ndarray, level: int = 1) -> bytes:
+    """PNG bytes via the native encoder, PIL fallback."""
+    encoded = encode_png_rgba_bytes(rgba, level)
+    if encoded is not None:
+        return encoded
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.ascontiguousarray(rgba, np.uint8), "RGBA").save(
+        buf, format="PNG"
+    )
+    return buf.getvalue()
+
+
 def save_png(rgba: np.ndarray, path, level: int = 1) -> None:
     """Artifact writer: native encoder with PIL fallback."""
     if encode_png_rgba(rgba, path, level):

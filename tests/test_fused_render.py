@@ -114,3 +114,72 @@ def test_fused_render_is_one_program_small():
     out = renders["1:1"]
     assert out.shape == (492, 492, 4)
     assert (out[..., 3] == 255).all()
+
+
+def test_fused_render_gradient_pallas_matches_xla():
+    """Gradient-background fused render: the pallas branch (packed
+    per-variant gradient plane) must match the XLA branch (interpret
+    mode), and the cropped background must match the standalone gradient
+    canvas bit-for-bit (identical traced ramp arithmetic)."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.layout.solve import FlexProgram
+    from image_transformation_tpu.pipeline.fused import (
+        background_spec,
+        make_fused_render,
+    )
+
+    bundle = load_bundle("data/audio_book")
+    root = _layout_for(bundle)
+    sizes = [compute_canvas_size(bundle.background.size, r, verbose=False)
+             for r in RATIOS]
+    w_max = max(w for w, _ in sizes)
+    h_max = max(h for _, h in sizes)
+    arrays = bundle.to_arrays()
+    prog = FlexProgram.from_dsl(root)
+    n = prog.n_objects
+    obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+    objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+    obj_wh = np.zeros((n, 2), np.int32)
+    known = np.zeros((n,), bool)
+    size_map = bundle.sizes()
+    for k, oid in enumerate(prog.obj_ids):
+        oid = int(oid)
+        if oid in size_map:
+            objs[k] = arrays.objects[arrays.index_of(oid)]
+            obj_wh[k] = size_map[oid]
+            known[k] = True
+    bg, horizontal = background_spec(
+        jnp.asarray(np.asarray(bundle.background)), "gradient"
+    )
+    assert bg.shape == (2, 3)
+    args = (
+        jnp.asarray(np.asarray(sizes, np.int32)),
+        bg,
+        jnp.asarray(objs),
+        jnp.asarray(obj_wh),
+        jnp.asarray(known),
+    )
+    kw = dict(background="gradient", gradient_horizontal=horizontal)
+    ox, bx, sx, lx = make_fused_render(prog, (h_max, w_max), obj_pad, **kw)(*args)
+    op, bp, sp, lp = make_fused_render(
+        prog, (h_max, w_max), obj_pad, kernel="pallas", interpret=True, **kw
+    )(*args)
+    assert np.array_equal(np.asarray(bx), np.asarray(bp))
+    diff = np.abs(np.asarray(ox).astype(int) - np.asarray(op).astype(int))
+    assert diff.max() <= 1  # cross-program traced-resample envelope
+    # gradient ramps flip by 1 at truncation boundaries between the two
+    # programs' division lowerings, so the mean shifts by up to ~1 level
+    assert np.allclose(np.asarray(lx), np.asarray(lp), atol=1.0)
+
+    # uncovered background pixels equal the fused gradient (both branches)
+    ox_np, bx_np = np.asarray(ox), np.asarray(bx)
+    for i, (w, h) in enumerate(sizes):
+        covered = np.zeros((h, w), bool)
+        for x1, y1, x2, y2 in bx_np[i]:
+            covered[max(0, y1):max(0, y2), max(0, x1):max(0, x2)] = True
+        crop = ox_np[i, :h, :w]
+        crop_p = np.asarray(op)[i, :h, :w]
+        bg_diff = np.abs(crop[~covered].astype(int) - crop_p[~covered].astype(int))
+        assert bg_diff.max() <= 1  # ramp truncation boundaries, program-dependent
+        assert (crop[~covered][:, 3] == 255).all()

@@ -87,3 +87,26 @@ def test_save_png_fallback_api(tmp_path):
     assert np.array_equal(
         np.asarray(Image.open(tmp_path / "a.png").convert("RGBA")), rgba
     )
+
+
+def test_png_bytes_roundtrip_and_fallback(monkeypatch):
+    """In-memory native PNG encode round-trips exactly; PIL fallback kicks
+    in when the native library is unavailable."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import image_transformation_tpu.core.native_io as nio
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56, 4), dtype=np.uint8)
+    data = nio.png_bytes(img)
+    back = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+    assert np.array_equal(back, img)
+
+    monkeypatch.setattr(nio, "load_library", lambda: None)
+    assert nio.encode_png_rgba_bytes(img) is None
+    data2 = nio.png_bytes(img)  # PIL fallback
+    back2 = np.asarray(Image.open(io.BytesIO(data2)).convert("RGBA"))
+    assert np.array_equal(back2, img)
