@@ -182,6 +182,33 @@ def config2_margin_conflict_relayout() -> dict:
             assert len(placements) == len(ids)
             n_layouts += 1
     dt = time.perf_counter() - t0
+
+    # device sweep: ONE vmapped program validates every margin variant
+    # (conflict masks + coverage bitsets on device, layout/validate_vec.py)
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.layout.solve import FlexProgram
+    from image_transformation_tpu.layout.validate_vec import validate_program
+
+    prog = FlexProgram.from_dsl(root_for("row"))
+    obj_wh = jnp.asarray(np.asarray(dims, np.int32))
+    required = jnp.asarray(ids)
+    W, H = compute_canvas_size(bundle.background.size, "16:9", verbose=False)
+
+    @jax.jit
+    def device_sweep(ms):
+        return jax.vmap(
+            lambda m: validate_program(prog, obj_wh, (W, H), m, required)
+        )(ms)
+
+    res = device_sweep(jnp.asarray(np.asarray(margins, np.float32)))
+    fence(res["n_row_violations"])
+    t = time.perf_counter()
+    res = device_sweep(jnp.asarray(np.asarray(margins, np.float32)))
+    fence(res["n_row_violations"])
+    device_sweep_ms = (time.perf_counter() - t) * 1e3
+
     return {
         "layouts_solved": n_layouts,
         "margins_swept": list(margins),
@@ -190,6 +217,12 @@ def config2_margin_conflict_relayout() -> dict:
         "conflict_precompute": _percentiles(conflict_s),
         "validate": _percentiles(validate_s),
         "solve": _percentiles(solve_s),
+        "device_vmapped_validation": {
+            "margins": len(margins),
+            "ms_per_sweep": device_sweep_ms,
+            "row_violations": [int(v) for v in np.asarray(res["n_row_violations"])],
+            "all_covered": bool(np.asarray(res["covered"]).all()),
+        },
         "seconds": dt,
     }
 
