@@ -151,16 +151,20 @@ def run_fleet(
 
         median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
 
-        # The variant batch must tile evenly over the mesh: repeat-pad it.
+        # The variant batch must tile evenly over the mesh: pad + mask, so
+        # the run-level luminance collective ignores the padding legs.
         canvas_wh = np.asarray(sizes_wh, np.int32)
         v_real = canvas_wh.shape[0]
-        if mesh is not None and v_real % n_dev:
-            pad = n_dev - v_real % n_dev
-            filler = np.tile(canvas_wh, (pad // v_real + 1, 1))[:pad]
-            canvas_wh = np.concatenate([canvas_wh, filler], axis=0)
+        valid = None
+        if mesh is not None:
+            from .fused import pad_ragged_variants
+
+            canvas_wh, valid = pad_ragged_variants(canvas_wh, n_dev)
 
         if mesh is not None:
-            step = make_sharded_fused_render(mesh, prog, (h_max, w_max), obj_pad, method)
+            step = make_sharded_fused_render(
+                mesh, prog, (h_max, w_max), obj_pad, method, masked=True
+            )
         else:
             # kernel="pallas": gen-3 fused compose inside the solve+render
             # program (2.1x the XLA pass on v5e), loud XLA fallback
@@ -192,6 +196,8 @@ def run_fleet(
             jnp.asarray(obj_wh),
             jnp.asarray(known),
         )
+        if valid is not None:
+            args = args + (jnp.asarray(valid),)
         result = step(*args)
         np.asarray(result[-1])  # execution fence (see bench.py)
         t0 = time.perf_counter()
