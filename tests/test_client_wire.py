@@ -233,3 +233,51 @@ def test_full_pipeline_over_wire(wire, monkeypatch, tmp_path):
     assert sum(p["type"] == "image_url" for p in planner_parts) >= 2
     assert all(r["headers"]["Authorization"] == "Bearer wire-key"
                for r in wire.requests)
+
+
+def test_agentic_workflow_over_wire_with_tool_calls(wire, monkeypatch, tmp_path):
+    """The agentic pipeline speaks real HTTP end-to-end: macro layout,
+    critic, and a micro round whose TOOL CALLS travel the wire (the
+    behavior that is dead code in the reference, SURVEY §2.6.2)."""
+    from image_transformation_tpu.agentic.workflow import run_workflow
+
+    layout = {"root": {"type": "flex", "direction": "column", "gap_px": 4,
+                       "children": [
+                           {"object_id": 1, "name": "logo"},
+                           {"object_id": 2, "name": "photo"},
+                           {"object_id": 3, "name": "text"},
+                           {"object_id": 4, "name": "cta"},
+                       ]}}
+    plain_calls = {"n": 0}
+
+    def responder(record):
+        body = record["body"]
+        if body.get("tools"):  # micro round: answer with executable calls
+            return 200, {"choices": [{"message": {
+                "content": "",
+                "tool_calls": [{"id": "w1", "type": "function",
+                                "function": {"name": "adjust_x",
+                                             "arguments": json.dumps(
+                                                 {"object": "logo", "pixels": 10})}}],
+            }}]}
+        plain_calls["n"] += 1
+        content = (json.dumps(layout) if plain_calls["n"] == 1
+                   else "Score: 8/10\nSuggestions: nudge the logo right")
+        return 200, {"choices": [{"message": {"content": content}}]}
+
+    wire.responder = responder
+    monkeypatch.setenv("NEBIUS_BASE_URL", wire.url + "/v1/")
+    state = run_workflow(
+        bundle_dir="data/squarespace", ratio="9:16", base_run_dir=tmp_path,
+        api_type="nebius", api_key="wire-key", max_iterations=1,
+    )
+    assert state.iteration == 1
+    assert len(state.last_tool_calls) == 1
+    assert state.placements[1].x == 10  # the wire-delivered adjust_x ran
+
+    # the micro request really carried the tool schemas over the socket
+    tool_reqs = [r for r in wire.requests if r["body"].get("tools")]
+    assert tool_reqs, "no request carried tools"
+    names = {t["function"]["name"] for t in tool_reqs[0]["body"]["tools"]}
+    assert names == {"adjust_x", "adjust_y"}
+    assert tool_reqs[0]["body"].get("tool_choice") is not None
