@@ -137,25 +137,11 @@ def decode_png_rgba(path) -> Optional[np.ndarray]:
 
 def encode_png_rgba(rgba: np.ndarray, path, level: int = 1) -> bool:
     """Write uint8 [H, W, 4] as PNG; False -> caller should fall back."""
-    lib = load_library()
-    if lib is None:
-        return False
-    rgba = np.ascontiguousarray(rgba, np.uint8)
-    h, w = rgba.shape[:2]
-    cap = lib.png_encode_rgba(
-        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, level, None, 0
-    )
-    if cap <= 0:
-        return False
-    out = np.empty((int(cap),), np.uint8)
-    n = lib.png_encode_rgba(
-        rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h, level,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.nbytes,
-    )
-    if n <= 0:
+    data = encode_png_rgba_bytes(rgba, level)
+    if data is None:
         return False
     with open(path, "wb") as f:
-        f.write(out[: int(n)].tobytes())
+        f.write(data)
     return True
 
 

@@ -44,6 +44,14 @@ def conflict_masks(
     margin_pct: traced float. Returns (row_bad, col_bad) bool [N, N]
     (symmetric, diagonal False).
     """
+    # Precision note: the host computes margin*w and 0.01*min(w,h) in
+    # float64; this traced replica uses float32 (x64 stays off on TPU).
+    # When the true product lies within ~1e-5 of an integer the trailing
+    # truncation can land one pixel apart between the two (and the host's
+    # own f64 representation of decimals like 0.07 already truncates
+    # "intended" integers down) — so the inner extents carry a documented
+    # <=1px boundary envelope vs compute_nesting_conflicts. Away from
+    # exact boundaries the masks are identical (pinned by tests).
     W = jnp.asarray(canvas_wh[0], jnp.int32)
     H = jnp.asarray(canvas_wh[1], jnp.int32)
     m = jnp.asarray(margin_pct, jnp.float32)

@@ -117,6 +117,26 @@ def gradient_canvas(
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def gradient_spec(bg_rgba_u8: jnp.ndarray):
+    """(c1, c2, horizontal): endpoint colors + axis for the gradient fill.
+
+    The single home of the reference's axis-selection rule
+    (background_resizing.py:58-75): edge-strip medians compared by squared
+    RGB distance, lower-variance axis wins (ties go horizontal). Shared by
+    synthesize_canvas and the fused renderer's background_spec so the
+    per-request and batched gradients can never pick different axes.
+    """
+    import numpy as _np
+
+    left, right, top, bottom = (
+        tuple(int(x) for x in _np.asarray(c))
+        for c in edge_strip_medians(bg_rgba_u8)
+    )
+    horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
+    c1, c2 = (left, right) if horizontal else (top, bottom)
+    return c1, c2, horizontal
+
+
 def synthesize_canvas(bg_rgba_u8: jnp.ndarray, width: int, height: int,
                       mode: str = "solid") -> jnp.ndarray:
     """Canvas synthesis entry point shared by the pipeline and the serving
@@ -126,12 +146,7 @@ def synthesize_canvas(bg_rgba_u8: jnp.ndarray, width: int, height: int,
     if mode == "gradient":
         import numpy as _np
 
-        left, right, top, bottom = (
-            tuple(int(x) for x in _np.asarray(c))
-            for c in edge_strip_medians(bg_rgba_u8)
-        )
-        horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
-        c1, c2 = (left, right) if horizontal else (top, bottom)
+        c1, c2, horizontal = gradient_spec(bg_rgba_u8)
         return gradient_canvas(
             jnp.asarray(_np.array(c1, _np.uint8)),
             jnp.asarray(_np.array(c2, _np.uint8)),

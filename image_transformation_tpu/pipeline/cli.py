@@ -117,10 +117,11 @@ def main(argv=None) -> None:
         ratios = [args.ratio] + [
             r.strip() for r in args.variants.split(",") if r.strip()
         ]
-        render_variants(bundle_dir, base_out, ratios)
+        render_variants(bundle_dir, base_out, ratios, background=args.background)
 
 
-def render_variants(bundle_dir: Path, base_out: Path, ratios) -> Path:
+def render_variants(bundle_dir: Path, base_out: Path, ratios,
+                    background: str = "solid") -> Path:
     """Re-render the run's final layout at several ratios in one fused pass."""
     from ..core.bundle import load_bundle
     from ..core.native_io import save_png
@@ -141,7 +142,9 @@ def render_variants(bundle_dir: Path, base_out: Path, ratios) -> Path:
         raise RuntimeError(f"no solved layout found under {base_out}")
 
     bundle = load_bundle(bundle_dir)
-    renders, _boxes = fused_multi_ratio_render(bundle, flex_json["root"], ratios)
+    renders, _boxes = fused_multi_ratio_render(
+        bundle, flex_json["root"], ratios, background=background
+    )
     out_dir = base_out / "variants"
     out_dir.mkdir(parents=True, exist_ok=True)
     for ratio, arr in renders.items():

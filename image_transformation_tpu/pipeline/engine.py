@@ -219,10 +219,13 @@ class ComposeEngine:
 
         The serving coalescer's entry point: B queued compatible requests
         (same bundle/canvas/background) become one device program instead
-        of B sequential dispatches. Placement counts are padded to the
-        batch max with no-op rows, so ragged sets share the compile key.
-        Returns the device array uint8 [B, H, W, 4]; each slice is
-        bit-exact vs the sequential compose() result.
+        of B sequential dispatches. Placement counts pad to the next power
+        of two with no-op rows (all-zero tables), so compile keys are
+        (pow2 batch, pow2 placement-count) pairs — a handful total — and
+        repeated identical batches reuse their stacked device tables from
+        the call cache instead of re-uploading. Returns the device array
+        uint8 [B, H, W, 4]; each slice is bit-exact vs the sequential
+        compose() result.
         """
         lives = [
             [p for p in ps if int(p["object_id"]) in self._id_to_idx]
@@ -230,12 +233,27 @@ class ComposeEngine:
         ]
         for live in lives:
             self._check_envelope(live)
-        n_pad = max(max((len(live) for live in lives), default=1), 1)
-        per_req = [self._indexed_args_np(live, n_pad) for live in lives]
-        stacked = tuple(
-            jnp.asarray(np.stack([args[i] for args in per_req]))
-            for i in range(5)
+        max_live = max(max((len(live) for live in lives), default=1), 1)
+        n_pad = 1 << (max_live - 1).bit_length()
+        signature = (
+            "many", n_pad,
+            tuple(
+                tuple(
+                    (int(p["object_id"]), tuple(int(v) for v in p["box"]))
+                    for p in live
+                )
+                for live in lives
+            ),
         )
+        stacked = self._call_cache.get(signature)
+        if stacked is None:
+            per_req = [self._indexed_args_np(live, n_pad) for live in lives]
+            stacked = tuple(
+                jnp.asarray(np.stack([args[i] for args in per_req]))
+                for i in range(5)
+            )
+            if len(self._call_cache) < 64:
+                self._call_cache[signature] = stacked
         return composite_canvas_tables_indexed_many(
             self.canvas_dev, self.objs_dev, *stacked
         )

@@ -269,21 +269,17 @@ def background_spec(bg_rgba_u8, mode: str = "solid"):
     """(bg array for make_fused_render, gradient_horizontal flag).
 
     "solid": uint8 [3] masked-median color. "gradient": uint8 [2, 3] edge
-    colors along the lower-variance axis (the reference's fill_gradient
-    axis selection, /root/reference/background_resizing.py:58-75).
+    colors along the lower-variance axis — axis selection delegated to
+    ops.background.gradient_spec, the single home of that rule, so the
+    per-request and batched paths always agree.
     """
-    from ..ops.background import axis_variance, edge_strip_medians, masked_median_rgb
+    from ..ops.background import gradient_spec, masked_median_rgb
 
     if mode == "solid":
         return masked_median_rgb(bg_rgba_u8).astype(jnp.uint8), True
     if mode != "gradient":
         raise ValueError(f"unknown background mode: {mode!r}")
-    left, right, top, bottom = (
-        tuple(int(x) for x in np.asarray(c))
-        for c in edge_strip_medians(bg_rgba_u8)
-    )
-    horizontal = axis_variance(left, right) <= axis_variance(top, bottom)
-    c1, c2 = (left, right) if horizontal else (top, bottom)
+    c1, c2, horizontal = gradient_spec(bg_rgba_u8)
     return jnp.asarray(np.array([c1, c2], np.uint8)), horizontal
 
 

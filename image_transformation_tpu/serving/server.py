@@ -50,16 +50,21 @@ from typing import Dict, List, Optional, Tuple
 
 class _Coalescer:
     """Per-engine render queue: while one dispatch is in flight, arriving
-    compatible requests queue up and ride the next dispatch together."""
+    compatible requests queue up and ride the next dispatch together.
 
-    #: queued requests merged per dispatch (compile keys: one per pow2 size)
+    A short-lived worker thread drains the queue (spawned on demand, exits
+    when idle), so no request thread is drafted into serving later
+    arrivals — under sustained load the first request's reply is never
+    held hostage by the queue behind it."""
+
+    #: queued requests merged per dispatch (pow2-padded -> few compile keys)
     MAX_MERGE = 8
 
     def __init__(self, engine):
         self.engine = engine
         self._lock = threading.Lock()
         self._pending: List[tuple] = []
-        self._busy = False
+        self._worker: Optional[threading.Thread] = None
         self.requests = 0
         self.dispatches = 0
 
@@ -69,10 +74,11 @@ class _Coalescer:
         with self._lock:
             self.requests += 1
             self._pending.append((placements, ticket))
-            leader = not self._busy
-            self._busy = True
-        if leader:
-            self._drain()
+            # worker retirement happens under this same lock (see _drain),
+            # so either it is live and will see our item, or it is None
+            if self._worker is None:
+                self._worker = threading.Thread(target=self._drain, daemon=True)
+                self._worker.start()
         ticket["event"].wait()
         if "error" in ticket:
             raise ticket["error"]
@@ -84,9 +90,14 @@ class _Coalescer:
                 batch = self._pending[: self.MAX_MERGE]
                 del self._pending[: len(batch)]
                 if not batch:
-                    self._busy = False
+                    self._worker = None  # retire atomically with the check
                     return
-            self._dispatch(batch)
+            try:
+                self._dispatch(batch)
+            except BaseException as e:  # noqa: BLE001 - never strand waiters
+                for _, ticket in batch:
+                    ticket["error"] = e
+                    ticket["event"].set()
 
     def _dispatch(self, batch: List[tuple]) -> None:
         import numpy as np
@@ -157,8 +168,12 @@ class ComposeService:
         )
 
     def _key_lock(self, kind: str, key) -> threading.Lock:
+        # striped: bounded lock table (user-supplied layout JSON never
+        # becomes a dict key that outlives its cache entry); a hash
+        # collision merely serializes two unrelated builds, which is safe
+        slot = (kind, hash(key) & 0xFF)
         with self._lock:
-            return self._key_locks.setdefault((kind, key), threading.Lock())
+            return self._key_locks.setdefault(slot, threading.Lock())
 
     def list_bundles(self):
         """Cheap listing: results.json + the PNG header only (no object

@@ -202,7 +202,15 @@ class HeadlessStreamlit:
         return bool(self._widget("checkbox", label, value, key=key))
 
     def button(self, label: str, *, key: Optional[str] = None) -> bool:
-        return bool(self._widget("button", label, False, key=key))
+        # Streamlit buttons are momentary: True only on the run right
+        # after the click, and never persisted in session_state — resolve
+        # purely from this run's scripted values.
+        if key is not None and key in self.values:
+            value = bool(self.values[key])
+        else:
+            value = bool(self.values.get(label, False))
+        self._record("button", label, value=value, key=key)
+        return value
 
     # --------------------------- display elements ------------------------
 

@@ -2,6 +2,8 @@
 
 import io
 import json
+import os
+import tempfile
 import threading
 import urllib.error
 import urllib.request
@@ -11,6 +13,13 @@ import pytest
 from PIL import Image
 
 from image_transformation_tpu.serving import ComposeService, serve
+
+# Keep test-created batch-step records out of the user's real warm-start
+# manifest (~/.cache): every ComposeService in this module defaults here.
+os.environ.setdefault(
+    "ITPU_SERVING_MANIFEST",
+    os.path.join(tempfile.mkdtemp(prefix="itpu_serving_manifest_"), "steps.json"),
+)
 
 
 @pytest.fixture(scope="module")
