@@ -1,0 +1,147 @@
+"""Serving daemon load benchmark: HTTP end-to-end on the real device.
+
+Spins the daemon in-process on an ephemeral port, then measures:
+  - /v1/render latency (solid + gradient), sequential p50/p95;
+  - /v1/render under concurrency (thread pool) — throughput plus the
+    coalescer's dispatch-merge ratio;
+  - /v1/render boxes_only (solve-only, no device work);
+  - /v1/render_batch multi-ratio throughput (cached compiled step).
+
+Writes benchmarks/serving_results.json and prints one JSON summary line.
+Run: python benchmarks/serve_bench.py [--requests 64] [--workers 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def percentiles(samples):
+    ordered = sorted(samples)
+    return {
+        "p50_ms": round(ordered[len(ordered) // 2] * 1e3, 2),
+        "p95_ms": round(
+            ordered[min(len(ordered) - 1, int(len(ordered) * 0.95))] * 1e3, 2
+        ),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--requests", type=int, default=64)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--out", default=str(REPO / "benchmarks" / "serving_results.json"))
+    args = parser.parse_args()
+
+    from image_transformation_tpu.core.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    from image_transformation_tpu.serving.server import serve
+
+    server = serve(REPO / "data", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    log(f"daemon on {base}")
+
+    def post(path, payload, timeout=600):
+        req = urllib.request.Request(
+            base + path, data=json.dumps(payload).encode(), method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            body = r.read()
+        return time.perf_counter() - t0, body
+
+    results = {}
+    try:
+        # ---- warm each endpoint (compiles happen here) ----
+        for payload in (
+            {"bundle": "squarespace", "ratio": "9:16"},
+            {"bundle": "squarespace", "ratio": "9:16", "background": "gradient"},
+            {"bundle": "squarespace", "ratio": "9:16", "boxes_only": True},
+            {"bundle": "squarespace", "ratios": ["9:16", "1:1", "16:9"]},
+        ):
+            path = "/v1/render_batch" if "ratios" in payload else "/v1/render"
+            dt, _ = post(path, payload)
+            log(f"warm {path} {list(payload)[1]}: {dt:.1f}s")
+
+        # ---- sequential latency ----
+        for name, payload in (
+            ("render_solid", {"bundle": "squarespace", "ratio": "9:16"}),
+            ("render_gradient", {"bundle": "squarespace", "ratio": "9:16",
+                                 "background": "gradient"}),
+            ("boxes_only", {"bundle": "squarespace", "ratio": "9:16",
+                            "boxes_only": True}),
+        ):
+            samples = [post("/v1/render", payload)[0] for _ in range(20)]
+            results[name] = percentiles(samples)
+            log(f"{name}: {results[name]}")
+
+        # ---- concurrent render load (coalescing) ----
+        svc = server.service
+        before = svc.coalescing_stats()
+        payload = {"bundle": "squarespace", "ratio": "9:16"}
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(args.workers) as pool:
+            lat = list(pool.map(
+                lambda _: post("/v1/render", payload)[0], range(args.requests)
+            ))
+        wall = time.perf_counter() - t0
+        after = svc.coalescing_stats()
+        results["concurrent_render"] = {
+            "requests": args.requests,
+            "workers": args.workers,
+            "wall_s": round(wall, 3),
+            "requests_per_sec": round(args.requests / wall, 1),
+            **percentiles(lat),
+            "coalescer_requests": after["requests"] - before["requests"],
+            "coalescer_dispatches": after["dispatches"] - before["dispatches"],
+        }
+        log(f"concurrent_render: {results['concurrent_render']}")
+
+        # ---- batch endpoint throughput (3 ratios per request) ----
+        payload = {"bundle": "squarespace", "ratios": ["9:16", "1:1", "16:9"]}
+        samples = [post("/v1/render_batch", payload)[0] for _ in range(10)]
+        results["render_batch_3ratio"] = {
+            **percentiles(samples),
+            "variants_per_sec_p50": round(3 / (percentiles(samples)["p50_ms"] / 1e3), 1),
+        }
+        log(f"render_batch_3ratio: {results['render_batch_3ratio']}")
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+    Path(args.out).write_text(json.dumps(results, indent=2))
+    log(f"wrote {args.out}")
+    print(json.dumps({
+        "metric": "serving /v1/render p50 latency",
+        "value": results["render_solid"]["p50_ms"],
+        "unit": "ms",
+        "concurrent_rps": results["concurrent_render"]["requests_per_sec"],
+        "dispatch_merge": (
+            results["concurrent_render"]["coalescer_dispatches"],
+            results["concurrent_render"]["coalescer_requests"],
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

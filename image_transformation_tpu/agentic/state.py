@@ -1,23 +1,31 @@
 """State carried through the agentic graph.
 
 Parity anchors: /root/reference/agentic/state.py (ObjectMeta,
-PlacementState with move_dx/move_dy, RunContext, LayoutState fields).
+PlacementState with move_dx/move_dy, RunContext, LayoutState fields) —
+the field inventory is the cross-node protocol, so it is preserved; the
+langgraph ``Annotated[..., add_messages]`` machinery is replaced by a
+plain message list (our graph engine appends directly).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import dataclasses
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
+
+Pixels = int
 
 
 @dataclass
 class ObjectMeta:
+    """One segmented cutout: identity plus its pixel footprint."""
+
     object_id: int
     name: str
     filename: str
-    width: int
-    height: int
+    width: Pixels
+    height: Pixels
 
 
 @dataclass
@@ -26,10 +34,10 @@ class PlacementState:
 
     object_id: int
     name: str
-    x: int
-    y: int
-    width: int
-    height: int
+    x: Pixels
+    y: Pixels
+    width: Pixels
+    height: Pixels
 
     def move_dx(self, delta: int) -> None:
         self.x += delta
@@ -44,9 +52,11 @@ class PlacementState:
 
 @dataclass
 class RunContext:
+    """Immutable per-run facts: bundle paths, target canvas, budget."""
+
     image_name: str
     ratio: str
-    canvas_size: Tuple[int, int]
+    canvas_size: Tuple[Pixels, Pixels]
     bundle_dir: Path
     background_path: Path
     objects_dir: Path
@@ -56,36 +66,44 @@ class RunContext:
     max_iterations: int
 
 
+def _fresh(factory):
+    return dataclasses.field(default_factory=factory)
+
+
 @dataclass
 class AgentState:
     """Mutable workflow state (the reference's LayoutState)."""
 
+    # immutable context + connection
     run: RunContext
     objects: Dict[int, ObjectMeta]
     api_type: str
     api_key: Optional[str]
     temperature: float
-    messages: List[Dict] = field(default_factory=list)
 
+    # conversation memory + planner output
+    messages: List[Dict] = _fresh(list)
     flex_json: Optional[Dict] = None
     flex_text: Optional[str] = None
-    placements: Dict[int, PlacementState] = field(default_factory=dict)
+    placements: Dict[int, PlacementState] = _fresh(dict)
 
+    # loop bookkeeping
     iteration: int = 0
     phase: str = "macro"
     max_iterations: int = 0
 
-    critic_notes: List[str] = field(default_factory=list)
-    validation_errors: List[str] = field(default_factory=list)
+    # diagnostics / audit trail
+    critic_notes: List[str] = _fresh(list)
+    validation_errors: List[str] = _fresh(list)
     should_stop: bool = False
     current_composite_path: Optional[Path] = None
     last_macro_text: Optional[str] = None
     last_micro_text: Optional[str] = None
     last_critic_text: Optional[str] = None
-    last_tool_calls: List[Dict] = field(default_factory=list)
+    last_tool_calls: List[Dict] = _fresh(list)
 
     @property
-    def canvas_size(self) -> Tuple[int, int]:
+    def canvas_size(self) -> Tuple[Pixels, Pixels]:
         return self.run.canvas_size
 
     @property

@@ -1,21 +1,22 @@
 """Canonical object-label vocabulary and per-label numbering.
 
-Parity: /root/reference/utils/labels.py (the taxonomy results.json uses —
-button, photo, design element, text, logo, cta).
+Parity: /root/reference/utils/labels.py (the taxonomy results.json uses).
+Dead code in the reference (no callers) but the label set is the de-facto
+schema of every bundle's metadata, so the surface is preserved.
 """
 
 from __future__ import annotations
 
+from collections import Counter
 from typing import List
 
-ALLOWED_LABELS: List[str] = [
-    "button",
-    "photo",
-    "design element",
-    "text",
-    "logo",
-    "cta",
-]
+#: the six-label taxonomy used by the segmentation bundles
+LABEL_VOCABULARY = (
+    "button", "photo", "design element",
+    "text", "logo", "cta",
+)
+
+ALLOWED_LABELS: List[str] = list(LABEL_VOCABULARY)
 
 
 def normalize_label(value: str) -> str:
@@ -24,15 +25,14 @@ def normalize_label(value: str) -> str:
 
 
 def is_allowed_label(value: str) -> bool:
-    return normalize_label(value) in ALLOWED_LABELS
+    return normalize_label(value) in LABEL_VOCABULARY
 
 
 def compute_per_label_numbers(labels: List[str]) -> List[int]:
     """Contiguous per-label numbering, e.g. [photo, text, photo] -> [1, 1, 2]."""
-    counters: dict = {}
+    tally: Counter = Counter()
     numbers: List[int] = []
-    for lab in labels:
-        key = normalize_label(lab)
-        counters[key] = counters.get(key, 0) + 1
-        numbers.append(counters[key])
+    for key in map(normalize_label, labels):
+        tally[key] += 1
+        numbers.append(tally[key])
     return numbers
