@@ -243,7 +243,31 @@ class ComposeService:
                 with self._lock:
                     engine = self._engines.setdefault(key, engine)
                     self._coalescers.setdefault(key, _Coalescer(engine))
+                # pre-compile the coalescer's pow2 merge buckets in the
+                # background so the first concurrent burst doesn't pay
+                # seconds of head-of-line compile per new batch shape
+                threading.Thread(
+                    target=self._warm_merge_buckets, args=(engine,),
+                    daemon=True,
+                ).start()
             return engine
+
+    @staticmethod
+    def _warm_merge_buckets(engine) -> None:
+        import numpy as np
+
+        try:
+            # identity-size placements over every bundle object: the same
+            # (pow2 B, pow2 placement-count) compile keys real merged
+            # default-layout requests hit
+            placements = []
+            for oid, idx in engine._id_to_idx.items():
+                oh, ow = (int(v) for v in engine.arrays.obj_hw[idx])
+                placements.append({"object_id": oid, "box": [0, 0, ow, oh]})
+            for b in (2, 4, 8):
+                np.asarray(engine.compose_many([placements] * b))
+        except Exception:  # noqa: BLE001 - warmup is best-effort
+            pass
 
     def _coalescer(self, stem: str, canvas_size, background: str) -> _Coalescer:
         key = (stem, canvas_size[0], canvas_size[1], background)

@@ -285,3 +285,72 @@ def test_warm_start_rebuilds_recorded_steps(tmp_path):
     assert next(iter(svc2._batch_steps.values())) is entry
     for ratio in ("1:1", "9:16"):
         assert np.array_equal(first[ratio][2], again[ratio][2])
+
+
+def test_serving_fuzz_requests(server):
+    """Randomized request fuzz over both endpoints: every response is
+    either a valid PNG / JSON payload or a structured JSON error; the
+    daemon never wedges, and identical requests stay deterministic."""
+    import base64
+    import concurrent.futures
+    import random
+
+    rng = random.Random(20)
+    labels = {"squarespace": [(1, "logo"), (2, "photo"), (3, "text"), (4, "cta")],
+              "audio_book": [(1, "logo"), (2, "photo"), (3, "text")]}
+
+    def random_layout(bundle):
+        items = labels[bundle]
+        chosen = rng.sample(items, rng.randint(1, len(items)))
+        children = [{"object_id": oid, "name": name} for oid, name in chosen]
+        if rng.random() < 0.3 and len(children) >= 2:
+            # nest a sub-container
+            children = [children[0], {
+                "type": "flex",
+                "direction": rng.choice(["row", "column"]),
+                "children": children[1:],
+            }]
+        return {"root": {"type": "flex",
+                         "direction": rng.choice(["row", "column"]),
+                         "children": children}}
+
+    def one(i):
+        bundle = rng.choice(list(labels))
+        if i % 7 == 3:  # malformed layout
+            payload = {"bundle": bundle, "ratio": "1:1", "layout": {"oops": 1}}
+        elif i % 7 == 5:  # bad ratio
+            payload = {"bundle": bundle, "ratio": "not-a-ratio"}
+        else:
+            payload = {
+                "bundle": bundle,
+                "ratio": rng.choice(["1:1", "9:16", "16:9", "3:2"]),
+                "layout": random_layout(bundle) if rng.random() < 0.7 else None,
+                "background": rng.choice(["solid", "gradient"]),
+            }
+        if rng.random() < 0.25:
+            payload.pop("layout", None)
+            payload["ratios"] = rng.sample(["1:1", "9:16", "16:9"],
+                                           rng.randint(1, 3))
+            status, body, ctype = _post(server, "/v1/render_batch", payload)
+            if status == 200:
+                parsed = json.loads(body)
+                for r in payload["ratios"]:
+                    png = base64.b64decode(parsed[r]["png_b64"])
+                    assert png[:4] == b"\x89PNG"
+            else:
+                assert "error" in json.loads(body)
+            return
+        status, body, ctype = _post(server, "/v1/render", payload)
+        if status == 200:
+            assert body[:4] == b"\x89PNG", payload
+        else:
+            assert status in (400, 404, 500), (status, payload)
+            assert "error" in json.loads(body), payload
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(one, range(40)))
+
+    # daemon still healthy and deterministic afterwards
+    s1 = _post(server, "/v1/render", {"bundle": "squarespace", "ratio": "1:1"})
+    s2 = _post(server, "/v1/render", {"bundle": "squarespace", "ratio": "1:1"})
+    assert s1[0] == 200 and s1[1] == s2[1]
