@@ -140,3 +140,25 @@ def test_headless_cli_transcript(ui_root, capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "<title 'Macro Placement" in out
     assert "<number_input 'Ratio W' -> 16>" in out
+
+
+def test_root_entry_shims_run_headlessly(ui_root, monkeypatch):
+    """The reference's launch files (`streamlit run app.py`,
+    `agentic/app.py`) execute top-to-bottom under the headless driver —
+    the exact modules the Dockerfile CMD points at."""
+    import runpy
+
+    import image_transformation_tpu.ui.agentic_app as agentic_mod
+    import image_transformation_tpu.ui.app as app_mod
+
+    st = HeadlessStreamlit()
+    monkeypatch.setattr(app_mod, "st", st)
+    runpy.run_path(str(REPO / "app.py"), run_name="__main__")
+    assert st.find("title", contains="Macro Placement")
+    assert st.find("button", contains="Run macro placement")
+
+    st2 = HeadlessStreamlit()
+    monkeypatch.setattr(agentic_mod, "st", st2)
+    runpy.run_path(str(REPO / "agentic" / "app.py"), run_name="__main__")
+    assert st2.find("title", contains="Agentic")
+    assert st2.find("selectbox", contains="Bundle")
