@@ -329,6 +329,7 @@ def main() -> None:
             batch_per_ratio=8,
             pixel_budget_size=(3840, 2160),
             kernel=args.kernel,
+            superbatch=args.superbatch,  # 2.1x at 4K (see ROADMAP item 2)
         )
         log(f"sweep: {json.dumps(sweep['ratios'])}")
 
