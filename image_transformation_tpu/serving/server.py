@@ -24,6 +24,14 @@ API:
         All variants render in ONE fused device pass (solve + background +
         gen-3 Pallas compose; traced-table numerics <= 2/255 vs PIL — the
         per-request /v1/render path stays bit-exact).
+    POST /v1/render_fleet    -> JSON {stem: {ratio: {...}} | {"error": ...}}
+        {"bundles": ["<stem>", ...]?,   # default: every bundle under root
+         "ratios": ["9:16", ...], "layout": {...}?, "background": ...?}
+        The fleet matrix (bundles x ratios): one fused pass per bundle
+        (each reusing the render_batch step cache), bundles overlapped
+        across threads so device dispatches interleave with host
+        solve/encode work. Per-bundle failures are isolated.
+    GET  /v1/stats           -> cache/coalescing counters
 
 Concurrency/caching design:
 - step/engine/input construction is serialized per cache key (one thread
@@ -45,7 +53,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 
 class _Coalescer:
@@ -483,6 +491,61 @@ class ComposeService:
             out[r] = ((w, h), boxes_np[i].tolist(), out_np[i, :h, :w])
         return out
 
+    def render_fleet(
+        self,
+        stems: Optional[Sequence[str]] = None,
+        ratios: Sequence[str] = ("1:1",),
+        layout: Optional[Dict] = None,
+        background: str = "solid",
+        parallel: int = 4,
+    ) -> Dict[str, Dict]:
+        """The fleet matrix: every requested bundle at every ratio.
+
+        Serving-side counterpart of ``pipeline.fleet.run_fleet``
+        (ROADMAP "multi-bundle fleet endpoint"): per bundle one fused
+        device pass via :meth:`render_batch` (so compiled steps and device
+        inputs come from the same caches), bundles overlapped across a
+        small thread pool — the engine-level key locks serialize compiles
+        while solve/PNG host work and device dispatches interleave.
+
+        Per-bundle failures are isolated: a missing bundle or bad layout
+        yields ``{"error": str}`` for that stem and never poisons the rest.
+        Returns ``{stem: {"renders": render_batch result} | {"error": …}}``
+        in the requested stem order.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        if stems is None:
+            stems = [b["stem"] for b in self.list_bundles()]
+        stems = list(stems)
+        ratios = list(ratios)
+        results: Dict[str, Dict] = {}
+
+        def one(stem: str) -> None:
+            try:
+                results[stem] = {"renders": self.render_batch(
+                    stem, ratios, layout=layout, background=background,
+                )}
+            except Exception as e:  # noqa: BLE001 - per-bundle isolation
+                results[stem] = {"error": str(e)}
+
+        with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
+            list(pool.map(one, stems))
+        return {stem: results[stem] for stem in stems}
+
+    def stats(self) -> Dict[str, int]:
+        """Cache and coalescing counters for observability endpoints."""
+        with self._lock:
+            counters = {
+                "bundles_loaded": len(self._bundles),
+                "engines": len(self._engines),
+                "batch_steps": len(self._batch_steps),
+                "device_inputs": len(self._device_inputs),
+                "batch_latched": self._batch_latched,
+            }
+        counters.update(self.coalescing_stats())
+        return counters
+
     # ------------------- warm-start manifest (restarts) -------------------
 
     def _remember_step(self, stem: str, layout: Dict, canon_ratios,
@@ -565,6 +628,8 @@ def make_handler(service: ComposeService):
                     })
                 if self.path == "/v1/bundles":
                     return self._json(service.list_bundles())
+                if self.path == "/v1/stats":
+                    return self._json(service.stats())
                 return self._json({"error": "not found"}, 404)
             except Exception as e:  # noqa: BLE001
                 return self._json({"error": str(e)}, 500)
@@ -573,6 +638,8 @@ def make_handler(service: ComposeService):
             try:
                 if self.path == "/v1/render_batch":
                     return self._render_batch()
+                if self.path == "/v1/render_fleet":
+                    return self._render_fleet()
                 if self.path != "/v1/render":
                     return self._json({"error": "not found"}, 404)
                 length = int(self.headers.get("Content-Length", "0"))
@@ -615,10 +682,6 @@ def make_handler(service: ComposeService):
             {"<ratio>": {"canvas": {...}, "boxes": [...], "png_b64": "..."}}
             """
             try:
-                import base64
-
-                from ..core.native_io import png_bytes
-
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 stem = req["bundle"]
@@ -627,15 +690,7 @@ def make_handler(service: ComposeService):
                     stem, ratios, layout=req.get("layout"),
                     background=req.get("background", "solid"),
                 )
-                payload = {}
-                for r, (canvas_size, boxes, img) in results.items():
-                    payload[r] = {
-                        "canvas": {"width": canvas_size[0],
-                                   "height": canvas_size[1]},
-                        "boxes": boxes,
-                        "png_b64": base64.b64encode(png_bytes(img)).decode(),
-                    }
-                return self._json(payload)
+                return self._json(_encode_renders(results))
             except KeyError as e:
                 return self._json({"error": f"missing field {e}"}, 400)
             except FileNotFoundError as e:
@@ -643,7 +698,50 @@ def make_handler(service: ComposeService):
             except Exception as e:  # noqa: BLE001
                 return self._json({"error": str(e)}, 500)
 
+        def _render_fleet(self):
+            """POST /v1/render_fleet: the bundles x ratios matrix.
+
+            {"bundles": ["<stem>", ...]?, "ratios": ["9:16", ...]?,
+             "layout": {"root": {...}}?, "background": ...?}  ->
+            {"<stem>": {"<ratio>": {canvas, boxes, png_b64}} |
+                       {"error": "..."}}
+            """
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                results = service.render_fleet(
+                    stems=req.get("bundles"),
+                    ratios=req.get("ratios") or ["1:1"],
+                    layout=req.get("layout"),
+                    background=req.get("background", "solid"),
+                )
+                payload = {}
+                for stem, entry in results.items():
+                    if "error" in entry:
+                        payload[stem] = {"error": entry["error"]}
+                    else:
+                        payload[stem] = _encode_renders(entry["renders"])
+                return self._json(payload)
+            except Exception as e:  # noqa: BLE001
+                return self._json({"error": str(e)}, 500)
+
     return Handler
+
+
+def _encode_renders(results: Dict) -> Dict:
+    """render_batch result -> JSON payload (boxes + base64 native PNG)."""
+    import base64
+
+    from ..core.native_io import png_bytes
+
+    payload = {}
+    for r, (canvas_size, boxes, img) in results.items():
+        payload[r] = {
+            "canvas": {"width": canvas_size[0], "height": canvas_size[1]},
+            "boxes": boxes,
+            "png_b64": base64.b64encode(png_bytes(img)).decode(),
+        }
+    return payload
 
 
 def serve(bundles_root, host: str = "127.0.0.1", port: int = 8601,

@@ -135,6 +135,53 @@ def test_render_batch_errors(server):
     assert status == 500 or status == 400
 
 
+def test_render_fleet_endpoint(server):
+    """POST /v1/render_fleet: bundles x ratios matrix; defaults to every
+    bundle under the root; entries match the single-bundle batch path."""
+    import base64
+
+    status, body, ctype = _post(server, "/v1/render_fleet", {
+        "ratios": ["1:1", "9:16"],
+    })
+    assert status == 200 and "json" in ctype
+    payload = json.loads(body)
+    assert set(payload) == {"squarespace", "audio_book"}
+    for stem, per_ratio in payload.items():
+        assert set(per_ratio) == {"1:1", "9:16"}
+        for r, entry in per_ratio.items():
+            w, h = entry["canvas"]["width"], entry["canvas"]["height"]
+            img = Image.open(io.BytesIO(base64.b64decode(entry["png_b64"])))
+            assert img.size == (w, h)
+    # cross-check one cell against the direct batch endpoint
+    status, body, _ = _post(server, "/v1/render_batch", {
+        "bundle": "squarespace", "ratios": ["1:1"],
+    })
+    single = json.loads(body)
+    assert payload["squarespace"]["1:1"] == single["1:1"]
+
+
+def test_render_fleet_isolates_bundle_failures(server):
+    """A missing bundle fails alone; the others still render."""
+    status, body, _ = _post(server, "/v1/render_fleet", {
+        "bundles": ["squarespace", "no_such_bundle"], "ratios": ["1:1"],
+    })
+    assert status == 200
+    payload = json.loads(body)
+    assert "error" in payload["no_such_bundle"]
+    assert "1:1" in payload["squarespace"]
+
+
+def test_stats_endpoint(server):
+    """GET /v1/stats exposes cache/coalescing counters."""
+    with urllib.request.urlopen(server + "/v1/stats") as r:
+        stats = json.loads(r.read())
+    for key in ("bundles_loaded", "engines", "batch_steps",
+                "device_inputs", "requests", "dispatches"):
+        assert key in stats, key
+    assert stats["bundles_loaded"] >= 1
+    assert stats["requests"] >= stats["dispatches"]
+
+
 def test_render_batch_user_errors_do_not_latch():
     """A malformed request (bad ratio / bad layout) must raise during
     validation WITHOUT latching the kernel fallback — only backend/kernel
