@@ -149,6 +149,19 @@ benchmarks/bisect_resize.py --clamped):
    persistent cache does not reliably cover them) — so ComposeEngine
    keeps the quick-compiling XLA indexed path as default and exposes
    this as kernel="pallas"/"auto" opt-in with a loud latched fallback.
+15. IDENTITY-BRANCH fast path (gen-3, non-pipelined): `same` became a
+   REAL pl.when branch — identity-size placements (out == in; the
+   serving default-column-layout and agentic no-scaling workloads) skip
+   the in-kernel table build AND the MXU resample, packing the raw
+   object straight into the blend-source scratch. Measured on v5e
+   (benchmarks/identity_bench.py, 1080p batch 64): all-identity batches
+   6.76 -> 3.72 ms (9,473 -> 17,187 canvases/sec; 26.4 -> 14.5
+   us/object-step, 1.82x); the scaled path is unchanged (6.82 vs 6.76
+   ms, run-to-run noise). Numerics: all-identity batches are BIT-EXACT
+   vs PIL on hardware (the branch has no resample); mixed/random
+   geometries re-validated at the usual traced envelope (<= 2/255).
+   The pipelined gen-3 variant keeps the select form (it is non-default
+   and measured neutral).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render.
 """
@@ -2272,7 +2285,7 @@ def _make_fused_kernel_v3(
     MH, MW = window_extents(out_hw)
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
-               win_ref, src_shift, obj_vmem, sem_in, sem_out, sem_obj):
+               win_ref, src_shift, pk_ref, obj_vmem, sem_in, sem_out, sem_obj):
         del canvas_ref
         b = pl.program_id(0)
         k = pl.program_id(1)
@@ -2301,50 +2314,75 @@ def _make_fused_kernel_v3(
             dma_in = pltpu.make_async_copy(window_slice, win_ref, sem_in)
             dma_in.start()
 
-            # --- build both tables while the DMAs are in flight ---
-            kh = _coeff_table_in_kernel(in_w, out_w, mw_a, pw_a, method, False)
-            kv_t = _coeff_table_in_kernel(in_h, out_h, mh_128, ph_a, method, True)
+            # Identity-size placements (out == in: PIL's identity shortcut —
+            # the serving default-layout and agentic no-scaling workloads)
+            # take a REAL branch that skips the table build and the MXU
+            # resample entirely: the raw object packs straight into the
+            # blend source (STATUS item 15). Exactly one branch runs, so
+            # the object DMA is waited exactly once.
+            @pl.when(same)
+            def _():
+                d_obj.wait()
+                obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
+                ch = min(ph_a, mh_a)
+                cw = min(pw_a, mw_a)
+                ident = jnp.pad(
+                    obj[:, :ch, :cw],
+                    ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
+                )
+                pk_ref[...] = (
+                    ident[0]
+                    | (ident[1] << 8)
+                    | (ident[2] << 16)
+                    | (ident[3] << 24)
+                )
 
-            d_obj.wait()
-            obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
-            alpha = obj[3]
-            tmp_p = obj[:3] * alpha[None] + 128
-            prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
-            prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+            @pl.when(jnp.logical_not(same))
+            def _():
+                # --- build both tables while the DMAs are in flight ---
+                kh = _coeff_table_in_kernel(
+                    in_w, out_w, mw_a, pw_a, method, False
+                )
+                kv_t = _coeff_table_in_kernel(
+                    in_h, out_h, mh_128, ph_a, method, True
+                )
 
-            prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
-            ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
-            tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
+                d_obj.wait()
+                obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
+                alpha = obj[3]
+                tmp_p = obj[:3] * alpha[None] + 128
+                prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
+                prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
 
-            chans = []
-            for c in range(4):
-                ss_v = _limb_dot(tmp[c], kv_t, 0, 0, k_first=True) + _HALF
-                chans.append(_clip8(ss_v)[:mh_a, :])
-            resized_p = jnp.stack(chans, axis=0)  # premultiplied [4, mh_a, mw_a]
+                prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
+                ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
+                tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
 
-            ra = resized_p[3]
-            rgb = jnp.minimum(
-                255,
-                _exact_div_i32(255 * resized_p[:3], jnp.maximum(ra, 1)[None]),
-            )
-            rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
-            resized = jnp.concatenate([rgb, ra[None]], axis=0)
+                chans = []
+                for c in range(4):
+                    ss_v = _limb_dot(tmp[c], kv_t, 0, 0, k_first=True) + _HALF
+                    chans.append(_clip8(ss_v)[:mh_a, :])
+                # premultiplied [4, mh_a, mw_a]
+                resized_p = jnp.stack(chans, axis=0)
 
-            ch = min(ph_a, mh_a)
-            cw = min(pw_a, mw_a)
-            ident = jnp.pad(
-                obj[:, :ch, :cw],
-                ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
-            )
-            resized = jnp.where(same, ident, resized)
+                ra = resized_p[3]
+                rgb = jnp.minimum(
+                    255,
+                    _exact_div_i32(
+                        255 * resized_p[:3], jnp.maximum(ra, 1)[None]
+                    ),
+                )
+                rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+                resized = jnp.concatenate([rgb, ra[None]], axis=0)
 
-            pk = (
-                resized[0]
-                | (resized[1] << 8)
-                | (resized[2] << 16)
-                | (resized[3] << 24)
-            )
-            src = _shift_roll_mask(src_shift, pk, dy, dx, MH, MW)
+                pk_ref[...] = (
+                    resized[0]
+                    | (resized[1] << 8)
+                    | (resized[2] << 16)
+                    | (resized[3] << 24)
+                )
+
+            src = _shift_roll_mask(src_shift, pk_ref[...], dy, dx, MH, MW)
 
             dma_in.wait()
             win_ref[...] = _alpha_over_packed(win_ref[...], src)
@@ -2523,6 +2561,7 @@ def _pallas_fused_v3_impl(
         scratch = [
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            pltpu.VMEM((mh_a, mw_a), jnp.int32),  # packed blend source
             pltpu.VMEM((4, ph_a, pw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

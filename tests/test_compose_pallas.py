@@ -515,6 +515,47 @@ def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
     assert np.array_equal(single, full)
 
 
+@pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
+def test_fused_v3_all_identity_bit_exact(bundle_name):
+    """All-identity batches (every object placed at native size — the
+    serving default-layout and agentic no-scaling workloads) take the
+    gen-3 kernel's identity branch, which has NO resample at all: the
+    output must be BIT-EXACT vs the exact XLA path, not just within the
+    traced envelope. Measured 1.82x on v5e (STATUS item 15)."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_fused_v3,
+    )
+
+    bundle = load_bundle(f"data/{bundle_name}")
+    arrays = bundle.to_arrays()
+    H, W, B = 700, 1100, 2
+    rng = np.random.default_rng(31)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 77
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.zeros((B, arrays.obj_hw.shape[0], 4), np.int32)
+    for b in range(B):
+        for k in range(arrays.obj_hw.shape[0]):
+            oh, ow = int(arrays.obj_hw[k, 0]), int(arrays.obj_hw[k, 1])
+            x1 = int(rng.integers(0, max(1, W - ow)))
+            y1 = int(rng.integers(0, max(1, H - oh)))
+            boxes[b, k] = (x1, y1, x1 + ow, y1 + oh)
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes)
+    )
+    v3 = np.asarray(composite_batch_fused_v3(*dev, interpret=True))
+    for b in range(B):
+        ref = np.asarray(composite_exact(
+            dev[0][b], dev[1][b], arrays.obj_hw, boxes[b].tolist()
+        ))
+        assert np.array_equal(v3[b], ref)
+
+
 @pytest.mark.parametrize("horizontal", [True, False])
 def test_fused_v3_gradient_render(horizontal, exact_traced_resample):
     """Gradient-background renderer: the in-program ramp must equal
