@@ -162,7 +162,19 @@ benchmarks/bisect_resize.py --clamped):
    geometries re-validated at the usual traced envelope (<= 2/255).
    The pipelined gen-3 variant keeps the select form (it is non-default
    and measured neutral).
-The XLA windowed path (ops.compose) remains the default for library calls;
+16. ROW-BOUNDED BLEND (gen-3, non-pipelined): the shift+roll+mask+blend
+   tail no longer processes the full (MH, MW) max-extent window — the
+   object occupies only window rows [dy, dy+out_h) (rows outside carry
+   zero source alpha: the in-kernel tables zero columns >= out_h and
+   padded objects are zero beyond their box), so the blend walks only
+   the _BLEND_CHUNK_ROWS-row chunks intersecting that band (dynamic
+   fori_loop over full chunks + a static tail; skipped rows DMA back
+   unchanged). Chunk sweep on v5e (1080p/64): C=64 scaled 6.36 ms,
+   C=32 6.02-6.09, C=16 6.13 -> C=32 adopted. Cumulative with item 15:
+   scaled 6.82 -> 6.09 ms, identity 3.72 -> 3.32 ms; HEADLINE (bench.py
+   1080p batch 256) 11,725 -> 13,319 canvases/sec (+13.6%). Hardware
+   numerics unchanged (exact 0; fused3 <= 2/255 across fixed + 12
+   random geometries, validate_hw.py).
 bench.py embeds the single-program solid render.
 """
 
@@ -247,6 +259,13 @@ def _alpha_over_planar(dst_i32, src_i32):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Chunk height for the gen-3 row-bounded blend loop (STATUS item 16).
+# Multiple of 8 (sublane tiling); chunks beyond the object's occupied
+# rows are skipped entirely, so smaller chunks bound the blend tighter
+# at the cost of more loop iterations.
+_BLEND_CHUNK_ROWS = 32
 
 
 def window_extents(out_hw: Tuple[int, int]) -> Tuple[int, int]:
@@ -2283,6 +2302,9 @@ def _make_fused_kernel_v3(
     mh_a, mw_a = out_hw
     mh_128 = _round_up(mh_a, 128)
     MH, MW = window_extents(out_hw)
+    C = _BLEND_CHUNK_ROWS
+    n_full = MH // C  # full C-row chunks; remainder handled by a static tail
+    tail = MH - n_full * C
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
                win_ref, src_shift, pk_ref, obj_vmem, sem_in, sem_out, sem_obj):
@@ -2382,10 +2404,56 @@ def _make_fused_kernel_v3(
                     | (resized[3] << 24)
                 )
 
-            src = _shift_roll_mask(src_shift, pk_ref[...], dy, dx, MH, MW)
+            # Row-bounded blend (STATUS item 16): the object occupies only
+            # window rows [dy, dy + out_h) — rows outside carry zero alpha
+            # (the coeff tables zero columns >= out_h; padded objects are
+            # zero beyond their box), so the full-window shift+roll+blend
+            # is a no-op there. Walk only the C-row chunks that intersect
+            # the occupied band; untouched rows DMA back unchanged. The
+            # shift scratch's sub-MH rows stay zero forever (zeroed once at
+            # program (0, 0)), which keeps rows below dy reading zero src.
+            fine = jax.lax.rem(dy, 8)
+            coarse8 = dy - fine
+            start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+            src_shift[MH : MH + mh_a, :] = pk_ref[...]
+            rows_end = jnp.minimum(dy + out_h, MH)
+            c0 = jax.lax.div(dy, C)
+            c1 = jax.lax.div(rows_end + (C - 1), C)
 
             dma_in.wait()
-            win_ref[...] = _alpha_over_packed(win_ref[...], src)
+
+            def blend_rows(rc, n_rows: int):
+                # window rows [rc, rc + n_rows) <- shifted/rolled source
+                tall = src_shift[pl.ds(start8 + rc, n_rows + 8), :]
+                rows = jax.lax.switch(
+                    fine,
+                    [(lambda d: lambda: tall[8 - d : 8 - d + n_rows, :])(d)
+                     for d in range(8)],
+                )
+                rolled = pltpu.roll(
+                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                )
+                lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
+                src_c = jnp.where(lane >= dx, rolled, 0)
+                win_rows = win_ref[pl.ds(rc, n_rows), :]
+                win_ref[pl.ds(rc, n_rows), :] = _alpha_over_packed(
+                    win_rows, src_c
+                )
+
+            def blend_chunk(c, _):
+                blend_rows(pl.multiple_of(c * C, 8), C)
+                return ()
+
+            if n_full:
+                jax.lax.fori_loop(
+                    c0, jnp.minimum(c1, n_full), blend_chunk, (),
+                    unroll=False,
+                )
+            if tail:
+                @pl.when(rows_end > n_full * C)
+                def _():
+                    blend_rows(n_full * C, tail)
+
             dma_out = pltpu.make_async_copy(win_ref, window_slice, sem_out)
             dma_out.start()
             dma_out.wait()
