@@ -175,6 +175,22 @@ benchmarks/bisect_resize.py --clamped):
    1080p batch 256) 11,725 -> 13,319 canvases/sec (+13.6%). Hardware
    numerics unchanged (exact 0; fused3 <= 2/255 across fixed + 12
    random geometries, validate_hw.py).
+17. CHUNKED RESAMPLE (gen-3, non-pipelined): the H and V passes walk
+   only the 128-wide output chunks the object actually produces
+   (ceil(out_w/128) H chunks / ceil(out_h/128) V chunks) instead of the
+   static batch-max extents — each chunk builds its 128-wide slice of
+   the coeff table in-kernel (o_offset) and runs the 3-limb dots for
+   that slice only, so table-build + MXU cost scales with the object's
+   REAL output size. Unbuilt chunks leave garbage in the pk/tmp
+   scratches; a masked src_shift write (row < out_h, col < out_w)
+   zeroes it before the blend, which also hardens against stale rows
+   from a previous larger object's pk. Measured on v5e (1080p/64):
+   scaled 6.09 -> 4.78 ms (18.7 us/object-step); identity unchanged.
+   HEADLINE (bench.py, batch 256): 13,319 -> 16,985 canvases/sec
+   (cumulative items 15-17: 11,725 -> 16,985, +45%). Hardware numerics
+   unchanged (per-chunk wsum reduces over the same elements as the full
+   table's): exact 0, fused3 <= 2/255, validate_hw.py.
+The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render.
 """
 
@@ -2248,6 +2264,7 @@ def _coeff_table_in_kernel(
     n_in: int,
     method: str,
     transposed: bool,
+    o_offset=None,
 ):
     """Quantized Pillow coefficient table built from two traced scalars.
 
@@ -2256,7 +2273,9 @@ def _coeff_table_in_kernel(
     wsum reduction order differs from the XLA builder's, so quantized
     entries can flip by 1 ulp — within the traced-table envelope).
     ``transposed`` builds [n_in, n_out] directly (o on the lane axis) so
-    the V-pass table never needs an in-kernel transpose.
+    the V-pass table never needs an in-kernel transpose. ``o_offset``
+    (traced scalar) shifts the output-position axis so callers can build
+    an n_out-wide CHUNK of a larger table (STATUS item 17).
     """
     from .resize import _FILTERS, _SUPPORT
 
@@ -2271,7 +2290,10 @@ def _coeff_table_in_kernel(
     shape = (n_in, n_out) if transposed else (n_out, n_in)
     o_axis = 1 if transposed else 0
     # Mosaic's iota is integer-only; widen to f32 after.
-    o = jax.lax.broadcasted_iota(jnp.int32, shape, o_axis).astype(jnp.float32)
+    o = jax.lax.broadcasted_iota(jnp.int32, shape, o_axis)
+    if o_offset is not None:
+        o = o + o_offset
+    o = o.astype(jnp.float32)
     i = jax.lax.broadcasted_iota(jnp.int32, shape, 1 - o_axis).astype(jnp.float32)
     center = (o + 0.5) * scale
     xmin = jnp.clip(_trunc_f32(center - support + 0.5), 0.0, in_f)
@@ -2307,7 +2329,8 @@ def _make_fused_kernel_v3(
     tail = MH - n_full * C
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
-               win_ref, src_shift, pk_ref, obj_vmem, sem_in, sem_out, sem_obj):
+               win_ref, src_shift, pk_ref, tmp_ref, obj_vmem,
+               sem_in, sem_out, sem_obj):
         del canvas_ref
         b = pl.program_id(0)
         k = pl.program_id(1)
@@ -2352,7 +2375,7 @@ def _make_fused_kernel_v3(
                     obj[:, :ch, :cw],
                     ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
                 )
-                pk_ref[...] = (
+                pk_ref[:mh_a, :] = (
                     ident[0]
                     | (ident[1] << 8)
                     | (ident[2] << 16)
@@ -2361,13 +2384,16 @@ def _make_fused_kernel_v3(
 
             @pl.when(jnp.logical_not(same))
             def _():
-                # --- build both tables while the DMAs are in flight ---
-                kh = _coeff_table_in_kernel(
-                    in_w, out_w, mw_a, pw_a, method, False
-                )
-                kv_t = _coeff_table_in_kernel(
-                    in_h, out_h, mh_128, ph_a, method, True
-                )
+                # Chunked resample (STATUS item 17): both passes walk only
+                # the 128-wide output chunks the object actually produces
+                # (ceil(out_w/128) H chunks, ceil(out_h/128) V chunks);
+                # each chunk builds its slice of the coeff table in-kernel
+                # (o_offset) while the object DMA is in flight. Chunks
+                # beyond the box are never built — the masked src_shift
+                # write below zeroes whatever garbage they leave in the
+                # scratches, so the blend stays correct.
+                ch_w = jax.lax.div(out_w + 127, 128)
+                ch_h = jax.lax.div(out_h + 127, 128)
 
                 d_obj.wait()
                 obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
@@ -2375,34 +2401,51 @@ def _make_fused_kernel_v3(
                 tmp_p = obj[:3] * alpha[None] + 128
                 prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
                 prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
-
                 prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
-                ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
-                tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
 
-                chans = []
-                for c in range(4):
-                    ss_v = _limb_dot(tmp[c], kv_t, 0, 0, k_first=True) + _HALF
-                    chans.append(_clip8(ss_v)[:mh_a, :])
-                # premultiplied [4, mh_a, mw_a]
-                resized_p = jnp.stack(chans, axis=0)
+                def h_chunk(c, _):
+                    lc = pl.multiple_of(c * 128, 128)
+                    kh_c = _coeff_table_in_kernel(
+                        in_w, out_w, 128, pw_a, method, False, o_offset=lc
+                    )
+                    ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
+                    tmp_ref[:, pl.ds(lc, 128)] = (
+                        _clip8(ss).astype(jnp.bfloat16)
+                    )
+                    return ()
 
-                ra = resized_p[3]
-                rgb = jnp.minimum(
-                    255,
-                    _exact_div_i32(
-                        255 * resized_p[:3], jnp.maximum(ra, 1)[None]
-                    ),
-                )
-                rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
-                resized = jnp.concatenate([rgb, ra[None]], axis=0)
+                jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
 
-                pk_ref[...] = (
-                    resized[0]
-                    | (resized[1] << 8)
-                    | (resized[2] << 16)
-                    | (resized[3] << 24)
-                )
+                def v_chunk(r, _):
+                    rc = pl.multiple_of(r * 128, 128)
+                    kv_c = _coeff_table_in_kernel(
+                        in_h, out_h, 128, ph_a, method, True, o_offset=rc
+                    )
+                    chans = []
+                    for c4 in range(4):
+                        t = tmp_ref[c4 * ph_a : (c4 + 1) * ph_a, :]
+                        ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
+                        chans.append(_clip8(ss_v))
+                    # premultiplied [4, 128, mw_a] chunk
+                    resized_p = jnp.stack(chans, axis=0)
+
+                    ra = resized_p[3]
+                    rgb = jnp.minimum(
+                        255,
+                        _exact_div_i32(
+                            255 * resized_p[:3], jnp.maximum(ra, 1)[None]
+                        ),
+                    )
+                    rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+                    pk_ref[pl.ds(rc, 128), :] = (
+                        rgb[0]
+                        | (rgb[1] << 8)
+                        | (rgb[2] << 16)
+                        | (ra << 24)
+                    )
+                    return ()
+
+                jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
 
             # Row-bounded blend (STATUS item 16): the object occupies only
             # window rows [dy, dy + out_h) — rows outside carry zero alpha
@@ -2415,7 +2458,14 @@ def _make_fused_kernel_v3(
             fine = jax.lax.rem(dy, 8)
             coarse8 = dy - fine
             start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-            src_shift[MH : MH + mh_a, :] = pk_ref[...]
+            # Mask to the box: chunks the resample never built leave
+            # garbage in pk_ref, and stale rows/cols from a previous
+            # (larger) object may linger beyond this object's box.
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 0)
+            col_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 1)
+            src_shift[MH : MH + mh_a, :] = jnp.where(
+                (row_i < out_h) & (col_i < out_w), pk_ref[:mh_a, :], 0
+            )
             rows_end = jnp.minimum(dy + out_h, MH)
             c0 = jax.lax.div(dy, C)
             c1 = jax.lax.div(rows_end + (C - 1), C)
@@ -2629,7 +2679,10 @@ def _pallas_fused_v3_impl(
         scratch = [
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
-            pltpu.VMEM((mh_a, mw_a), jnp.int32),  # packed blend source
+            # packed blend source (mh_128 tall: V chunks store 128 rows)
+            pltpu.VMEM((_round_up(mh_a, 128), mw_a), jnp.int32),
+            # H-pass intermediate, channel-stacked (chunked resample)
+            pltpu.VMEM((4 * ph_a, mw_a), jnp.bfloat16),
             pltpu.VMEM((4, ph_a, pw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
