@@ -190,6 +190,17 @@ benchmarks/bisect_resize.py --clamped):
    (cumulative items 15-17: 11,725 -> 16,985, +45%). Hardware numerics
    unchanged (per-chunk wsum reduces over the same elements as the full
    table's): exact 0, fused3 <= 2/255, validate_hw.py.
+18. CHUNKED MASKED SOURCE WRITE — measured NEGATIVE and reverted
+   (round-2 continuation): bounding the per-step masked pk -> src_shift
+   copy to the C-row chunks the blend actually reads (same trick as
+   items 16/17, with a leading-chunk skip for clamped bottom
+   placements) measured SLOWER on v5e (1080p/64 interleaved A/B:
+   scaled 4.98-5.27 vs 4.73-4.78 ms; identity neutral). The full
+   (mh_a, mw_a) masked copy is a single well-pipelined VPU pass
+   (~320 KB, well under 1 us); the dynamic fori_loop's per-iteration
+   scalar overhead exceeds what it saves. Kernel floor levers left:
+   bounding the resample dots' M-dim (input rows) to the object's real
+   in_h — the limb dots still contract over all ph_a rows.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render.
 """
