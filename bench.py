@@ -141,11 +141,18 @@ def main() -> None:
             # eager relayout of the kernel's aliased output buffer
             return jnp.sum(out[:, 0, :128].astype(jnp.int32), axis=1)
 
+        # per-object static asset sizes: specializes the kernel's resample
+        # dots to each object's real padded extents (STATUS item 19;
+        # bitwise-identical output, measured -12% ms/batch at batch 256)
+        static_hw = tuple(tuple(int(v) for v in row) for row in arrays.obj_hw)
+
         @functools.partial(_jax.jit, static_argnames=("canvas_hw", "bg"))
         def render_step(o, h_, b, canvas_hw, bg):
             # ONE program: background fill + gen-3 fused kernel + fence
             # stat (each extra dispatch cost ~1 ms of host gap per batch)
-            out = render_solid_fused_v3_program(o, h_, b, canvas_hw, bg)
+            out = render_solid_fused_v3_program(
+                o, h_, b, canvas_hw, bg, static_obj_hw=static_hw
+            )
             return out, jnp.sum(out[:, 0, :128], axis=1)
 
         tier = [0]
@@ -278,6 +285,7 @@ def main() -> None:
 
         K = args.superbatch
         bg_packed = pack_rgba_scalar(bg_rgba)
+        static_hw = tuple(tuple(int(v) for v in row) for row in arrays.obj_hw)
         boxes_k = np.stack([
             np.stack([
                 random_downscale_boxes(rng, arrays.obj_hw, (H, W))
@@ -289,7 +297,9 @@ def main() -> None:
         @_jax.jit
         def super_step(o, h_, bk):
             def body(carry, b):
-                out = render_solid_fused_v3_program(o, h_, b, (H, W), bg_packed)
+                out = render_solid_fused_v3_program(
+                    o, h_, b, (H, W), bg_packed, static_obj_hw=static_hw
+                )
                 return carry, jnp.sum(out[:, 0, :128], axis=1)
             _, stats = _jax.lax.scan(body, 0, bk)
             return stats

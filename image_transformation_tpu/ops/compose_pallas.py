@@ -2319,7 +2319,8 @@ def _coeff_table_in_kernel(
 
 
 def _make_fused_kernel_v3(
-    obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int], method: str
+    obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int], method: str,
+    static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
 ):
     """Fused resample+blend, generation 3: coefficient tables built
     IN-KERNEL from per-object size scalars.
@@ -2330,6 +2331,24 @@ def _make_fused_kernel_v3(
     as a separate serialized program — the table build happens inside the
     step, hidden under the window/object DMA latency. meta carries four
     extra scalars per object: (in_h, in_w, out_h, out_w).
+
+    ``static_in_hw`` (STATUS item 19): optional per-object STATIC (h, w)
+    asset sizes (length must equal the object-grid extent). Within a
+    bundle the asset sizes are fixed — only the placement boxes vary per
+    render — so the resample section is emitted once per object index as
+    a ``pl.when(k == i)`` branch with the dots sized to THAT object's
+    padded extents (round_up(h_i, 8), round_up(w_i, 128)) instead of the
+    batch-max (ph_a, pw_a). The dropped M rows / K columns all carry zero
+    pixels or zero coefficients, so outputs are bitwise identical to the
+    generic path; exactly one branch executes per grid step (no dynamic
+    fori overhead, unlike the chunked-M attempt in STATUS item 18).
+
+    Correctness contract: each static (h_i, w_i) must be an UPPER BOUND
+    on object i's actual (h, w) for every batch element — coefficients
+    beyond the traced size are zero and padded pixels are zero, so any
+    cover works (exact sizes are tightest; multi-bundle batches use the
+    per-index max across bundles). An undersized entry silently truncates
+    the resample window.
     """
     ph_a, pw_a = obj_pad_hw
     mh_a, mw_a = out_hw
@@ -2393,8 +2412,7 @@ def _make_fused_kernel_v3(
                     | (ident[3] << 24)
                 )
 
-            @pl.when(jnp.logical_not(same))
-            def _():
+            def resample_into_pk(ph_k: int, pw_k: int, in_h_s, in_w_s):
                 # Chunked resample (STATUS item 17): both passes walk only
                 # the 128-wide output chunks the object actually produces
                 # (ceil(out_w/128) H chunks, ceil(out_h/128) V chunks);
@@ -2402,25 +2420,28 @@ def _make_fused_kernel_v3(
                 # (o_offset) while the object DMA is in flight. Chunks
                 # beyond the box are never built — the masked src_shift
                 # write below zeroes whatever garbage they leave in the
-                # scratches, so the blend stays correct.
+                # scratches, so the blend stays correct. (ph_k, pw_k) are
+                # the static object extents this branch contracts over —
+                # the batch-max pad by default, the object's own padded
+                # size under static_in_hw (item 19).
                 ch_w = jax.lax.div(out_w + 127, 128)
                 ch_h = jax.lax.div(out_h + 127, 128)
 
                 d_obj.wait()
-                obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
+                obj = obj_vmem[:, :ph_k, :pw_k].astype(jnp.int32)
                 alpha = obj[3]
                 tmp_p = obj[:3] * alpha[None] + 128
                 prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
                 prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
-                prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
+                prem2d = prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
 
                 def h_chunk(c, _):
                     lc = pl.multiple_of(c * 128, 128)
                     kh_c = _coeff_table_in_kernel(
-                        in_w, out_w, 128, pw_a, method, False, o_offset=lc
+                        in_w_s, out_w, 128, pw_k, method, False, o_offset=lc
                     )
                     ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
-                    tmp_ref[:, pl.ds(lc, 128)] = (
+                    tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
                         _clip8(ss).astype(jnp.bfloat16)
                     )
                     return ()
@@ -2430,11 +2451,11 @@ def _make_fused_kernel_v3(
                 def v_chunk(r, _):
                     rc = pl.multiple_of(r * 128, 128)
                     kv_c = _coeff_table_in_kernel(
-                        in_h, out_h, 128, ph_a, method, True, o_offset=rc
+                        in_h_s, out_h, 128, ph_k, method, True, o_offset=rc
                     )
                     chans = []
                     for c4 in range(4):
-                        t = tmp_ref[c4 * ph_a : (c4 + 1) * ph_a, :]
+                        t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, :]
                         ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
                         chans.append(_clip8(ss_v))
                     # premultiplied [4, 128, mw_a] chunk
@@ -2457,6 +2478,23 @@ def _make_fused_kernel_v3(
                     return ()
 
                 jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
+
+            if static_in_hw is None:
+                @pl.when(jnp.logical_not(same))
+                def _():
+                    resample_into_pk(ph_a, pw_a, in_h, in_w)
+            else:
+                # One fully-specialized branch per object index; exactly
+                # one runs (mutually exclusive on k), so the object DMA is
+                # still waited exactly once per step.
+                for i, (h_i, w_i) in enumerate(static_in_hw):
+                    @pl.when(jnp.logical_not(same) & (k == i))
+                    def _(h_i=int(h_i), w_i=int(w_i)):
+                        resample_into_pk(
+                            min(_round_up(max(h_i, 1), 8), ph_a),
+                            min(_round_up(max(w_i, 1), 128), pw_a),
+                            jnp.int32(h_i), jnp.int32(w_i),
+                        )
 
             # Row-bounded blend (STATUS item 16): the object occupies only
             # window rows [dy, dy + out_h) — rows outside carry zero alpha
@@ -2666,12 +2704,19 @@ def _pallas_fused_v3_impl(
     method: str = "lanczos",
     interpret: bool = False,
     pipelined: bool = False,
+    static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
     B, N = objs_p.shape[0], objs_p.shape[1]
     ph_a, pw_a = objs_p.shape[3], objs_p.shape[4]
     mh_a, mw_a = out_max_hw
     MH, MW = window_extents((mh_a, mw_a))
+    if static_in_hw is not None and len(static_in_hw) != N:
+        raise ValueError(
+            f"static_in_hw has {len(static_in_hw)} entries for {N} objects"
+        )
     if pipelined:
+        if static_in_hw is not None:
+            raise ValueError("static_in_hw is not supported with pipelined")
         grid = (N,)
         kernel = _make_fused_kernel_v3_pipelined(
             B, (ph_a, pw_a), (mh_a, mw_a), method
@@ -2686,7 +2731,9 @@ def _pallas_fused_v3_impl(
         ]
     else:
         grid = (B, N)
-        kernel = _make_fused_kernel_v3((ph_a, pw_a), (mh_a, mw_a), method)
+        kernel = _make_fused_kernel_v3(
+            (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw
+        )
         scratch = [
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
@@ -2720,7 +2767,9 @@ def _pallas_fused_v3_impl(
     return out_v[:, :h_c, :w_c]
 
 
-_FUSED3_STATICS = ("out_hw", "out_max_hw", "method", "interpret", "pipelined")
+_FUSED3_STATICS = (
+    "out_hw", "out_max_hw", "method", "interpret", "pipelined", "static_in_hw"
+)
 _fused_v3_donated = functools.partial(
     jax.jit, static_argnames=_FUSED3_STATICS, donate_argnums=(0,)
 )(_pallas_fused_v3_impl)
@@ -2730,11 +2779,11 @@ _fused_v3_plain = functools.partial(
 
 
 def _pallas_fused_v3(canvas_v, objs_p, meta, out_hw, out_max_hw, method,
-                     interpret=False, pipelined=False):
+                     interpret=False, pipelined=False, static_in_hw=None):
     identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
     fn = _fused_v3_donated if identity_crop else _fused_v3_plain
     return fn(canvas_v, objs_p, meta, tuple(out_hw), tuple(out_max_hw),
-              method, interpret, pipelined)
+              method, interpret, pipelined, static_in_hw)
 
 
 def fused_canvas_pad_hw(
@@ -2851,6 +2900,7 @@ def composite_batch_fused_v3(
     bg_rgba: Tuple[int, int, int, int] | None = None,
     canvas_hw: Tuple[int, int] | None = None,
     padded_out: bool = False,
+    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
     """Fused resample+blend gen-3: tables built in-kernel (see
     _make_fused_kernel_v3). Engine-style calling conventions, each one
@@ -2897,7 +2947,7 @@ def composite_batch_fused_v3(
     )
     out_v = _pallas_fused_v3(
         canvas_v, objs_p, meta, out_hw, (mh_a, mw_a), method, interpret,
-        pipelined,
+        pipelined, static_obj_hw,
     )
     if packed_out:
         return out_v
@@ -2921,6 +2971,7 @@ def render_solid_fused_v3_program(
     method: str = "lanczos",
     interpret: bool = False,
     pipelined: bool = False,
+    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
     """ONE-program solid-background batch renderer (traceable, not jitted):
     on-device background fill + the gen-3 fused kernel, returning the
@@ -2932,6 +2983,11 @@ def render_solid_fused_v3_program(
     per-batch host dispatch gap at 1080p batch 64 (8312 -> 9388
     canvases/sec); the old single-program pathology (STATUS item 3) was
     specific to the table-building producer, which gen-3 no longer has.
+
+    ``static_obj_hw``: per-object static (h, w) asset sizes — MUST match
+    ``obj_hw`` row-for-row on every batch element (asset sizes are fixed
+    per bundle). Specializes the kernel's resample dots to each object's
+    real padded extents (STATUS item 19); bitwise-identical output.
     """
     if out_max_hw is None:
         out_max_hw = (objs_p.shape[3], objs_p.shape[4])
@@ -2943,7 +2999,7 @@ def render_solid_fused_v3_program(
     canvas_v = jnp.full((objs_p.shape[0], hp, wp), jnp.int32(bg_packed), jnp.int32)
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
-        pipelined,
+        pipelined, static_in_hw=static_obj_hw,
     )
 
 
@@ -2958,6 +3014,7 @@ def render_gradient_fused_v3_program(
     out_max_hw: Tuple[int, int] | None = None,
     method: str = "lanczos",
     interpret: bool = False,
+    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
     """Gradient-background sibling of :func:`render_solid_fused_v3_program`:
     the linear c1->c2 ramp (reference fill_gradient semantics — f32 lerp
@@ -2993,7 +3050,8 @@ def render_gradient_fused_v3_program(
     else:
         canvas_v = jnp.broadcast_to(packed[:, :, None], (packed.shape[0], hp, wp))
     return _pallas_fused_v3_impl(
-        canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret
+        canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
+        static_in_hw=static_obj_hw,
     )
 
 

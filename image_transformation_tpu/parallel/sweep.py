@@ -27,7 +27,8 @@ from ..ops.compose import composite_canvas
 
 
 def make_batched_compose(
-    out_max_hw: Tuple[int, int], method: str = "lanczos", kernel: str = "xla"
+    out_max_hw: Tuple[int, int], method: str = "lanczos", kernel: str = "xla",
+    static_obj_hw: Optional[Tuple[Tuple[int, int], ...]] = None,
 ):
     """jitted step: (canvases [B,H,W,4], objs [B,N,Hm,Wm,4], hw, boxes)
     -> (composed [B,H,W,4], mean luminance [B]).
@@ -82,7 +83,8 @@ def make_batched_compose(
         if tier[0] == 0:
             try:
                 out = composite_batch_fused_v3(
-                    canvases, objs, obj_hw, boxes, out_max_hw, method
+                    canvases, objs, obj_hw, boxes, out_max_hw, method,
+                    static_obj_hw=static_obj_hw,
                 )
                 return out, luma_stat(out)
             except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
@@ -118,6 +120,7 @@ def make_solid_render_step(
     out_max_hw: Tuple[int, int],
     bg_rgba: Tuple[int, int, int, int] = (128, 128, 128, 255),
     method: str = "lanczos",
+    static_obj_hw: Optional[Tuple[Tuple[int, int], ...]] = None,
 ):
     """ONE-program solid-background render step (the fastest path for
     workloads whose canvases are solid fills — the sweep and the bench):
@@ -149,7 +152,8 @@ def make_solid_render_step(
     def render(objs, obj_hw, boxes):
         objs_p = objs if objs.shape[4] != 4 else planarize_objects(objs)
         out = render_solid_fused_v3_program(
-            objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method
+            objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method,
+            static_obj_hw=static_obj_hw,
         )
         return out, packed_luma(out[:, :H, :W])
 
@@ -179,7 +183,8 @@ def make_solid_render_step(
                 )
                 traceback.print_exc(limit=3, file=sys.stderr)
                 fallback[0] = make_batched_compose(
-                    out_max_hw, method=method, kernel="pallas"
+                    out_max_hw, method=method, kernel="pallas",
+                    static_obj_hw=static_obj_hw,
                 )
         objs_u8 = (
             objs if objs.shape[4] == 4 else jnp.transpose(objs, (0, 1, 3, 4, 2))
@@ -235,6 +240,7 @@ def make_sharded_solid_render(
     bg_rgba: Tuple[int, int, int, int] = (128, 128, 128, 255),
     method: str = "lanczos",
     interpret: bool = False,
+    static_obj_hw: Optional[Tuple[Tuple[int, int], ...]] = None,
 ):
     """Multi-chip variant of the one-program solid render: the gen-3 fused
     Pallas kernel runs PER DEVICE under shard_map (canvases shard over the
@@ -263,7 +269,7 @@ def make_sharded_solid_render(
     def local_step(objs_p, obj_hw, boxes):
         out = render_solid_fused_v3_program(
             objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method,
-            interpret=interpret,
+            interpret=interpret, static_obj_hw=static_obj_hw,
         )
         luma = packed_luma(out[:, :H, :W])
         # global batch-mean: a cross-device all-reduce over the data axis
@@ -334,6 +340,12 @@ def throughput_sweep(
     pad_h = max(m.height for b in bundles for m in b.meta.values())
     pad_w = max(m.width for b in bundles for m in b.meta.values())
     arrays = [b.to_arrays(n_max=n_max, pad_hw=(pad_h, pad_w)) for b in bundles]
+    # per-object-index static size COVER across bundles: an upper bound on
+    # every batch element's asset size at that index, so the kernel's
+    # static resample branches stay correct with interleaved bundles
+    # (STATUS item 19; exact sizes when len(bundles) == 1)
+    hw_cover = np.maximum.reduce([a.obj_hw for a in arrays])
+    static_hw = tuple(tuple(int(v) for v in row) for row in hw_cover)
 
     results = {"ratios": {}, "total_canvases": 0, "total_seconds": 0.0}
     for ratio in ratios:
@@ -358,7 +370,9 @@ def throughput_sweep(
             step = sharded_compose_step(mesh, (pad_h, pad_w), spatial=spatial)
         elif kernel == "pallas":
             # sweep canvases are solid fills: one-program render path
-            step = make_solid_render_step((H, W), (pad_h, pad_w))
+            step = make_solid_render_step(
+                (H, W), (pad_h, pad_w), static_obj_hw=static_hw
+            )
         else:
             step = make_batched_compose((pad_h, pad_w), kernel=kernel)
 
@@ -385,7 +399,8 @@ def throughput_sweep(
                 def scan_step(objs_p, hw_d, bk):
                     def body(carry, b_):
                         out = render_solid_fused_v3_program(
-                            objs_p, hw_d, b_, (H, W), bg_packed, (pad_h, pad_w)
+                            objs_p, hw_d, b_, (H, W), bg_packed,
+                            (pad_h, pad_w), static_obj_hw=static_hw,
                         )
                         return carry, jnp.sum(out[:, 0, :128], axis=1)
                     _, stats = jax.lax.scan(body, 0, bk)
@@ -405,7 +420,9 @@ def throughput_sweep(
                 print(f"[sweep] superbatch scan failed ({e!r}); "
                       "using per-batch dispatches", file=sys.stderr)
                 k_scan = 0
-                step = make_solid_render_step((H, W), (pad_h, pad_w))
+                step = make_solid_render_step(
+                    (H, W), (pad_h, pad_w), static_obj_hw=static_hw
+                )
         if not k_scan:
             args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
             per_rep = B

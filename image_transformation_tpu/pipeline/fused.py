@@ -36,8 +36,15 @@ def make_fused_render(
     interpret: bool = False,
     background: str = "solid",
     gradient_horizontal: bool = True,
+    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
 ):
     """Build the jitted fused step for one layout structure.
+
+    ``static_obj_hw`` (pallas kernel only): per-object static (h, w) size
+    covers — each entry an upper bound on that object's actual asset size
+    — specializing the kernel's resample dots per object index (STATUS
+    item 19 in ops/compose_pallas; bitwise-identical output). Serving
+    knows these exactly: assets are fixed per bundle.
 
     Returned step signature:
         step(canvas_wh [V,2] int32  (W, H per variant),
@@ -158,7 +165,8 @@ def make_fused_render(
                                             _round_up(objs.shape[2], 128))
         )
         out_v = _pallas_fused_v3_impl(
-            canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret
+            canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
+            static_in_hw=static_obj_hw,
         )
         crop = out_v[:, :h_max, :w_max]
         out = jax.lax.bitcast_convert_type(crop, jnp.uint8)

@@ -395,12 +395,22 @@ class ComposeService:
         sizes_dev = jnp.asarray(np.asarray(canon_sizes, np.int32))
         inputs = self._get_device_inputs(stem, bundle, prog)
 
+        # exact per-object static (h, w) asset sizes for the kernel's
+        # specialized resample branches (sizes() returns (w, h); unknown
+        # object ids keep (0, 0) — their coefficients are all zero)
+        size_map = bundle.sizes()
+        static_hw = tuple(
+            (int(size_map[int(oid)][1]), int(size_map[int(oid)][0]))
+            if int(oid) in size_map else (0, 0)
+            for oid in prog.obj_ids
+        )
         step = None
         if not self._batch_latched:
             try:
                 step = make_fused_render(
                     prog, (h_max, w_max), obj_pad, kernel="pallas",
                     background=background, gradient_horizontal=horizontal,
+                    static_obj_hw=static_hw,
                 )
                 probe = step(sizes_dev, bg_dev, *inputs)
                 np.asarray(probe[-1])  # fence: async failures latch HERE

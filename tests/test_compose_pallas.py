@@ -513,6 +513,18 @@ def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
         )(op, *dev[2:])
     )
     assert np.array_equal(single, full)
+    # per-object static-size specialization (STATUS item 19): exact sizes
+    # AND a loose upper-bound cover must both be bitwise-identical to the
+    # generic path (dropped rows/cols carry zero coefficients or pixels)
+    exact_hw = tuple(tuple(int(v) for v in row) for row in arrays.obj_hw)
+    loose_hw = tuple((h + 5, w + 13) for h, w in exact_hw)
+    for s in (exact_hw, loose_hw):
+        v3s = np.asarray(
+            composite_batch_fused_v3(
+                dev[0], op, *dev[2:], interpret=True, static_obj_hw=s
+            )
+        )
+        assert np.array_equal(v3s, v3)
 
 
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
