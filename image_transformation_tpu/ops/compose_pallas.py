@@ -201,6 +201,20 @@ benchmarks/bisect_resize.py --clamped):
    scalar overhead exceeds what it saves. Kernel floor levers left:
    bounding the resample dots' M-dim (input rows) to the object's real
    in_h — the limb dots still contract over all ph_a rows.
+19. PER-OBJECT STATIC-SIZE BRANCHES (gen-3, round-2 continuation): the
+   M/K bounding item 18 couldn't reach dynamically comes free when the
+   caller knows the asset sizes STATICALLY — which every real workload
+   does (assets are fixed per bundle; only boxes vary per render). With
+   ``static_in_hw``, the kernel emits one pl.when(k == i) branch per
+   object with prem/table/dots sized to round_up(h_i, 8) x
+   round_up(w_i, 128) instead of the batch-max (ph_a, pw_a): ~-50% H-dot
+   and ~-46% V-dot MACs on the squarespace mix, zero loop overhead, and
+   bitwise-identical output (dropped rows/cols carry zero pixels or zero
+   coefficients — sizes only need to be an UPPER BOUND, so multi-bundle
+   sweeps pass the per-index max across bundles). Measured v5e 1080p
+   batch 256: 16.54 -> 14.66 ms/batch interleaved A/B; headline 17.0k ->
+   18.9k canvases/sec. Wired through bench, the sweep steps, fused
+   serving steps, and the serving batch-step builder.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render.
 """
