@@ -133,6 +133,7 @@ def main() -> None:
             composite_batch_hybrid_packed,
             pack_rgba_scalar,
             render_solid_fused_v3_program,
+            render_solid_fused_v3_reuse_program,
         )
 
         @_jax.jit
@@ -155,7 +156,21 @@ def main() -> None:
             )
             return out, jnp.sum(out[:, 0, :128], axis=1)
 
+        @functools.partial(
+            _jax.jit, static_argnames=("canvas_hw", "bg"), donate_argnums=(0,)
+        )
+        def reuse_step(prev, o, h_, pb, b, canvas_hw, bg):
+            # framebuffer reuse (STATUS item 20): restore only the windows
+            # the previous render touched on the donated plane instead of
+            # re-writing the full 2.1 GB background (14.25 -> 12.10
+            # ms/batch at 1080p/256)
+            out = render_solid_fused_v3_reuse_program(
+                prev, pb, o, h_, b, canvas_hw, bg, static_obj_hw=static_hw
+            )
+            return out, jnp.sum(out[:, 0, :128], axis=1)
+
         tier = [0]
+        reuse_state = [None]  # (prev_plane, prev_boxes) between dispatches
 
         def step(c_thunk, o, h_, b, bg_rgba, canvas_hw):
             # fused gen-3 kernel (resample + blend in one grid-(B,N)
@@ -170,11 +185,19 @@ def main() -> None:
             # Tiered loud fallback: gen-2 -> clamped two-program path.
             if tier[0] == 0:
                 try:
-                    return render_step(
-                        o, h_, b, canvas_hw, pack_rgba_scalar(bg_rgba)
-                    )
+                    bg = pack_rgba_scalar(bg_rgba)
+                    if reuse_state[0] is None:
+                        out, luma = render_step(o, h_, b, canvas_hw, bg)
+                    else:
+                        prev, pb = reuse_state[0]
+                        out, luma = reuse_step(
+                            prev, o, h_, pb, b, canvas_hw, bg
+                        )
+                    reuse_state[0] = (out, b)
+                    return out, luma
                 except Exception as e:  # noqa: BLE001
                     tier[0] = 1
+                    reuse_state[0] = None
                     log(f"fused_v3 failed ({e}); using fused_v2")
             # fallback tiers are the only consumers of the packed canvas
             # batch (~2 GB at batch 256): upload it lazily on first demote
@@ -251,6 +274,10 @@ def main() -> None:
         out, luma = step(*dev_args)
         fence(luma)
     log(f"first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    # second warmup: compiles the framebuffer-reuse program (the steady
+    # state of the timed loop on the pallas path)
+    out, luma = step(*dev_args)
+    fence(luma)
 
     import contextlib
 
@@ -276,11 +303,14 @@ def main() -> None:
         # returns a per-batch stat, so every batch provably executed; the
         # composed frames are consumed on device (same consumption
         # semantics as the headline loop, which never reads frames back).
+        import functools
+
         import jax as _jax
 
         from image_transformation_tpu.ops.compose_pallas import (
+            fused_canvas_pad_hw,
             pack_rgba_scalar,
-            render_solid_fused_v3_program,
+            render_solid_fused_v3_reuse_program,
         )
 
         K = args.superbatch
@@ -294,27 +324,34 @@ def main() -> None:
             for _ in range(K)
         ])
 
-        @_jax.jit
-        def super_step(o, h_, bk):
+        @functools.partial(_jax.jit, donate_argnums=(0,))
+        def super_step(plane, o, h_, bk):
+            # framebuffer reuse across scan steps AND dispatches: one live
+            # plane, window-restore between steps (restoring a solid plane
+            # with any window set is a no-op, so the init boxes are free)
             def body(carry, b):
-                out = render_solid_fused_v3_program(
-                    o, h_, b, (H, W), bg_packed, static_obj_hw=static_hw
+                prev, pb = carry
+                out = render_solid_fused_v3_reuse_program(
+                    prev, pb, o, h_, b, (H, W), bg_packed,
+                    static_obj_hw=static_hw,
                 )
-                return carry, jnp.sum(out[:, 0, :128], axis=1)
-            _, stats = _jax.lax.scan(body, 0, bk)
-            return stats
+                return (out, b), jnp.sum(out[:, 0, :128], axis=1)
+            (plane, _), stats = _jax.lax.scan(body, (plane, bk[-1]), bk)
+            return plane, stats
 
         try:
+            hp, wp = fused_canvas_pad_hw((H, W), (pad_h, pad_w))
+            plane = jnp.full((B, hp, wp), jnp.int32(bg_packed), jnp.int32)
             sb_args = (dev_args[1], dev_args[2], jnp.asarray(boxes_k))
             t0 = time.perf_counter()
-            stats = super_step(*sb_args)
+            plane, stats = super_step(plane, *sb_args)
             fence(stats)
             log(f"superbatch first call (incl. compile): "
                 f"{time.perf_counter() - t0:.1f}s")
             sb_reps = max(1, args.reps // K)
             t0 = time.perf_counter()
             for _ in range(sb_reps):
-                stats = super_step(*sb_args)
+                plane, stats = super_step(plane, *sb_args)
             fence(stats)
             dt_sb = time.perf_counter() - t0
             pipelined = K * B * sb_reps / dt_sb

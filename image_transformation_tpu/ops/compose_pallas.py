@@ -215,8 +215,24 @@ benchmarks/bisect_resize.py --clamped):
    batch 256: 16.54 -> 14.66 ms/batch interleaved A/B; headline 17.0k ->
    18.9k canvases/sec. Wired through bench, the sweep steps, fused
    serving steps, and the serving batch-step builder.
+20. FRAMEBUFFER REUSE (round-2 continuation): the solid background fill
+   was the last full-plane HBM pass (~3.0 ms for the 2.1 GB 1080p/256
+   plane, memory speed-of-light — "irreducible" only if the plane is
+   written fresh every dispatch). The fused kernels modify pixels ONLY
+   inside their (MH, MW) windows, so a donated previous output returns
+   to the all-solid state by restoring just those windows
+   (_pallas_restore_windows: grid-(B,N) DMA of one solid VMEM block,
+   ~0.45 GB => ~0.9 ms) — render_solid_fused_v3_reuse_program chains
+   restore + fused render in one program on the donated plane. Measured
+   v5e 1080p/256: 14.25 -> 12.10 ms/batch; with the superbatch scan
+   carrying one live plane across steps AND dispatches, headline 18.9k
+   -> 22.6k canvases/sec (23.4k pipelined). Bitwise-identical across
+   multi-generation chains (test_fused_v3_framebuffer_reuse). bench.py
+   threads the plane through its rep loop (first dispatch pays the one
+   full fill); single-request serving keeps the fresh-fill program.
 The XLA windowed path (ops.compose) remains the default for library calls;
-bench.py embeds the single-program solid render.
+bench.py embeds the single-program solid render (framebuffer-reuse mode
+between dispatches).
 """
 
 from __future__ import annotations
@@ -2500,14 +2516,17 @@ def _make_fused_kernel_v3(
             else:
                 # One fully-specialized branch per object index; exactly
                 # one runs (mutually exclusive on k), so the object DMA is
-                # still waited exactly once per step.
+                # still waited exactly once per step. The static sizes set
+                # only the DOT extents (an upper-bound cover); the table
+                # arithmetic uses the TRACED per-element sizes, so batch
+                # elements smaller than the cover still resample exactly.
                 for i, (h_i, w_i) in enumerate(static_in_hw):
                     @pl.when(jnp.logical_not(same) & (k == i))
                     def _(h_i=int(h_i), w_i=int(w_i)):
                         resample_into_pk(
                             min(_round_up(max(h_i, 1), 8), ph_a),
                             min(_round_up(max(w_i, 1), 128), pw_a),
-                            jnp.int32(h_i), jnp.int32(w_i),
+                            in_h, in_w,
                         )
 
             # Row-bounded blend (STATUS item 16): the object occupies only
@@ -3014,6 +3033,110 @@ def render_solid_fused_v3_program(
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
         pipelined, static_in_hw=static_obj_hw,
+    )
+
+
+def _make_restore_kernel(out_hw: Tuple[int, int], bg_packed: int):
+    """Grid-(B, N) window restore: DMA a solid block over each window a
+    previous render touched. The fused kernels only ever modify pixels
+    inside their (MH, MW) windows (the writeback copies the rest of the
+    window back unchanged), so restoring those windows on a donated
+    output plane returns it to the all-solid state without re-writing the
+    full plane (STATUS item 20: 2.1 GB fill -> ~0.45 GB of window DMAs at
+    1080p batch 256)."""
+    MH, MW = window_extents(out_hw)
+
+    def kernel(meta_ref, canvas_ref, out_ref, win_ref, sem):
+        del canvas_ref
+        b = pl.program_id(0)
+        k = pl.program_id(1)
+
+        @pl.when((b == 0) & (k == 0))
+        def _():
+            win_ref[...] = jnp.full((MH, MW), jnp.int32(bg_packed), jnp.int32)
+
+        valid = meta_ref[b, k, 5] > 0
+
+        @pl.when(valid)
+        def _():
+            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
+            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            dma = pltpu.make_async_copy(
+                win_ref, out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)], sem
+            )
+            dma.start()
+            dma.wait()
+
+    return kernel
+
+
+def _pallas_restore_windows(canvas_v, meta, out_max_hw, bg_packed: int,
+                            interpret: bool = False):
+    """Restore every window ``meta`` describes to the solid background on
+    a DONATED packed plane (see _make_restore_kernel)."""
+    B, N = meta.shape[0], meta.shape[1]
+    MH, MW = window_extents(out_max_hw)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((MH, MW), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _make_restore_kernel(out_max_hw, bg_packed),
+        out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
+        grid_spec=grid_spec,
+        # index 0 is the scalar-prefetch meta; the canvas plane is 1
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(meta, canvas_v)
+
+
+def render_solid_fused_v3_reuse_program(
+    prev_v: jnp.ndarray,  # [B, hp, wp] i32: the PREVIOUS render's plane
+    prev_boxes: jnp.ndarray,  # [B, N, 4] boxes that render was made with
+    objs_p: jnp.ndarray,  # [B, N, 4, ph_a, pw_a] u8 planar
+    obj_hw: jnp.ndarray,  # [B, N, 2]
+    boxes: jnp.ndarray,  # [B, N, 4]
+    canvas_hw: Tuple[int, int],
+    bg_packed: int,
+    out_max_hw: Tuple[int, int] | None = None,
+    method: str = "lanczos",
+    interpret: bool = False,
+    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
+) -> jnp.ndarray:
+    """Framebuffer-reuse sibling of :func:`render_solid_fused_v3_program`
+    (STATUS item 20): instead of synthesizing a fresh solid plane (a full
+    HBM-bandwidth write — ~3 ms for 2.1 GB at 1080p batch 256), restore
+    only the windows the PREVIOUS render touched on its (donated) output
+    plane, then compose the new boxes. The caller threads the previous
+    output and its boxes back in (ping-pong two buffers if the host still
+    reads the older one). First render of a buffer: use the regular
+    program. ``prev_v`` must come from a render with the SAME bg_packed,
+    canvas_hw, out_max_hw, and object set.
+    """
+    if out_max_hw is None:
+        out_max_hw = (objs_p.shape[3], objs_p.shape[4])
+    mh_a = _round_up(out_max_hw[0], 8)
+    mw_a = _round_up(out_max_hw[1], 128)
+    MH, MW = window_extents((mh_a, mw_a))
+    hp, wp = fused_canvas_pad_hw(canvas_hw, (mh_a, mw_a))
+    if tuple(prev_v.shape[1:]) != (hp, wp):
+        raise ValueError(
+            f"prev_v plane {prev_v.shape[1:]} != expected {(hp, wp)}"
+        )
+    prev_meta = _fused_v3_meta(obj_hw, prev_boxes, canvas_hw, (hp, wp), (MH, MW))
+    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    canvas_v = _pallas_restore_windows(
+        prev_v, prev_meta, (mh_a, mw_a), bg_packed, interpret
+    )
+    return _pallas_fused_v3_impl(
+        canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
+        static_in_hw=static_obj_hw,
     )
 
 

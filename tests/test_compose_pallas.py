@@ -752,3 +752,57 @@ def test_fused_v3_fuzz_geometries(exact_traced_resample):
             jax.vmap(lambda c, o, h_, b: composite_canvas(c, o, h_, b, pad))(*dev)
         )
         assert np.array_equal(out, ref), f"trial {trial} ({W}x{H}) diverged"
+
+
+def test_fused_v3_framebuffer_reuse():
+    """Framebuffer-reuse render (STATUS item 20): restoring only the
+    windows the previous render touched on the donated plane, then
+    composing new boxes, must be bitwise identical to a fresh full-fill
+    render — across a multi-generation chain (including returning to the
+    first box set, which proves the restore erases every touched pixel)."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        pack_rgba_scalar,
+        planarize_objects,
+        render_solid_fused_v3_program,
+        render_solid_fused_v3_reuse_program,
+    )
+
+    rng = np.random.default_rng(5)
+    B, N, ph, pw = 2, 3, 24, 140
+    objs = rng.integers(0, 256, (B, N, ph, pw, 4), dtype=np.uint8)
+    hw_row = np.array([[24, 140], [9, 17], [16, 130]], np.int32)
+    for k in range(N):
+        h, w = hw_row[k]
+        objs[:, k, h:] = 0
+        objs[:, k, :, w:] = 0
+    hw = jnp.asarray(np.broadcast_to(hw_row, (B, N, 2)).copy())
+    Hc, Wc = 64, 200
+
+    def rboxes(seed):
+        r = np.random.default_rng(seed)
+        bx = np.zeros((B, N, 4), np.int32)
+        for b in range(B):
+            for k in range(N):
+                h, w = hw_row[k]
+                s = r.uniform(0.4, 1.0)
+                w2, h2 = min(max(1, int(w * s)), Wc), min(max(1, int(h * s)), Hc)
+                x1 = r.integers(0, Wc - w2 + 1)
+                y1 = r.integers(0, Hc - h2 + 1)
+                bx[b, k] = (x1, y1, x1 + w2, y1 + h2)
+        return jnp.asarray(bx)
+
+    b1, b2 = rboxes(1), rboxes(2)
+    op = planarize_objects(jnp.asarray(objs))
+    bg = pack_rgba_scalar((50, 60, 70, 255))
+    first = render_solid_fused_v3_program(op, hw, b1, (Hc, Wc), bg, interpret=True)
+    reused = render_solid_fused_v3_reuse_program(
+        first, b1, op, hw, b2, (Hc, Wc), bg, interpret=True
+    )
+    fresh = render_solid_fused_v3_program(op, hw, b2, (Hc, Wc), bg, interpret=True)
+    assert np.array_equal(np.asarray(reused), np.asarray(fresh))
+    third = render_solid_fused_v3_reuse_program(
+        reused, b2, op, hw, b1, (Hc, Wc), bg, interpret=True
+    )
+    assert np.array_equal(np.asarray(third), np.asarray(first))
