@@ -152,7 +152,8 @@ def main() -> None:
             # ONE program: background fill + gen-3 fused kernel + fence
             # stat (each extra dispatch cost ~1 ms of host gap per batch)
             out = render_solid_fused_v3_program(
-                o, h_, b, canvas_hw, bg, static_obj_hw=static_hw
+                o, h_, b, canvas_hw, bg, static_obj_hw=static_hw,
+                pipelined=True,
             )
             return out, jnp.sum(out[:, 0, :128], axis=1)
 
@@ -165,7 +166,8 @@ def main() -> None:
             # re-writing the full 2.1 GB background (14.25 -> 12.10
             # ms/batch at 1080p/256)
             out = render_solid_fused_v3_reuse_program(
-                prev, pb, o, h_, b, canvas_hw, bg, static_obj_hw=static_hw
+                prev, pb, o, h_, b, canvas_hw, bg, static_obj_hw=static_hw,
+                pipelined=True,
             )
             return out, jnp.sum(out[:, 0, :128], axis=1)
 
@@ -333,7 +335,7 @@ def main() -> None:
                 prev, pb = carry
                 out = render_solid_fused_v3_reuse_program(
                     prev, pb, o, h_, b, (H, W), bg_packed,
-                    static_obj_hw=static_hw,
+                    static_obj_hw=static_hw, pipelined=True,
                 )
                 return (out, b), jnp.sum(out[:, 0, :128], axis=1)
             (plane, _), stats = _jax.lax.scan(body, (plane, bk[-1]), bk)

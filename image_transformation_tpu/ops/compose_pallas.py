@@ -2595,7 +2595,7 @@ def _make_fused_kernel_v3(
 
 def _make_fused_kernel_v3_pipelined(
     n_batch: int, obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int],
-    method: str
+    method: str, static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
 ):
     """Gen-3 fused kernel with double-buffered window/object DMAs.
 
@@ -2605,14 +2605,25 @@ def _make_fused_kernel_v3_pipelined(
     no aliasing hazard; writeback b is waited at iteration b+1 and the
     epilogue waits the last, so all of a grid step's writebacks land
     before the next grid step reuses those canvases — z-order preserved).
+
+    Same per-step machinery as :func:`_make_fused_kernel_v3` (identity
+    fast path, chunked resample, row-bounded blend, optional per-object
+    static-size branches — STATUS items 15-19); the double buffering
+    additionally hides the ~1 us/step window writeback the grid-(B, N)
+    kernel exposes (its next step may read an overlapping window on the
+    SAME canvas, so it must wait; here consecutive steps touch different
+    canvases).
     """
     ph_a, pw_a = obj_pad_hw
     mh_a, mw_a = out_hw
-    mh_128 = _round_up(mh_a, 128)
     MH, MW = window_extents(out_hw)
+    C = _BLEND_CHUNK_ROWS
+    n_full = MH // C
+    tail = MH - n_full * C
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
-               win_ref, src_shift, obj_vmem, sem_in, sem_out, sem_obj):
+               win_ref, src_shift, pk_ref, tmp_ref, obj_vmem,
+               sem_in, sem_out, sem_obj):
         del canvas_ref
         k = pl.program_id(0)
 
@@ -2653,8 +2664,41 @@ def _make_fused_kernel_v3_pipelined(
                 window_dma(b + 1, nslot, True).start()
                 obj_dma(b + 1, nslot).start()
 
-            dx = meta_ref[b, k, 2]
-            dy = meta_ref[b, k, 3]
+            obj_dma(b, slot).wait()
+            window_dma(b, slot, True).wait()
+
+            def step_compute(s: int):
+                identity_into_pk(b, s)
+                resample_branches(b, s)
+                blend_window(b, s)
+
+            jax.lax.switch(
+                slot, [lambda: step_compute(0), lambda: step_compute(1)]
+            )
+            window_dma(b, slot, False).start()
+            return ()
+
+        def identity_into_pk(b, s: int):
+            same = meta_ref[b, k, 4] > 0
+            valid = meta_ref[b, k, 5] > 0
+
+            @pl.when(valid & same)
+            def _():
+                obj = obj_vmem[s].astype(jnp.int32)  # [4, ph_a, pw_a]
+                ch = min(ph_a, mh_a)
+                cw = min(pw_a, mw_a)
+                ident = jnp.pad(
+                    obj[:, :ch, :cw],
+                    ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
+                )
+                pk_ref[:mh_a, :] = (
+                    ident[0]
+                    | (ident[1] << 8)
+                    | (ident[2] << 16)
+                    | (ident[3] << 24)
+                )
+
+        def resample_branches(b, s: int):
             same = meta_ref[b, k, 4] > 0
             valid = meta_ref[b, k, 5] > 0
             in_h = meta_ref[b, k, 6]
@@ -2662,64 +2706,128 @@ def _make_fused_kernel_v3_pipelined(
             out_h = meta_ref[b, k, 8]
             out_w = meta_ref[b, k, 9]
 
-            # tables depend only on prefetched scalars — build them while
-            # this iteration's window/object DMAs are still in flight
-            kh = _coeff_table_in_kernel(in_w, out_w, mw_a, pw_a, method, False)
-            kv_t = _coeff_table_in_kernel(in_h, out_h, mh_128, ph_a, method, True)
+            def resample_into_pk(ph_k: int, pw_k: int):
+                # chunked resample over this branch's static extents
+                # (STATUS items 17/19); tables use the traced sizes
+                ch_w = jax.lax.div(out_w + 127, 128)
+                ch_h = jax.lax.div(out_h + 127, 128)
 
-            obj_dma(b, slot).wait()
-            window_dma(b, slot, True).wait()
-
-            def compute(s):
-                obj = obj_vmem[s].astype(jnp.int32)  # [4, ph_a, pw_a]
+                obj = obj_vmem[s, :, :ph_k, :pw_k].astype(jnp.int32)
                 alpha = obj[3]
                 tmp_p = obj[:3] * alpha[None] + 128
                 prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
                 prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+                prem2d = prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
 
-                prem2d = prem.reshape(4 * ph_a, pw_a).astype(jnp.bfloat16)
-                ss = _limb_dot(prem2d, kh, 1, 1, k_first=False) + _HALF
-                tmp = _clip8(ss).reshape(4, ph_a, mw_a).astype(jnp.bfloat16)
+                def h_chunk(c, _):
+                    lc = pl.multiple_of(c * 128, 128)
+                    kh_c = _coeff_table_in_kernel(
+                        in_w, out_w, 128, pw_k, method, False, o_offset=lc
+                    )
+                    ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
+                    tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
+                        _clip8(ss).astype(jnp.bfloat16)
+                    )
+                    return ()
 
-                chans = []
-                for c in range(4):
-                    ss_v = _limb_dot(tmp[c], kv_t, 0, 0, k_first=True) + _HALF
-                    chans.append(_clip8(ss_v)[:mh_a, :])
-                resized_p = jnp.stack(chans, axis=0)
+                jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
 
-                ra = resized_p[3]
-                rgb = jnp.minimum(
-                    255,
-                    _exact_div_i32(
-                        255 * resized_p[:3], jnp.maximum(ra, 1)[None]
-                    ),
+                def v_chunk(r, _):
+                    rc = pl.multiple_of(r * 128, 128)
+                    kv_c = _coeff_table_in_kernel(
+                        in_h, out_h, 128, ph_k, method, True, o_offset=rc
+                    )
+                    chans = []
+                    for c4 in range(4):
+                        t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, :]
+                        ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
+                        chans.append(_clip8(ss_v))
+                    resized_p = jnp.stack(chans, axis=0)
+
+                    ra = resized_p[3]
+                    rgb = jnp.minimum(
+                        255,
+                        _exact_div_i32(
+                            255 * resized_p[:3], jnp.maximum(ra, 1)[None]
+                        ),
+                    )
+                    rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+                    pk_ref[pl.ds(rc, 128), :] = (
+                        rgb[0]
+                        | (rgb[1] << 8)
+                        | (rgb[2] << 16)
+                        | (ra << 24)
+                    )
+                    return ()
+
+                jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
+
+            not_same = valid & jnp.logical_not(same)
+            if static_in_hw is None:
+                @pl.when(not_same)
+                def _():
+                    resample_into_pk(ph_a, pw_a)
+            else:
+                for i, (h_i, w_i) in enumerate(static_in_hw):
+                    @pl.when(not_same & (k == i))
+                    def _(h_i=int(h_i), w_i=int(w_i)):
+                        resample_into_pk(
+                            min(_round_up(max(h_i, 1), 8), ph_a),
+                            min(_round_up(max(w_i, 1), 128), pw_a),
+                        )
+
+        def blend_window(b, s: int):
+            dx = meta_ref[b, k, 2]
+            dy = meta_ref[b, k, 3]
+            valid = meta_ref[b, k, 5] > 0
+            out_h = meta_ref[b, k, 8]
+            out_w = meta_ref[b, k, 9]
+
+            @pl.when(valid)
+            def _():
+                # masked source write + row-bounded blend (items 16/18)
+                fine = jax.lax.rem(dy, 8)
+                coarse8 = dy - fine
+                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+                row_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 0)
+                col_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 1)
+                src_shift[MH : MH + mh_a, :] = jnp.where(
+                    (row_i < out_h) & (col_i < out_w), pk_ref[:mh_a, :], 0
                 )
-                rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
-                resized = jnp.concatenate([rgb, ra[None]], axis=0)
+                rows_end = jnp.minimum(dy + out_h, MH)
+                c0 = jax.lax.div(dy, C)
+                c1 = jax.lax.div(rows_end + (C - 1), C)
 
-                ch = min(ph_a, mh_a)
-                cw = min(pw_a, mw_a)
-                ident = jnp.pad(
-                    obj[:, :ch, :cw],
-                    ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
-                )
-                resized = jnp.where(same, ident, resized)
+                def blend_rows(rc, n_rows: int):
+                    tall = src_shift[pl.ds(start8 + rc, n_rows + 8), :]
+                    rows = jax.lax.switch(
+                        fine,
+                        [(lambda d: lambda: tall[8 - d : 8 - d + n_rows, :])(d)
+                         for d in range(8)],
+                    )
+                    rolled = pltpu.roll(
+                        jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+                    )
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
+                    src_c = jnp.where(lane >= dx, rolled, 0)
+                    win_rows = win_ref[s, pl.ds(rc, n_rows), :]
+                    win_ref[s, pl.ds(rc, n_rows), :] = _alpha_over_packed(
+                        win_rows, src_c
+                    )
 
-                pk = (
-                    resized[0]
-                    | (resized[1] << 8)
-                    | (resized[2] << 16)
-                    | (resized[3] << 24)
-                )
-                src = _shift_roll_mask(
-                    src_shift, pk, dy, dx, MH, MW, clamp_dy=True
-                )
-                src = jnp.where(valid, src, 0)
-                win_ref[s] = _alpha_over_packed(win_ref[s], src)
+                def blend_chunk(c, _):
+                    blend_rows(pl.multiple_of(c * C, 8), C)
+                    return ()
 
-            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
-            window_dma(b, slot, False).start()
-            return ()
+                if n_full:
+                    jax.lax.fori_loop(
+                        c0, jnp.minimum(c1, n_full), blend_chunk, (),
+                        unroll=False,
+                    )
+                if tail:
+                    @pl.when(rows_end > n_full * C)
+                    def _():
+                        blend_rows(n_full * C, tail)
 
         jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
         last = n_batch - 1
@@ -2748,15 +2856,17 @@ def _pallas_fused_v3_impl(
             f"static_in_hw has {len(static_in_hw)} entries for {N} objects"
         )
     if pipelined:
-        if static_in_hw is not None:
-            raise ValueError("static_in_hw is not supported with pipelined")
         grid = (N,)
         kernel = _make_fused_kernel_v3_pipelined(
-            B, (ph_a, pw_a), (mh_a, mw_a), method
+            B, (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw
         )
         scratch = [
             pltpu.VMEM((2, MH, MW), jnp.int32),
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
+            # packed blend source (mh_128 tall: V chunks store 128 rows)
+            pltpu.VMEM((_round_up(mh_a, 128), mw_a), jnp.int32),
+            # H-pass intermediate, channel-stacked (chunked resample)
+            pltpu.VMEM((4 * ph_a, mw_a), jnp.bfloat16),
             pltpu.VMEM((2, 4, ph_a, pw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -3108,6 +3218,7 @@ def render_solid_fused_v3_reuse_program(
     method: str = "lanczos",
     interpret: bool = False,
     static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
+    pipelined: bool = False,
 ) -> jnp.ndarray:
     """Framebuffer-reuse sibling of :func:`render_solid_fused_v3_program`
     (STATUS item 20): instead of synthesizing a fresh solid plane (a full
@@ -3136,7 +3247,7 @@ def render_solid_fused_v3_reuse_program(
     )
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
-        static_in_hw=static_obj_hw,
+        pipelined, static_in_hw=static_obj_hw,
     )
 
 

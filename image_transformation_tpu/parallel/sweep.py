@@ -161,7 +161,7 @@ def make_solid_render_step(
         objs_p = objs if objs.shape[4] != 4 else planarize_objects(objs)
         out = render_solid_fused_v3_program(
             objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method,
-            static_obj_hw=static_obj_hw,
+            static_obj_hw=static_obj_hw, pipelined=True,
         )
         return out, packed_luma(out[:, :H, :W])
 
@@ -170,7 +170,7 @@ def make_solid_render_step(
         objs_p = objs if objs.shape[4] != 4 else planarize_objects(objs)
         out = render_solid_fused_v3_reuse_program(
             prev, prev_boxes, objs_p, obj_hw, boxes, (H, W), bg, out_max_hw,
-            method, static_obj_hw=static_obj_hw,
+            method, static_obj_hw=static_obj_hw, pipelined=True,
         )
         return out, packed_luma(out[:, :H, :W])
 
@@ -431,6 +431,7 @@ def throughput_sweep(
                         out = render_solid_fused_v3_reuse_program(
                             prev, pb, objs_p, hw_d, b_, (H, W), bg_packed,
                             (pad_h, pad_w), static_obj_hw=static_hw,
+                            pipelined=True,
                         )
                         return (out, b_), jnp.sum(out[:, 0, :128], axis=1)
                     (plane, _), stats = jax.lax.scan(
