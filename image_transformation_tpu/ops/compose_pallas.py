@@ -230,9 +230,20 @@ benchmarks/bisect_resize.py --clamped):
    multi-generation chains (test_fused_v3_framebuffer_reuse). bench.py
    threads the plane through its rep loop (first dispatch pays the one
    full fill); single-request serving keeps the fresh-fill program.
+21. PIPELINED BACKPORT + LAGGED RESTORE (round-2 continuation): the
+   double-buffered kernel variant received items 15-19 (identity branch,
+   chunked resample, row-bounded blend, static-size branches — per-step
+   compute under one static-slot switch), making its DMA schedule hide
+   the ~1 us/step window writeback the grid-(B,N) kernel must expose;
+   fresh-fill 14.8 -> 13.9 ms, reuse 12.5 -> 11.7 ms at 1080p/256
+   (bitwise equal; now the bench/sweep default). The restore kernel's
+   window DMAs are waited one step late on alternating semaphores
+   (overlapping pairs write identical solid bytes, so races are benign):
+   headline 24.3k -> 25.4k canvases/sec (10.1 ms/batch). Cumulative
+   round-2 continuation: 16,985 -> 25,397 (+50%).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
-between dispatches).
+between dispatches, pipelined kernel).
 """
 
 from __future__ import annotations
@@ -3146,7 +3157,8 @@ def render_solid_fused_v3_program(
     )
 
 
-def _make_restore_kernel(out_hw: Tuple[int, int], bg_packed: int):
+def _make_restore_kernel(out_hw: Tuple[int, int], bg_packed: int,
+                         grid: Tuple[int, int]):
     """Grid-(B, N) window restore: DMA a solid block over each window a
     previous render touched. The fused kernels only ever modify pixels
     inside their (MH, MW) windows (the writeback copies the rest of the
@@ -3155,27 +3167,51 @@ def _make_restore_kernel(out_hw: Tuple[int, int], bg_packed: int):
     full plane (STATUS item 20: 2.1 GB fill -> ~0.45 GB of window DMAs at
     1080p batch 256)."""
     MH, MW = window_extents(out_hw)
+    n_batch, n_obj = grid
+    total = n_batch * n_obj
 
     def kernel(meta_ref, canvas_ref, out_ref, win_ref, sem):
         del canvas_ref
         b = pl.program_id(0)
         k = pl.program_id(1)
+        li = b * n_obj + k
 
-        @pl.when((b == 0) & (k == 0))
+        @pl.when(li == 0)
         def _():
             win_ref[...] = jnp.full((MH, MW), jnp.int32(bg_packed), jnp.int32)
 
-        valid = meta_ref[b, k, 5] > 0
-
-        @pl.when(valid)
-        def _():
+        # One same-size DMA per step, started unconditionally (meta window
+        # origins are always in-bounds, and erasing an extra window is
+        # harmless — the subsequent render redraws every valid object; a
+        # pair of in-flight restores may overlap, but both write the same
+        # solid bytes) and waited one step LATE on alternating semaphores,
+        # so consecutive restores overlap. A wait only needs the matching
+        # semaphore and size (all copies are window-sized); the
+        # descriptor's addresses are this step's.
+        def dma(slot):
             ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
             ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-            dma = pltpu.make_async_copy(
-                win_ref, out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)], sem
+            return pltpu.make_async_copy(
+                win_ref,
+                out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)],
+                sem.at[slot],
             )
-            dma.start()
-            dma.wait()
+
+        s = jax.lax.rem(li, 2)
+
+        @pl.when(li >= 2)
+        def _():
+            dma(s).wait()  # the copy started two steps ago on this slot
+
+        dma(s).start()
+
+        if total >= 2:
+            @pl.when(li == total - 1)
+            def _():
+                dma(s).wait()
+                dma(1 - s).wait()
+        else:
+            dma(s).wait()
 
     return kernel
 
@@ -3193,11 +3229,11 @@ def _pallas_restore_windows(canvas_v, meta, out_max_hw, bg_packed: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, MW), jnp.int32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _make_restore_kernel(out_max_hw, bg_packed),
+        _make_restore_kernel(out_max_hw, bg_packed, (B, N)),
         out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
         grid_spec=grid_spec,
         # index 0 is the scalar-prefetch meta; the canvas plane is 1
