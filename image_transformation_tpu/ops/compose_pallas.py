@@ -241,6 +241,19 @@ benchmarks/bisect_resize.py --clamped):
    (overlapping pairs write identical solid bytes, so races are benign):
    headline 24.3k -> 25.4k canvases/sec (10.1 ms/batch). Cumulative
    round-2 continuation: 16,985 -> 25,397 (+50%).
+22. PER-OBJECT STATIC RESTORE WINDOWS: the restore kernel's DMAs shrink
+   from the batch-max (MH, MW) window to each object's own extents
+   (derived from static_obj_hw — a downscale-only render never touches
+   more than the asset extent), ~53% of restore bytes on the
+   squarespace mix. The grid flips to (object, batch) so consecutive
+   steps share the DMA size, keeping the lagged-semaphore overlap valid
+   (the first two canvases of each object row wait the previous
+   object's size — a static branch). Extra contract: static sizes must
+   upper-bound the rendered OUT sizes of prev_boxes (all solver paths
+   are downscale-only). Measured v5e 1080p/256: headline 25.3k -> 26.1k
+   canvases/sec (10.1 -> 9.8 ms/batch); bitwise-identical reuse chains
+   re-verified on hardware and in interpret CI (incl. edge-clamped
+   boxes).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -3216,24 +3229,124 @@ def _make_restore_kernel(out_hw: Tuple[int, int], bg_packed: int,
     return kernel
 
 
+def _make_restore_kernel_static(
+    bg_packed: int, grid: Tuple[int, int],
+    static_win: Tuple[Tuple[int, int], ...], pad_hw: Tuple[int, int],
+):
+    """Per-object static-size window restore (STATUS item 22).
+
+    Same idea as :func:`_make_restore_kernel`, but each object's restore
+    DMA is sized to ITS window extents (derived from the static asset
+    sizes — a downscale-only render never touches more than the asset
+    extent) instead of the batch-max window, roughly halving restore
+    bytes on mixed-size bundles. The grid iterates (object, batch) so
+    consecutive steps share the object index — and therefore the DMA
+    size — which keeps the lagged-semaphore overlap valid: a wait only
+    needs the matching semaphore and size, and two steps ago is the same
+    object two canvases back (the first two canvases of each object row
+    wait the PREVIOUS object's size, a static branch). Requires
+    n_batch >= 2 (callers fall back to the uniform kernel otherwise).
+    """
+    n_obj, n_batch = grid
+    hp, wp = pad_hw
+    mh = max(wh for wh, _ in static_win)
+    mw = max(ww for _, ww in static_win)
+
+    def kernel(meta_ref, canvas_ref, out_ref, win_ref, sem):
+        del canvas_ref
+        k = pl.program_id(0)
+        b = pl.program_id(1)
+        li = k * n_batch + b
+
+        @pl.when(li == 0)
+        def _():
+            win_ref[...] = jnp.full((mh, mw), jnp.int32(bg_packed), jnp.int32)
+
+        s = jax.lax.rem(li, 2)
+
+        def dma(slot, i: int):
+            # descriptor sized to object i's window; origins re-clamped so
+            # a boundary wait built with the PREVIOUS object's (possibly
+            # larger) extents stays in bounds
+            wh, ww = static_win[i]
+            rs_x = pl.multiple_of(
+                jnp.minimum(meta_ref[b, k, 0], wp - ww), 128
+            )
+            rs_y = pl.multiple_of(jnp.minimum(meta_ref[b, k, 1], hp - wh), 8)
+            return pltpu.make_async_copy(
+                win_ref.at[:wh, :ww],
+                out_ref.at[b, pl.ds(rs_y, wh), pl.ds(rs_x, ww)],
+                sem.at[slot],
+            )
+
+        for i in range(n_obj):
+            @pl.when(k == i)
+            def _(i=i):
+                @pl.when(b >= 2)
+                def _():
+                    dma(s, i).wait()  # copy from (i, b-2): same size
+                if i > 0:
+                    @pl.when(b < 2)
+                    def _():
+                        dma(s, i - 1).wait()  # tail of the previous row
+                dma(s, i).start()
+                if i == n_obj - 1:
+                    @pl.when(b == n_batch - 1)
+                    def _():
+                        dma(s, i).wait()
+                        dma(1 - s, i).wait()  # (i, b-1): n_batch >= 2
+
+    return kernel
+
+
+def _restore_meta_static(boxes, canvas_hw, pad_hw, static_win):
+    """[B, N, 2] window origins for the static restore kernel: per-object
+    extents, same clamped-origin convention as :func:`_fused_v3_meta`."""
+    h_c, w_c = canvas_hw
+    hp, wp = pad_hw
+    wh = jnp.asarray([v[0] for v in static_win], jnp.int32)
+    ww = jnp.asarray([v[1] for v in static_win], jnp.int32)
+    x1c = jnp.clip(boxes[..., 0], 0, w_c)
+    y1c = jnp.clip(boxes[..., 1], 0, h_c)
+    rs_x = jnp.minimum((x1c // 128) * 128, (wp - ww)[None, :])
+    rs_y = jnp.minimum((y1c // 8) * 8, (hp - wh)[None, :])
+    return jnp.stack([rs_x, rs_y], axis=-1).astype(jnp.int32)
+
+
 def _pallas_restore_windows(canvas_v, meta, out_max_hw, bg_packed: int,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            static_win: Tuple[Tuple[int, int], ...] | None = None):
     """Restore every window ``meta`` describes to the solid background on
-    a DONATED packed plane (see _make_restore_kernel)."""
+    a DONATED packed plane (see _make_restore_kernel). With ``static_win``
+    (per-object window extents; requires batch >= 2 and ``meta`` built by
+    :func:`_restore_meta_static`), each object's DMA shrinks to its own
+    window (STATUS item 22)."""
     B, N = meta.shape[0], meta.shape[1]
-    MH, MW = window_extents(out_max_hw)
+    if static_win is not None and B >= 2:
+        mh = max(wh for wh, _ in static_win)
+        mw = max(ww for _, ww in static_win)
+        kernel = _make_restore_kernel_static(
+            bg_packed, (N, B), static_win, canvas_v.shape[1:]
+        )
+        grid = (N, B)
+        scratch = pltpu.VMEM((mh, mw), jnp.int32)
+    else:
+        MH, MW = window_extents(out_max_hw)
+        kernel = _make_restore_kernel(out_max_hw, bg_packed, (B, N))
+        grid = (B, N)
+        scratch = pltpu.VMEM((MH, MW), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, N),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((MH, MW), jnp.int32),
+            scratch,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        _make_restore_kernel(out_max_hw, bg_packed, (B, N)),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
         grid_spec=grid_spec,
         # index 0 is the scalar-prefetch meta; the canvas plane is 1
@@ -3265,6 +3378,14 @@ def render_solid_fused_v3_reuse_program(
     reads the older one). First render of a buffer: use the regular
     program. ``prev_v`` must come from a render with the SAME bg_packed,
     canvas_hw, out_max_hw, and object set.
+
+    With ``static_obj_hw`` (and batch >= 2) the restore DMAs shrink to
+    per-object window extents (STATUS item 22). Extra contract beyond the
+    render kernel's: the static sizes must also upper-bound the OUT sizes
+    ``prev_boxes`` rendered at — true for every downscale-only workload
+    (the flex solver's scale = min(1.0, fit), identity placements, and
+    all bench/sweep/serving paths). Callers with upscaling boxes must
+    pass ``static_obj_hw=None``.
     """
     if out_max_hw is None:
         out_max_hw = (objs_p.shape[3], objs_p.shape[4])
@@ -3276,11 +3397,29 @@ def render_solid_fused_v3_reuse_program(
         raise ValueError(
             f"prev_v plane {prev_v.shape[1:]} != expected {(hp, wp)}"
         )
-    prev_meta = _fused_v3_meta(obj_hw, prev_boxes, canvas_hw, (hp, wp), (MH, MW))
     meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
-    canvas_v = _pallas_restore_windows(
-        prev_v, prev_meta, (mh_a, mw_a), bg_packed, interpret
-    )
+    if static_obj_hw is not None and prev_v.shape[0] >= 2:
+        static_win = tuple(
+            window_extents((
+                min(_round_up(max(int(h), 1), 8), mh_a),
+                min(_round_up(max(int(w), 1), 128), mw_a),
+            ))
+            for h, w in static_obj_hw
+        )
+        prev_meta = _restore_meta_static(
+            prev_boxes, canvas_hw, (hp, wp), static_win
+        )
+        canvas_v = _pallas_restore_windows(
+            prev_v, prev_meta, (mh_a, mw_a), bg_packed, interpret,
+            static_win=static_win,
+        )
+    else:
+        prev_meta = _fused_v3_meta(
+            obj_hw, prev_boxes, canvas_hw, (hp, wp), (MH, MW)
+        )
+        canvas_v = _pallas_restore_windows(
+            prev_v, prev_meta, (mh_a, mw_a), bg_packed, interpret
+        )
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
         pipelined, static_in_hw=static_obj_hw,

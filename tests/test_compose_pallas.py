@@ -806,3 +806,32 @@ def test_fused_v3_framebuffer_reuse():
         reused, b2, op, hw, b1, (Hc, Wc), bg, interpret=True
     )
     assert np.array_equal(np.asarray(third), np.asarray(first))
+
+    # Per-object static restore windows (STATUS item 22): same chain, DMAs
+    # sized to each object's own extents, must stay bitwise identical —
+    # including boxes clamped against the bottom/right canvas edges (the
+    # per-object origin re-clamp path).
+    static_hw = tuple((int(h), int(w)) for h, w in hw_row)
+    edge = np.zeros((B, N, 4), np.int32)
+    for b in range(B):
+        for k in range(N):
+            h, w = int(hw_row[k][0]), int(hw_row[k][1])
+            w2, h2 = min(w, Wc), min(h, Hc)
+            edge[b, k] = (Wc - w2, Hc - h2, Wc, Hc)
+    edge = jnp.asarray(edge)
+    first_s = render_solid_fused_v3_program(
+        op, hw, edge, (Hc, Wc), bg, interpret=True, static_obj_hw=static_hw
+    )
+    reused_s = render_solid_fused_v3_reuse_program(
+        first_s, edge, op, hw, b2, (Hc, Wc), bg, interpret=True,
+        static_obj_hw=static_hw,
+    )
+    fresh_s = render_solid_fused_v3_program(
+        op, hw, b2, (Hc, Wc), bg, interpret=True, static_obj_hw=static_hw
+    )
+    assert np.array_equal(np.asarray(reused_s), np.asarray(fresh_s))
+    back_s = render_solid_fused_v3_reuse_program(
+        reused_s, b2, op, hw, edge, (Hc, Wc), bg, interpret=True,
+        static_obj_hw=static_hw,
+    )
+    assert np.array_equal(np.asarray(back_s), np.asarray(first_s))
