@@ -60,9 +60,13 @@ def pil_baseline_canvases_per_sec(bundle, boxes_per_canvas, canvas_hw, n_canvase
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    # 256 amortizes the ~1.7 ms per-dispatch tunnel turnaround (measured
-    # 9476 @ 64 -> 11727 @ 256 canvases/sec; ~2.4 GB peak HBM)
-    parser.add_argument("--batch", type=int, default=256)
+    # Batch sweep on v5e with the framebuffer-reuse pipelined kernel
+    # (round-2 continuation): 26.1k @ 256 -> 27,993 @ 384 -> 28,402 @ 448
+    # canvases/sec; 512 stalls before first dispatch (resource wall — the
+    # round-1 OOM point, now a silent hang over the tunnel). 448 adopted:
+    # amortizes the ~1.7 ms/dispatch tunnel turnaround with two ~3.7 GB
+    # packed planes (donated reuse) still comfortably inside HBM.
+    parser.add_argument("--batch", type=int, default=448)
     parser.add_argument("--reps", type=int, default=20)
     parser.add_argument("--pil-canvases", type=int, default=8)
     parser.add_argument("--sweep", action="store_true", help="also run the 4-ratio sweep")

@@ -13,10 +13,32 @@ import os
 _PRUNE_MARKER = ".last_prune"
 
 
+def honor_platform_env() -> None:
+    """Re-assert ``JAX_PLATFORMS`` from the environment on the live config.
+
+    This image's sitecustomize imports jax and pins the hardware platform
+    before user code runs, so a subprocess launched with
+    ``JAX_PLATFORMS=cpu`` in its env would still initialize the hardware
+    backend on first op — and hang if the remote device server is
+    unreachable/wedged. Updating the live config before the first backend
+    use makes the env var mean what it says (same trick as the pytest
+    conftest).
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     """Idempotently point JAX at a persistent compilation cache dir."""
     import jax
 
+    honor_platform_env()
     cache_dir = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_itpu")
     )
