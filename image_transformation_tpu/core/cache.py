@@ -30,8 +30,18 @@ def honor_platform_env() -> None:
 
         try:
             jax.config.update("jax_platforms", want)
-        except Exception:
-            pass
+        except Exception as e:
+            # Failing here means the backend is already initialized and the
+            # env var can no longer take effect — the exact situation this
+            # function exists to prevent. Say so instead of hanging mutely.
+            import sys
+
+            print(
+                f"[itpu] WARNING: could not apply JAX_PLATFORMS={want!r} "
+                f"to the live config ({e}); the pre-initialized backend "
+                "stays active",
+                file=sys.stderr,
+            )
 
 
 def enable_compile_cache(path: str | None = None) -> None:

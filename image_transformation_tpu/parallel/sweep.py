@@ -121,6 +121,7 @@ def make_solid_render_step(
     bg_rgba: Tuple[int, int, int, int] = (128, 128, 128, 255),
     method: str = "lanczos",
     static_obj_hw: Optional[Tuple[Tuple[int, int], ...]] = None,
+    reuse: bool = True,
 ):
     """ONE-program solid-background render step (the fastest path for
     workloads whose canvases are solid fills — the sweep and the bench):
@@ -133,12 +134,16 @@ def make_solid_render_step(
     host bytes view-crop to RGBA). Latched loud fallback to the generic
     pallas/XLA step (which does consume the canvases) on kernel failure.
 
-    Consecutive calls reuse the previous output plane (framebuffer-reuse
-    mode, compose_pallas STATUS item 20): only the windows the previous
-    render touched are restored instead of re-writing the full plane.
-    The previous ``out`` is DONATED on the next call — callers that need
-    a render to survive the next step must copy it off device first
-    (the sweep and bench consume the luma stat per step).
+    With ``reuse=True`` (default) consecutive calls reuse the previous
+    output plane (framebuffer-reuse mode, compose_pallas STATUS item 20):
+    only the windows the previous render touched are restored instead of
+    re-writing the full plane. The previous ``out`` is DONATED on the next
+    call — a caller that reads a prior step's ``out`` after a subsequent
+    step gets a deleted-buffer error. Callers that hold onto outputs must
+    pass ``reuse=False`` (every call renders a fresh plane) or copy the
+    plane off device before stepping again; ``step.release()`` drops the
+    retained plane when the caller is done stepping. The sweep and bench
+    consume only the per-step luma stat, so they keep the default.
     """
     from ..ops.compose_pallas import (
         _round_up,
@@ -194,7 +199,8 @@ def make_solid_render_step(
                 else:
                     prev, pb = reuse_state[0]
                     out, luma = render_reuse(prev, objs, obj_hw, pb, boxes)
-                reuse_state[0] = (out, boxes)
+                if reuse:
+                    reuse_state[0] = (out, boxes)
                 return out, luma
             except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
                 import sys
@@ -222,6 +228,7 @@ def make_solid_render_step(
         return to_packed(out), luma
 
     step.fallback = fallback  # introspectable for tests
+    step.release = lambda: reuse_state.__setitem__(0, None)
     return step
 
 

@@ -835,3 +835,24 @@ def test_fused_v3_framebuffer_reuse():
         static_obj_hw=static_hw,
     )
     assert np.array_equal(np.asarray(back_s), np.asarray(first_s))
+
+    # THE PRODUCTION CONFIGURATION (bench.py headline + sweep default):
+    # pipelined double-buffered kernel + per-object static sizes + reuse
+    # chain. Must match the non-pipelined grid-(B,N) results bitwise —
+    # this is the path CI green must actually cover.
+    for s in (None, static_hw):
+        first_p = render_solid_fused_v3_program(
+            op, hw, b1, (Hc, Wc), bg, interpret=True, static_obj_hw=s,
+            pipelined=True,
+        )
+        assert np.array_equal(np.asarray(first_p), np.asarray(first))
+        reused_p = render_solid_fused_v3_reuse_program(
+            first_p, b1, op, hw, b2, (Hc, Wc), bg, interpret=True,
+            static_obj_hw=s, pipelined=True,
+        )
+        assert np.array_equal(np.asarray(reused_p), np.asarray(fresh))
+        back_p = render_solid_fused_v3_reuse_program(
+            reused_p, b2, op, hw, edge, (Hc, Wc), bg, interpret=True,
+            static_obj_hw=s, pipelined=True,
+        )
+        assert np.array_equal(np.asarray(back_p), np.asarray(first_s))
