@@ -254,6 +254,17 @@ benchmarks/bisect_resize.py --clamped):
    canvases/sec (10.1 -> 9.8 ms/batch); bitwise-identical reuse chains
    re-verified on hardware and in interpret CI (incl. edge-clamped
    boxes).
+23. SHARED STEP-COMPUTE BUILDERS: the per-step machinery the two gen-3
+   kernels had duplicated (~130 lines each: identity pack, chunked
+   resample, static-branch emission, masked write + row-bounded blend)
+   now lives in four shared helpers (_identity_pack_into,
+   _resample_chunked_into, _emit_resample_branches, _blend_window_rows)
+   parameterized by slot accessors and DMA-wait thunks so each kernel
+   keeps its exact DMA schedule. Proven a pure refactor: the jaxprs of
+   render_solid_fused_v3_program and the reuse program are BITWISE
+   IDENTICAL to the pre-refactor trace for all four variant combinations
+   (pipelined x static_obj_hw), so Mosaic compiles the same program —
+   no hardware re-measure needed. Future resample/blend fixes land once.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -2372,6 +2383,200 @@ def _coeff_table_in_kernel(
     return _trunc_f32(scaled + jnp.where(w < 0, -0.5, 0.5)).astype(jnp.int32)
 
 
+def _identity_pack_into(pk_ref, obj, obj_pad_hw, out_hw):
+    """Pack an identity-size object straight into the packed blend source
+    (STATUS item 15: out == in skips the table build and MXU resample).
+    ``obj`` is the already-loaded [4, ph_a, pw_a] int32 planar object."""
+    ph_a, pw_a = obj_pad_hw
+    mh_a, mw_a = out_hw
+    ch = min(ph_a, mh_a)
+    cw = min(pw_a, mw_a)
+    ident = jnp.pad(
+        obj[:, :ch, :cw],
+        ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
+    )
+    pk_ref[:mh_a, :] = (
+        ident[0]
+        | (ident[1] << 8)
+        | (ident[2] << 16)
+        | (ident[3] << 24)
+    )
+
+
+def _resample_chunked_into(
+    pk_ref, tmp_ref, load_obj, in_h, in_w, out_h, out_w,
+    ph_k: int, pw_k: int, method: str,
+):
+    """Chunked in-kernel-table resample (STATUS item 17): both passes walk
+    only the 128-wide output chunks the object actually produces
+    (ceil(out_w/128) H chunks, ceil(out_h/128) V chunks); each chunk builds
+    its slice of the coeff table in-kernel (o_offset) while the object DMA
+    is in flight. Chunks beyond the box are never built — the caller's
+    masked src_shift write zeroes whatever garbage they leave in the
+    scratches, so the blend stays correct. (ph_k, pw_k) are the static
+    object extents this branch contracts over — the batch-max pad by
+    default, the object's own padded size under static_in_hw (item 19).
+
+    ``load_obj`` is a thunk returning the [4, ph_k, pw_k] int32 planar
+    object; it runs AFTER the chunk counts are computed so the kernels'
+    DMA waits sit at exactly the same trace position as before this
+    helper existed (the non-pipelined kernel waits its object DMA inside
+    the thunk)."""
+    ch_w = jax.lax.div(out_w + 127, 128)
+    ch_h = jax.lax.div(out_h + 127, 128)
+
+    obj = load_obj()
+    alpha = obj[3]
+    tmp_p = obj[:3] * alpha[None] + 128
+    prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
+    prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+    prem2d = prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
+
+    def h_chunk(c, _):
+        lc = pl.multiple_of(c * 128, 128)
+        kh_c = _coeff_table_in_kernel(
+            in_w, out_w, 128, pw_k, method, False, o_offset=lc
+        )
+        ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
+        tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
+            _clip8(ss).astype(jnp.bfloat16)
+        )
+        return ()
+
+    jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
+
+    def v_chunk(r, _):
+        rc = pl.multiple_of(r * 128, 128)
+        kv_c = _coeff_table_in_kernel(
+            in_h, out_h, 128, ph_k, method, True, o_offset=rc
+        )
+        chans = []
+        for c4 in range(4):
+            t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, :]
+            ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
+            chans.append(_clip8(ss_v))
+        # premultiplied [4, 128, mw_a] chunk
+        resized_p = jnp.stack(chans, axis=0)
+
+        ra = resized_p[3]
+        rgb = jnp.minimum(
+            255,
+            _exact_div_i32(
+                255 * resized_p[:3], jnp.maximum(ra, 1)[None]
+            ),
+        )
+        rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+        pk_ref[pl.ds(rc, 128), :] = (
+            rgb[0]
+            | (rgb[1] << 8)
+            | (rgb[2] << 16)
+            | (ra << 24)
+        )
+        return ()
+
+    jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
+
+
+def _emit_resample_branches(k, not_same_thunk, static_in_hw, obj_pad_hw,
+                            do_resample):
+    """Emit the resample dispatch (STATUS item 19): one generic branch
+    when no static sizes are given, else one fully-specialized
+    ``pl.when(k == i)`` branch per object index — exactly one runs
+    (mutually exclusive on k), so each kernel's object DMA is still
+    waited exactly once per step. The static sizes set only the DOT
+    extents (an upper-bound cover); the table arithmetic uses the TRACED
+    per-element sizes, so batch elements smaller than the cover still
+    resample exactly. ``do_resample(ph_k, pw_k)`` is kernel-specific
+    (it loads the object from that kernel's VMEM slot);
+    ``not_same_thunk`` builds the branch predicate (a thunk so each
+    kernel keeps its original trace: the grid-(B,N) kernel re-emits the
+    negation per branch, the pipelined one reuses a precomputed value)."""
+    ph_a, pw_a = obj_pad_hw
+    if static_in_hw is None:
+        @pl.when(not_same_thunk())
+        def _():
+            do_resample(ph_a, pw_a)
+    else:
+        for i, (h_i, w_i) in enumerate(static_in_hw):
+            @pl.when(not_same_thunk() & (k == i))
+            def _(h_i=int(h_i), w_i=int(w_i)):
+                do_resample(
+                    min(_round_up(max(h_i, 1), 8), ph_a),
+                    min(_round_up(max(w_i, 1), 128), pw_a),
+                )
+
+
+def _blend_window_rows(
+    pk_ref, src_shift, win_get, win_set, wait_window,
+    dx, dy, out_h, out_w, out_hw, window_hw,
+):
+    """Masked source write + row-bounded blend (STATUS items 16/18): the
+    object occupies only window rows [dy, dy + out_h) — rows outside
+    carry zero alpha (the coeff tables zero columns >= out_h; padded
+    objects are zero beyond their box), so the full-window
+    shift+roll+blend is a no-op there. Walk only the _BLEND_CHUNK_ROWS
+    chunks that intersect the occupied band; untouched rows DMA back
+    unchanged. The shift scratch's sub-MH rows stay zero forever (zeroed
+    once at the kernel's first grid step), which keeps rows below dy
+    reading zero src. The masked write also zeroes garbage left in
+    pk_ref by never-built resample chunks and stale rows/cols from a
+    previous (larger) object.
+
+    ``win_get(rc, n)`` / ``win_set(rc, n, rows)`` access the window VMEM
+    (slot-indexed in the pipelined kernel); ``wait_window`` runs at the
+    point the non-pipelined kernel waits its inbound window DMA (a no-op
+    thunk in the pipelined kernel, whose body waits before compute)."""
+    mh_a, mw_a = out_hw
+    MH, MW = window_hw
+    C = _BLEND_CHUNK_ROWS
+    n_full = MH // C
+    tail = MH - n_full * C
+
+    fine = jax.lax.rem(dy, 8)
+    coarse8 = dy - fine
+    start8 = pl.multiple_of(MH - 8 - coarse8, 8)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 1)
+    src_shift[MH : MH + mh_a, :] = jnp.where(
+        (row_i < out_h) & (col_i < out_w), pk_ref[:mh_a, :], 0
+    )
+    rows_end = jnp.minimum(dy + out_h, MH)
+    c0 = jax.lax.div(dy, C)
+    c1 = jax.lax.div(rows_end + (C - 1), C)
+
+    wait_window()
+
+    def blend_rows(rc, n_rows: int):
+        # window rows [rc, rc + n_rows) <- shifted/rolled source
+        tall = src_shift[pl.ds(start8 + rc, n_rows + 8), :]
+        rows = jax.lax.switch(
+            fine,
+            [(lambda d: lambda: tall[8 - d : 8 - d + n_rows, :])(d)
+             for d in range(8)],
+        )
+        rolled = pltpu.roll(
+            jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
+        src_c = jnp.where(lane >= dx, rolled, 0)
+        win_rows = win_get(rc, n_rows)
+        win_set(rc, n_rows, _alpha_over_packed(win_rows, src_c))
+
+    def blend_chunk(c, _):
+        blend_rows(pl.multiple_of(c * C, 8), C)
+        return ()
+
+    if n_full:
+        jax.lax.fori_loop(
+            c0, jnp.minimum(c1, n_full), blend_chunk, (),
+            unroll=False,
+        )
+    if tail:
+        @pl.when(rows_end > n_full * C)
+        def _():
+            blend_rows(n_full * C, tail)
+
+
 def _make_fused_kernel_v3(
     obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int], method: str,
     static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
@@ -2406,11 +2611,7 @@ def _make_fused_kernel_v3(
     """
     ph_a, pw_a = obj_pad_hw
     mh_a, mw_a = out_hw
-    mh_128 = _round_up(mh_a, 128)
     MH, MW = window_extents(out_hw)
-    C = _BLEND_CHUNK_ROWS
-    n_full = MH // C  # full C-row chunks; remainder handled by a static tail
-    tail = MH - n_full * C
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
                win_ref, src_shift, pk_ref, tmp_ref, obj_vmem,
@@ -2452,163 +2653,35 @@ def _make_fused_kernel_v3(
             @pl.when(same)
             def _():
                 d_obj.wait()
-                obj = obj_vmem[...].astype(jnp.int32)  # [4, ph_a, pw_a]
-                ch = min(ph_a, mh_a)
-                cw = min(pw_a, mw_a)
-                ident = jnp.pad(
-                    obj[:, :ch, :cw],
-                    ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
-                )
-                pk_ref[:mh_a, :] = (
-                    ident[0]
-                    | (ident[1] << 8)
-                    | (ident[2] << 16)
-                    | (ident[3] << 24)
+                _identity_pack_into(
+                    pk_ref, obj_vmem[...].astype(jnp.int32),
+                    (ph_a, pw_a), (mh_a, mw_a),
                 )
 
-            def resample_into_pk(ph_k: int, pw_k: int, in_h_s, in_w_s):
-                # Chunked resample (STATUS item 17): both passes walk only
-                # the 128-wide output chunks the object actually produces
-                # (ceil(out_w/128) H chunks, ceil(out_h/128) V chunks);
-                # each chunk builds its slice of the coeff table in-kernel
-                # (o_offset) while the object DMA is in flight. Chunks
-                # beyond the box are never built — the masked src_shift
-                # write below zeroes whatever garbage they leave in the
-                # scratches, so the blend stays correct. (ph_k, pw_k) are
-                # the static object extents this branch contracts over —
-                # the batch-max pad by default, the object's own padded
-                # size under static_in_hw (item 19).
-                ch_w = jax.lax.div(out_w + 127, 128)
-                ch_h = jax.lax.div(out_h + 127, 128)
+            def resample_into_pk(ph_k: int, pw_k: int):
+                def load_obj():
+                    d_obj.wait()
+                    return obj_vmem[:, :ph_k, :pw_k].astype(jnp.int32)
 
-                d_obj.wait()
-                obj = obj_vmem[:, :ph_k, :pw_k].astype(jnp.int32)
-                alpha = obj[3]
-                tmp_p = obj[:3] * alpha[None] + 128
-                prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
-                prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
-                prem2d = prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
+                _resample_chunked_into(
+                    pk_ref, tmp_ref, load_obj, in_h, in_w, out_h, out_w,
+                    ph_k, pw_k, method,
+                )
 
-                def h_chunk(c, _):
-                    lc = pl.multiple_of(c * 128, 128)
-                    kh_c = _coeff_table_in_kernel(
-                        in_w_s, out_w, 128, pw_k, method, False, o_offset=lc
-                    )
-                    ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
-                    tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
-                        _clip8(ss).astype(jnp.bfloat16)
-                    )
-                    return ()
-
-                jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
-
-                def v_chunk(r, _):
-                    rc = pl.multiple_of(r * 128, 128)
-                    kv_c = _coeff_table_in_kernel(
-                        in_h_s, out_h, 128, ph_k, method, True, o_offset=rc
-                    )
-                    chans = []
-                    for c4 in range(4):
-                        t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, :]
-                        ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
-                        chans.append(_clip8(ss_v))
-                    # premultiplied [4, 128, mw_a] chunk
-                    resized_p = jnp.stack(chans, axis=0)
-
-                    ra = resized_p[3]
-                    rgb = jnp.minimum(
-                        255,
-                        _exact_div_i32(
-                            255 * resized_p[:3], jnp.maximum(ra, 1)[None]
-                        ),
-                    )
-                    rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
-                    pk_ref[pl.ds(rc, 128), :] = (
-                        rgb[0]
-                        | (rgb[1] << 8)
-                        | (rgb[2] << 16)
-                        | (ra << 24)
-                    )
-                    return ()
-
-                jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
-
-            if static_in_hw is None:
-                @pl.when(jnp.logical_not(same))
-                def _():
-                    resample_into_pk(ph_a, pw_a, in_h, in_w)
-            else:
-                # One fully-specialized branch per object index; exactly
-                # one runs (mutually exclusive on k), so the object DMA is
-                # still waited exactly once per step. The static sizes set
-                # only the DOT extents (an upper-bound cover); the table
-                # arithmetic uses the TRACED per-element sizes, so batch
-                # elements smaller than the cover still resample exactly.
-                for i, (h_i, w_i) in enumerate(static_in_hw):
-                    @pl.when(jnp.logical_not(same) & (k == i))
-                    def _(h_i=int(h_i), w_i=int(w_i)):
-                        resample_into_pk(
-                            min(_round_up(max(h_i, 1), 8), ph_a),
-                            min(_round_up(max(w_i, 1), 128), pw_a),
-                            in_h, in_w,
-                        )
-
-            # Row-bounded blend (STATUS item 16): the object occupies only
-            # window rows [dy, dy + out_h) — rows outside carry zero alpha
-            # (the coeff tables zero columns >= out_h; padded objects are
-            # zero beyond their box), so the full-window shift+roll+blend
-            # is a no-op there. Walk only the C-row chunks that intersect
-            # the occupied band; untouched rows DMA back unchanged. The
-            # shift scratch's sub-MH rows stay zero forever (zeroed once at
-            # program (0, 0)), which keeps rows below dy reading zero src.
-            fine = jax.lax.rem(dy, 8)
-            coarse8 = dy - fine
-            start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-            # Mask to the box: chunks the resample never built leave
-            # garbage in pk_ref, and stale rows/cols from a previous
-            # (larger) object may linger beyond this object's box.
-            row_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 0)
-            col_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 1)
-            src_shift[MH : MH + mh_a, :] = jnp.where(
-                (row_i < out_h) & (col_i < out_w), pk_ref[:mh_a, :], 0
+            _emit_resample_branches(
+                k, lambda: jnp.logical_not(same), static_in_hw,
+                (ph_a, pw_a), resample_into_pk,
             )
-            rows_end = jnp.minimum(dy + out_h, MH)
-            c0 = jax.lax.div(dy, C)
-            c1 = jax.lax.div(rows_end + (C - 1), C)
 
-            dma_in.wait()
-
-            def blend_rows(rc, n_rows: int):
-                # window rows [rc, rc + n_rows) <- shifted/rolled source
-                tall = src_shift[pl.ds(start8 + rc, n_rows + 8), :]
-                rows = jax.lax.switch(
-                    fine,
-                    [(lambda d: lambda: tall[8 - d : 8 - d + n_rows, :])(d)
-                     for d in range(8)],
-                )
-                rolled = pltpu.roll(
-                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                )
-                lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
-                src_c = jnp.where(lane >= dx, rolled, 0)
-                win_rows = win_ref[pl.ds(rc, n_rows), :]
-                win_ref[pl.ds(rc, n_rows), :] = _alpha_over_packed(
-                    win_rows, src_c
-                )
-
-            def blend_chunk(c, _):
-                blend_rows(pl.multiple_of(c * C, 8), C)
-                return ()
-
-            if n_full:
-                jax.lax.fori_loop(
-                    c0, jnp.minimum(c1, n_full), blend_chunk, (),
-                    unroll=False,
-                )
-            if tail:
-                @pl.when(rows_end > n_full * C)
-                def _():
-                    blend_rows(n_full * C, tail)
+            _blend_window_rows(
+                pk_ref, src_shift,
+                lambda rc, n: win_ref[pl.ds(rc, n), :],
+                lambda rc, n, rows: win_ref.__setitem__(
+                    (pl.ds(rc, n), slice(None)), rows
+                ),
+                dma_in.wait,
+                dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
+            )
 
             dma_out = pltpu.make_async_copy(win_ref, window_slice, sem_out)
             dma_out.start()
@@ -2641,9 +2714,6 @@ def _make_fused_kernel_v3_pipelined(
     ph_a, pw_a = obj_pad_hw
     mh_a, mw_a = out_hw
     MH, MW = window_extents(out_hw)
-    C = _BLEND_CHUNK_ROWS
-    n_full = MH // C
-    tail = MH - n_full * C
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
                win_ref, src_shift, pk_ref, tmp_ref, obj_vmem,
@@ -2708,18 +2778,9 @@ def _make_fused_kernel_v3_pipelined(
 
             @pl.when(valid & same)
             def _():
-                obj = obj_vmem[s].astype(jnp.int32)  # [4, ph_a, pw_a]
-                ch = min(ph_a, mh_a)
-                cw = min(pw_a, mw_a)
-                ident = jnp.pad(
-                    obj[:, :ch, :cw],
-                    ((0, 0), (0, mh_a - ch), (0, mw_a - cw)),
-                )
-                pk_ref[:mh_a, :] = (
-                    ident[0]
-                    | (ident[1] << 8)
-                    | (ident[2] << 16)
-                    | (ident[3] << 24)
+                _identity_pack_into(
+                    pk_ref, obj_vmem[s].astype(jnp.int32),
+                    (ph_a, pw_a), (mh_a, mw_a),
                 )
 
         def resample_branches(b, s: int):
@@ -2732,73 +2793,20 @@ def _make_fused_kernel_v3_pipelined(
 
             def resample_into_pk(ph_k: int, pw_k: int):
                 # chunked resample over this branch's static extents
-                # (STATUS items 17/19); tables use the traced sizes
-                ch_w = jax.lax.div(out_w + 127, 128)
-                ch_h = jax.lax.div(out_h + 127, 128)
-
-                obj = obj_vmem[s, :, :ph_k, :pw_k].astype(jnp.int32)
-                alpha = obj[3]
-                tmp_p = obj[:3] * alpha[None] + 128
-                prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
-                prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
-                prem2d = prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
-
-                def h_chunk(c, _):
-                    lc = pl.multiple_of(c * 128, 128)
-                    kh_c = _coeff_table_in_kernel(
-                        in_w, out_w, 128, pw_k, method, False, o_offset=lc
-                    )
-                    ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
-                    tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
-                        _clip8(ss).astype(jnp.bfloat16)
-                    )
-                    return ()
-
-                jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
-
-                def v_chunk(r, _):
-                    rc = pl.multiple_of(r * 128, 128)
-                    kv_c = _coeff_table_in_kernel(
-                        in_h, out_h, 128, ph_k, method, True, o_offset=rc
-                    )
-                    chans = []
-                    for c4 in range(4):
-                        t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, :]
-                        ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
-                        chans.append(_clip8(ss_v))
-                    resized_p = jnp.stack(chans, axis=0)
-
-                    ra = resized_p[3]
-                    rgb = jnp.minimum(
-                        255,
-                        _exact_div_i32(
-                            255 * resized_p[:3], jnp.maximum(ra, 1)[None]
-                        ),
-                    )
-                    rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
-                    pk_ref[pl.ds(rc, 128), :] = (
-                        rgb[0]
-                        | (rgb[1] << 8)
-                        | (rgb[2] << 16)
-                        | (ra << 24)
-                    )
-                    return ()
-
-                jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
+                # (STATUS items 17/19); tables use the traced sizes. The
+                # object DMA was waited in body(), so load_obj is a plain
+                # VMEM slot read.
+                _resample_chunked_into(
+                    pk_ref, tmp_ref,
+                    lambda: obj_vmem[s, :, :ph_k, :pw_k].astype(jnp.int32),
+                    in_h, in_w, out_h, out_w, ph_k, pw_k, method,
+                )
 
             not_same = valid & jnp.logical_not(same)
-            if static_in_hw is None:
-                @pl.when(not_same)
-                def _():
-                    resample_into_pk(ph_a, pw_a)
-            else:
-                for i, (h_i, w_i) in enumerate(static_in_hw):
-                    @pl.when(not_same & (k == i))
-                    def _(h_i=int(h_i), w_i=int(w_i)):
-                        resample_into_pk(
-                            min(_round_up(max(h_i, 1), 8), ph_a),
-                            min(_round_up(max(w_i, 1), 128), pw_a),
-                        )
+            _emit_resample_branches(
+                k, lambda: not_same, static_in_hw,
+                (ph_a, pw_a), resample_into_pk,
+            )
 
         def blend_window(b, s: int):
             dx = meta_ref[b, k, 2]
@@ -2809,49 +2817,15 @@ def _make_fused_kernel_v3_pipelined(
 
             @pl.when(valid)
             def _():
-                # masked source write + row-bounded blend (items 16/18)
-                fine = jax.lax.rem(dy, 8)
-                coarse8 = dy - fine
-                start8 = pl.multiple_of(MH - 8 - coarse8, 8)
-                row_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 0)
-                col_i = jax.lax.broadcasted_iota(jnp.int32, (mh_a, mw_a), 1)
-                src_shift[MH : MH + mh_a, :] = jnp.where(
-                    (row_i < out_h) & (col_i < out_w), pk_ref[:mh_a, :], 0
+                _blend_window_rows(
+                    pk_ref, src_shift,
+                    lambda rc, n: win_ref[s, pl.ds(rc, n), :],
+                    lambda rc, n, rows: win_ref.__setitem__(
+                        (s, pl.ds(rc, n), slice(None)), rows
+                    ),
+                    lambda: None,  # window DMA waited in body()
+                    dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
                 )
-                rows_end = jnp.minimum(dy + out_h, MH)
-                c0 = jax.lax.div(dy, C)
-                c1 = jax.lax.div(rows_end + (C - 1), C)
-
-                def blend_rows(rc, n_rows: int):
-                    tall = src_shift[pl.ds(start8 + rc, n_rows + 8), :]
-                    rows = jax.lax.switch(
-                        fine,
-                        [(lambda d: lambda: tall[8 - d : 8 - d + n_rows, :])(d)
-                         for d in range(8)],
-                    )
-                    rolled = pltpu.roll(
-                        jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                    )
-                    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
-                    src_c = jnp.where(lane >= dx, rolled, 0)
-                    win_rows = win_ref[s, pl.ds(rc, n_rows), :]
-                    win_ref[s, pl.ds(rc, n_rows), :] = _alpha_over_packed(
-                        win_rows, src_c
-                    )
-
-                def blend_chunk(c, _):
-                    blend_rows(pl.multiple_of(c * C, 8), C)
-                    return ()
-
-                if n_full:
-                    jax.lax.fori_loop(
-                        c0, jnp.minimum(c1, n_full), blend_chunk, (),
-                        unroll=False,
-                    )
-                if tail:
-                    @pl.when(rows_end > n_full * C)
-                    def _():
-                        blend_rows(n_full * C, tail)
 
         jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
         last = n_batch - 1
