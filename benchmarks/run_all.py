@@ -110,11 +110,9 @@ def config1_single_compose() -> dict:
 
 
 def _percentiles(samples_s: list) -> dict:
-    ordered = sorted(samples_s)
-    return {
-        "p50_ms": ordered[len(ordered) // 2] * 1e3,
-        "p95_ms": ordered[min(len(ordered) - 1, int(len(ordered) * 0.95))] * 1e3,
-    }
+    from benchmarks.common import percentiles_ms
+
+    return percentiles_ms(samples_s)
 
 
 def config2_margin_conflict_relayout() -> dict:

@@ -31,13 +31,9 @@ def log(msg: str) -> None:
 
 
 def percentiles(samples):
-    ordered = sorted(samples)
-    return {
-        "p50_ms": round(ordered[len(ordered) // 2] * 1e3, 2),
-        "p95_ms": round(
-            ordered[min(len(ordered) - 1, int(len(ordered) * 0.95))] * 1e3, 2
-        ),
-    }
+    from benchmarks.common import percentiles_ms
+
+    return percentiles_ms(samples, ndigits=2)
 
 
 def main() -> None:

@@ -10,6 +10,7 @@ artifact-save time.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List
 
 import numpy as np
@@ -52,8 +53,17 @@ class ComposeEngine:
         # Device-side per-call input cache: iterate loops re-solve similar
         # layouts, so identical (perm, boxes) signatures skip rebuilding and
         # re-uploading the coefficient tables (the dominant per-call cost
-        # on tunneled hosts).
-        self._call_cache: dict = {}
+        # on tunneled hosts). LRU, bounded by entry count AND device bytes:
+        # compose_many entries stack tables across the merged batch (up to
+        # ~64x a single-compose entry), so a count-only cap could pin
+        # gigabytes of HBM under varied concurrent serving traffic.
+        import collections
+
+        self._call_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._cache_bytes = 0
+        self._cache_max_bytes = int(
+            os.environ.get("ITPU_ENGINE_CACHE_MAX_BYTES", 256 << 20)
+        )
         # kernel="auto"/"pallas": OPT-IN bit-exact fused gen-2 kernel with
         # host tables, loud latched fallback to the XLA indexed path.
         # Round-2 resolution of the default question (ROADMAP item 4):
@@ -74,6 +84,33 @@ class ComposeEngine:
         self._objs_planar = None
         self._perm_cache: dict = {}
 
+    def _cache_get(self, signature):
+        entry = self._call_cache.get(signature)
+        if entry is None:
+            return None
+        self._call_cache.move_to_end(signature)
+        return entry[0]
+
+    def _cache_put(self, signature, value) -> None:
+        """Insert with LRU eviction on entry count and device bytes."""
+        nbytes = sum(int(getattr(a, "nbytes", 0)) for a in value)
+        self._call_cache[signature] = (value, nbytes)
+        self._call_cache.move_to_end(signature)
+        self._cache_bytes += nbytes
+        while len(self._call_cache) > 1 and (
+            len(self._call_cache) > 64
+            or self._cache_bytes > self._cache_max_bytes
+        ):
+            old_sig, (_, old_nb) = next(iter(self._call_cache.items()))
+            if old_sig == signature:
+                break  # never evict the entry just inserted
+            self._call_cache.pop(old_sig)
+            self._cache_bytes -= old_nb
+
+    def _cache_clear(self) -> None:
+        self._call_cache.clear()
+        self._cache_bytes = 0
+
     def _fused_compose(self, live: List[Dict], signature) -> jnp.ndarray:
         from ..ops.compose_pallas import (
             _fused_v2_exact_apply,
@@ -81,7 +118,7 @@ class ComposeEngine:
             planarize_objects,
         )
 
-        cached = self._call_cache.get(signature)
+        cached = self._cache_get(signature)
         if cached is None:
             n = len(live)
             perm = np.zeros((n,), np.int32)
@@ -113,8 +150,7 @@ class ComposeEngine:
                 objs_sel, jnp.asarray(kh), jnp.asarray(kv_t),
                 jnp.asarray(meta),
             )
-            if len(self._call_cache) < 64:
-                self._call_cache[signature] = cached
+            self._cache_put(signature, cached)
         objs_p, kh_d, kv_d, meta_d = cached
         mh_a = -(-self.out_max_h // 8) * 8
         mw_a = -(-self.out_max_w // 128) * 128
@@ -132,10 +168,9 @@ class ComposeEngine:
         Returns the device array (uint8 [H, W, 4]); callers np.asarray() it
         at artifact-save time. Bit-exact vs PIL on every path.
         """
-        live = [p for p in placements if int(p["object_id"]) in self._id_to_idx]
+        live = self.validate_placements(placements)
         if not live:
             return self.canvas_dev
-        self._check_envelope(live)
         signature = tuple(
             (int(p["object_id"]), tuple(int(v) for v in p["box"])) for p in live
         )
@@ -166,8 +201,8 @@ class ComposeEngine:
                 # and should not disable the opt-in for other engines
                 if not getattr(self, "_fused_validated", False):
                     _FUSED_DISABLED[0] = True
-                self._call_cache.clear()
-        cached = self._call_cache.get(signature)
+                self._cache_clear()
+        cached = self._cache_get(signature)
         if cached is not None:
             return composite_canvas_tables_indexed(
                 self.canvas_dev, self.objs_dev, *cached
@@ -175,8 +210,7 @@ class ComposeEngine:
         dev_args = tuple(
             jnp.asarray(a) for a in self._indexed_args_np(live, len(live))
         )
-        if len(self._call_cache) < 64:
-            self._call_cache[signature] = dev_args
+        self._cache_put(signature, dev_args)
         return composite_canvas_tables_indexed(
             self.canvas_dev, self.objs_dev, *dev_args
         )
@@ -203,6 +237,16 @@ class ComposeEngine:
             same[k] = (w == ow) and (h == oh)
         return perm, boxes, kh, kv, same
 
+    def validate_placements(self, placements: List[Dict]) -> List[Dict]:
+        """Public pre-flight used by compose()/compose_many() and the
+        serving coalescer: drop unknown object ids (reference-compositor
+        semantics) and raise on envelope violations. Keeping this the ONE
+        filter means the coalescer's per-request isolation check can never
+        drift from what the engine itself enforces."""
+        live = [p for p in placements if int(p["object_id"]) in self._id_to_idx]
+        self._check_envelope(live)
+        return live
+
     def _check_envelope(self, live: List[Dict]) -> None:
         for p in live:
             x1, y1, x2, y2 = (int(v) for v in p["box"])
@@ -227,12 +271,7 @@ class ComposeEngine:
         uint8 [B, H, W, 4]; each slice is bit-exact vs the sequential
         compose() result.
         """
-        lives = [
-            [p for p in ps if int(p["object_id"]) in self._id_to_idx]
-            for ps in placements_batch
-        ]
-        for live in lives:
-            self._check_envelope(live)
+        lives = [self.validate_placements(ps) for ps in placements_batch]
         max_live = max(max((len(live) for live in lives), default=1), 1)
         n_pad = 1 << (max_live - 1).bit_length()
         signature = (
@@ -245,15 +284,14 @@ class ComposeEngine:
                 for live in lives
             ),
         )
-        stacked = self._call_cache.get(signature)
+        stacked = self._cache_get(signature)
         if stacked is None:
             per_req = [self._indexed_args_np(live, n_pad) for live in lives]
             stacked = tuple(
                 jnp.asarray(np.stack([args[i] for args in per_req]))
                 for i in range(5)
             )
-            if len(self._call_cache) < 64:
-                self._call_cache[signature] = stacked
+            self._cache_put(signature, stacked)
         return composite_canvas_tables_indexed_many(
             self.canvas_dev, self.objs_dev, *stacked
         )

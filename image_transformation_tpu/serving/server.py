@@ -104,22 +104,23 @@ class _Coalescer:
                 self._dispatch(batch)
             except BaseException as e:  # noqa: BLE001 - never strand waiters
                 for _, ticket in batch:
-                    ticket["error"] = e
-                    ticket["event"].set()
+                    # only tickets _dispatch hadn't already settled — a
+                    # request whose render completed (or failed on its own)
+                    # must keep its real outcome
+                    if "result" not in ticket and "error" not in ticket:
+                        ticket["error"] = e
+                        ticket["event"].set()
 
     def _dispatch(self, batch: List[tuple]) -> None:
         import numpy as np
 
-        # per-request validation first: one malformed request must fail
-        # alone, not poison the merged dispatch for its batch-mates
+        # per-request validation first (the engine's OWN check, so this
+        # isolation pass can never drift from what compose enforces): one
+        # malformed request must fail alone, not poison its batch-mates
         checked = []
         for placements, ticket in batch:
             try:
-                live = [
-                    p for p in placements
-                    if int(p["object_id"]) in self.engine._id_to_idx
-                ]
-                self.engine._check_envelope(live)
+                self.engine.validate_placements(placements)
                 checked.append((placements, ticket))
             except Exception as e:  # noqa: BLE001
                 ticket["error"] = e
@@ -387,8 +388,14 @@ class ComposeService:
         ]
         w_max = max(w for w, _ in canon_sizes)
         h_max = max(h for _, h in canon_sizes)
-        arrays = bundle.to_arrays()
-        obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+        # pad envelope from metadata (same as to_arrays' default) — building
+        # the full padded object tensor here would duplicate the one
+        # _get_device_inputs materializes, a multi-hundred-MB host copy per
+        # compile miss on large bundles
+        obj_pad = (
+            max((m.height for m in bundle.meta.values()), default=1),
+            max((m.width for m in bundle.meta.values()), default=1),
+        )
         bg_dev, horizontal = background_spec(
             jnp.asarray(np.asarray(bundle.background)), background
         )

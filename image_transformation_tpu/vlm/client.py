@@ -84,6 +84,19 @@ def http_post_json(url: str, payload: Dict[str, Any],
         raise RuntimeError(f"HTTP {e.code} from {url}: {detail}") from e
 
 
+def _ollama_server_reachable(host: str, timeout: float = 1.0) -> bool:
+    """Quick liveness probe (GET /api/tags) for auto-mode backend selection
+    when the ollama SDK is absent but a server may be running."""
+    try:
+        req = urllib.request.Request(
+            host.rstrip("/") + "/api/tags", method="GET"
+        )
+        with urllib.request.urlopen(req, timeout=timeout):
+            return True
+    except Exception:
+        return False
+
+
 def load_dotenv_if_present(extra_dirs: Optional[List[Path]] = None) -> None:
     """Set env vars from the first .env found (cwd, package dir, repo root);
     existing variables are never overridden."""
@@ -162,7 +175,12 @@ class APIClient:
             # /root/reference/api_client.py:48-54).
             if self.api_key or os.getenv("NEBIUS_API_KEY"):
                 self.api_type = "nebius"
-            elif OLLAMA_AVAILABLE:
+            elif OLLAMA_AVAILABLE or _ollama_server_reachable(
+                base_url or os.getenv("OLLAMA_HOST") or OLLAMA_DEFAULT_HOST
+            ):
+                # The SDK-free raw-HTTP transport serves api_type="ollama"
+                # without the python package, so auto mode must also select
+                # it when only a running server is present.
                 self.api_type = "ollama"
             else:
                 raise RuntimeError(

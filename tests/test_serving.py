@@ -15,10 +15,12 @@ from PIL import Image
 from image_transformation_tpu.serving import ComposeService, serve
 
 # Keep test-created batch-step records out of the user's real warm-start
-# manifest (~/.cache): every ComposeService in this module defaults here.
-os.environ.setdefault(
-    "ITPU_SERVING_MANIFEST",
-    os.path.join(tempfile.mkdtemp(prefix="itpu_serving_manifest_"), "steps.json"),
+# manifest: every ComposeService in this module writes here — a FORCED
+# override, because a developer with ITPU_SERVING_MANIFEST exported (e.g.
+# pointing at a production daemon's manifest) must not get test layouts
+# warm-compiled on their next restart.
+os.environ["ITPU_SERVING_MANIFEST"] = os.path.join(
+    tempfile.mkdtemp(prefix="itpu_serving_manifest_"), "steps.json"
 )
 
 
@@ -280,6 +282,35 @@ def test_engine_compose_many_matches_sequential():
     assert np.array_equal(stacked[0], seq_full)
     assert np.array_equal(stacked[1], seq_partial)
     assert np.array_equal(stacked[2], seq_full)
+
+
+def test_engine_call_cache_lru_bounds_bytes():
+    """The engine's per-call input cache evicts oldest entries when the
+    device-byte budget is exceeded (compose_many entries stack tables up
+    to ~64x a single compose's, so a count-only cap could pin HBM)."""
+    svc = ComposeService("data")
+    full, canvas_size = svc.solve("squarespace", "1:1")
+    engine = svc._engine("squarespace", canvas_size, "solid")
+    engine._cache_clear()
+    # measure one signature's footprint (may include a fused-path entry
+    # alongside the XLA-path entry), then budget ~1.5x that and keep
+    # composing distinct signatures: the cache must evict to the budget
+    engine.compose(full)
+    one_sig = engine._cache_bytes
+    assert one_sig > 0
+    engine._cache_max_bytes = one_sig + one_sig // 2
+    for i in range(1, 6):
+        shifted = [
+            {**p, "box": [v + i for v in p["box"]]} for p in full
+        ]
+        engine.compose(shifted)
+    assert engine._cache_bytes <= engine._cache_max_bytes
+    assert len(engine._call_cache) < 6  # evictions actually happened
+    # repeated signature is a hit (stays cached, no growth)
+    n, nbytes = len(engine._call_cache), engine._cache_bytes
+    shifted = [{**p, "box": [v + 5 for v in p["box"]]} for p in full]
+    engine.compose(shifted)
+    assert (len(engine._call_cache), engine._cache_bytes) == (n, nbytes)
 
 
 def test_concurrent_renders_coalesce_dispatches():
