@@ -36,6 +36,17 @@ class _WireHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def do_GET(self):
+        # liveness probes (auto-mode Ollama detection hits GET /api/tags)
+        record = {"path": self.path, "headers": dict(self.headers), "body": None}
+        self.server.requests.append(record)
+        data = json.dumps({"models": []}).encode("utf-8")
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def log_message(self, *args):  # keep pytest output clean
         pass
 
@@ -135,6 +146,20 @@ def test_auto_resolves_nebius_without_sdk(wire, monkeypatch):
     out = client.chat_completion(messages=[{"role": "user", "content": "hi"}])
     assert out["message"]["content"] == "wire-ok"
     assert wire.requests[0]["headers"]["Authorization"] == "Bearer env-key"
+
+
+def test_auto_resolves_ollama_without_sdk(wire, monkeypatch):
+    """auto mode must select the SDK-free Ollama transport when only a
+    running server is present (no NEBIUS key, no ollama package)."""
+    monkeypatch.delenv("NEBIUS_API_KEY", raising=False)
+    monkeypatch.setenv("OLLAMA_HOST", wire.url)
+    client = APIClient(api_type="auto")
+    assert client.api_type == "ollama"
+    out = client.chat_completion(messages=[{"role": "user", "content": "hi"}])
+    assert out["message"]["content"] == "wire-ok"
+    # the liveness probe hit /api/tags, the chat hit /api/chat — raw HTTP
+    assert wire.requests[0]["path"] == "/api/tags"
+    assert wire.requests[-1]["path"] == "/api/chat"
 
 
 def test_nebius_sdk_path_builds_identical_params(wire):
