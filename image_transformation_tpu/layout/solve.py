@@ -42,6 +42,20 @@ _ALIGN_CODE = {"start": A_START, "center": A_CENTER, "end": A_END}
 _PIN_CODE = {"start": PIN_START, "center": PIN_CENTER, "end": PIN_END}
 
 
+def _justify_code(value) -> int:
+    """Oracle-tolerant mapping: flex.py's _axis_cursor falls through to
+    start-cursor behavior for unknown justify strings, so the tensor
+    program must too (a raw KeyError here used to surface as a misleading
+    "missing field" 400 from /v1/render_batch while /v1/render accepted
+    the same layout)."""
+    return _JUSTIFY_CODE.get(value, J_START)
+
+
+def _align_code(value) -> int:
+    """flex.py's _cross_position treats unknown align as center."""
+    return _ALIGN_CODE.get(value, A_CENTER)
+
+
 @dataclass
 class FlexProgram:
     """Host-flattened layout tensors (numpy; ship to device as needed).
@@ -127,8 +141,8 @@ class FlexProgram:
                 c = len(conts)
                 conts.append({
                     "dir": DIR_ROW if ch.get("direction", "row") == "row" else DIR_COL,
-                    "justify": _JUSTIFY_CODE[ch.get("justify", "center")],
-                    "align": _ALIGN_CODE[ch.get("align", "center")],
+                    "justify": _justify_code(ch.get("justify", "center")),
+                    "align": _align_code(ch.get("align", "center")),
                     "gap": int(ch.get("gap_px", 0)),
                     "pad": int(ch.get("padding_px", 0)),
                 })
@@ -156,8 +170,8 @@ class FlexProgram:
 
         return FlexProgram(
             root_dir=DIR_ROW if root.get("direction", "row") == "row" else DIR_COL,
-            root_justify=_JUSTIFY_CODE[root.get("justify", "center")],
-            root_align=_ALIGN_CODE[root.get("align", "center")],
+            root_justify=_justify_code(root.get("justify", "center")),
+            root_align=_align_code(root.get("align", "center")),
             root_gap=int(root.get("gap_px", 0)),
             root_pad=int(root.get("padding_px", 0)),
             entry_is_container=pad_list(
@@ -245,7 +259,6 @@ def solve_program(
     pad_l, pad_r = prog.obj_pad[:, 0], prog.obj_pad[:, 1]
     pad_t, pad_b = prog.obj_pad[:, 2], prog.obj_pad[:, 3]
 
-    live_obj = jnp.asarray(prog.obj_ids >= -0x7FFFFFFF)  # all rows; padding rows inert
     valid_obj = jnp.asarray(prog.obj_parent_entry >= 0) | jnp.asarray(
         prog.obj_parent_cont >= 0
     )
@@ -476,5 +489,5 @@ def solve_program(
     x1 = jnp.maximum(0, jnp.minimum(x1, W - w_box))
     y1 = jnp.maximum(0, jnp.minimum(y1, H - h_box))
     boxes = jnp.stack([x1, y1, x1 + w_box, y1 + h_box], axis=1)
-    boxes = jnp.where(valid_obj[:, None] & live_obj[:, None], boxes, 0)
+    boxes = jnp.where(valid_obj[:, None], boxes, 0)
     return boxes.astype(jnp.int32), scale

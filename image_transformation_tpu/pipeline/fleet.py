@@ -110,7 +110,8 @@ def run_fleet(
     from ..layout.canvas import compute_canvas_size
     from ..layout.solve import FlexProgram
     from ..ops.background import masked_median_rgb
-    from .fused import make_fused_render, make_sharded_fused_render
+    from .fused import (make_fused_render, make_sharded_fused_render,
+                        map_bundle_to_program)
 
     output_root = Path(output_root) if output_root else Path.cwd() / "fleet_out"
     ratios = list(ratios)
@@ -136,18 +137,8 @@ def run_fleet(
 
         arrays = bundle.to_arrays()
         prog = FlexProgram.from_dsl(flex["root"])
-        n = prog.n_objects
         obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
-        objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
-        obj_wh = np.zeros((n, 2), np.int32)
-        known = np.zeros((n,), bool)
-        size_map = bundle.sizes()
-        for k, oid in enumerate(prog.obj_ids):
-            oid = int(oid)
-            if oid in size_map:
-                objs[k] = arrays.objects[arrays.index_of(oid)]
-                obj_wh[k] = size_map[oid]
-                known[k] = True
+        objs, obj_wh, known = map_bundle_to_program(prog, bundle, arrays)
 
         median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
 

@@ -26,51 +26,20 @@ import jax.numpy as jnp
 from ..layout.solve import FlexProgram, solve_program
 from ..ops.compose import composite_canvas
 
+_REC709 = (0.2126, 0.7152, 0.0722)
 
-def make_fused_render(
-    prog: FlexProgram,
-    canvas_max_hw: Tuple[int, int],
-    obj_pad_hw: Tuple[int, int],
-    method: str = "lanczos",
-    kernel: str = "xla",
-    interpret: bool = False,
-    background: str = "solid",
-    gradient_horizontal: bool = True,
-    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
-):
-    """Build the jitted fused step for one layout structure.
 
-    ``static_obj_hw`` (pallas kernel only): per-object static (h, w) size
-    covers — each entry an upper bound on that object's actual asset size
-    — specializing the kernel's resample dots per object index (STATUS
-    item 19 in ops/compose_pallas; bitwise-identical output). Serving
-    knows these exactly: assets are fixed per bundle.
+def _make_padded_canvas(background: str, gradient_horizontal: bool,
+                        canvas_max_hw: Tuple[int, int]):
+    """Background synthesizer for one variant onto the padded superset.
 
-    Returned step signature:
-        step(canvas_wh [V,2] int32  (W, H per variant),
-             bg        uint8: [3] solid color, or [2, 3] gradient (c1, c2),
-             objs      [N, Hm, Wm, 4] uint8,
-             obj_wh    [N, 2] int32 (w, h),
-             obj_known [N] bool)
-        -> (canvases [V, Hmax, Wmax, 4] uint8, boxes [V, N, 4], luma [V])
-
-    Out-of-canvas area of each padded render is garbage-by-construction
-    (background extrapolation); crop with the per-variant (W, H) before use.
-
-    ``background="gradient"`` synthesizes the linear c1 -> c2 ramp on
-    device per variant, spanning the variant's TRUE extent along the
-    (static) ``gradient_horizontal`` axis — same f32 lerp + truncating u8
-    cast as ops.background.gradient_canvas (the reference's fill_gradient,
-    /root/reference/background_resizing.py:63-98), so the cropped region is
-    bit-identical to the per-request path.
-
-    ``kernel="pallas"`` swaps the vmapped XLA compose for the gen-3 fused
-    Pallas kernel (in-kernel tables) INSIDE the same program — layout
-    solve, background fill, resample+blend, and stats still compile into
-    one dispatch. Same signature and padded-render semantics (the plane is
-    bitcast back to u8 NHWC and cropped to (h_max, w_max)). Numerics:
-    traced-table envelope. ``interpret`` runs the kernel in the Pallas
-    interpreter (CPU tests).
+    "solid": broadcast rgba. "gradient": linear c1 -> c2 ramp spanning the
+    variant's TRUE extent along the (static) axis — same f32 lerp +
+    truncating u8 cast as ops.background.gradient_canvas (the reference's
+    fill_gradient, /root/reference/background_resizing.py:63-98); the
+    cropped region matches the per-request path within +/-1 at ramp
+    truncation boundaries (different compiled programs may lower the
+    division differently — pinned in tests/test_fused_render.py).
     """
     h_max, w_max = canvas_max_hw
     if background not in ("solid", "gradient"):
@@ -97,14 +66,122 @@ def make_fused_render(
         alpha = jnp.full((h_max, w_max, 1), 255, jnp.uint8)
         return jnp.concatenate([rgb, alpha], axis=-1)
 
+    return padded_canvas
+
+
+def _variant_luma(out_u8, wh, canvas_max_hw: Tuple[int, int]):
+    """Mean Rec.709 luminance over the variant's TRUE (W, H) extent.
+
+    The padded superset's out-of-canvas area is garbage-by-construction
+    (background extrapolation), so the run-level stat masks it out instead
+    of averaging over the full (h_max, w_max) plane."""
+    h_max, w_max = canvas_max_hw
+    row = jnp.arange(h_max, dtype=jnp.int32)[:, None] < wh[1]
+    col = jnp.arange(w_max, dtype=jnp.int32)[None, :] < wh[0]
+    mask = row & col
+    denom = jnp.maximum(1.0, (wh[0] * wh[1]).astype(jnp.float32))
+    # weighted per-pixel luminance, then ONE masked reduce (same pass
+    # structure as ops.compose_pallas.packed_luma). An f32 tensordot here
+    # measured ~0.4 luma error at 1080p scale — the dot's naive MAC
+    # accumulation loses bits once the partial sum passes 2^25, while
+    # XLA's reduce lowering stays ~1e-3 accurate.
+    lum = out_u8[..., :3].astype(jnp.float32) @ jnp.array(_REC709, jnp.float32)
+    return jnp.sum(jnp.where(mask, lum, 0.0)) / denom
+
+
+def _make_render_one(prog, canvas_max_hw, obj_pad_hw, method, padded_canvas):
+    """The per-variant XLA render core, shared by the single-chip and
+    sharded steps so their semantics (backgrounds, stats) can't drift."""
+
     def render_one(wh, bg, objs, obj_wh, obj_known):
         boxes, scales = solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
         canvas = padded_canvas(bg, wh)
         hw_swapped = obj_wh[:, ::-1]  # compose wants (h, w)
-        out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
-        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(0, 1))
-        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
-        return out, boxes, scales, luma
+        out = composite_canvas(
+            canvas, objs, hw_swapped, boxes, obj_pad_hw, method
+        )
+        return out, boxes, scales, _variant_luma(out, wh, canvas_max_hw)
+
+    return render_one
+
+
+def map_bundle_to_program(prog: FlexProgram, bundle, arrays):
+    """Bundle arrays in FlexProgram row order: (objs, obj_wh, known).
+
+    FlexProgram rows are DSL order; the bundle tensor is id order. The ONE
+    home of this mapping (fused render, fleet, serving all consume it) —
+    unknown object ids keep zero rows with known=False, exactly the
+    compositor's skip semantics."""
+    n = prog.n_objects
+    objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
+    obj_wh = np.zeros((n, 2), np.int32)
+    known = np.zeros((n,), bool)
+    size_map = bundle.sizes()
+    for k, oid in enumerate(prog.obj_ids):
+        oid = int(oid)
+        if oid in size_map:
+            objs[k] = arrays.objects[arrays.index_of(oid)]
+            obj_wh[k] = size_map[oid]
+            known[k] = True
+    return objs, obj_wh, known
+
+
+def make_fused_render(
+    prog: FlexProgram,
+    canvas_max_hw: Tuple[int, int],
+    obj_pad_hw: Tuple[int, int],
+    method: str = "lanczos",
+    kernel: str = "xla",
+    interpret: bool = False,
+    background: str = "solid",
+    gradient_horizontal: bool = True,
+    static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
+):
+    """Build the jitted fused step for one layout structure.
+
+    ``static_obj_hw`` (pallas kernel only): per-object static (h, w) size
+    covers — each entry an upper bound on that object's actual asset size
+    — specializing the kernel's resample dots per object index (STATUS
+    item 19 in ops/compose_pallas; bitwise-identical output). Serving
+    knows these exactly: assets are fixed per bundle.
+
+    Returned step signature:
+        step(canvas_wh [V,2] int32  (W, H per variant),
+             bg        uint8: [3] solid color, or [2, 3] gradient (c1, c2),
+             objs      [N, Hm, Wm, 4] uint8,
+             obj_wh    [N, 2] int32 (w, h),
+             obj_known [N] bool)
+        -> (canvases [V, Hmax, Wmax, 4] uint8, boxes [V, N, 4],
+            scales [V, N], luma [V])
+
+    Out-of-canvas area of each padded render is garbage-by-construction
+    (background extrapolation); crop with the per-variant (W, H) before
+    use. ``luma`` is the masked mean over each variant's TRUE (W, H)
+    extent — pad pixels never contaminate the stat.
+
+    ``background="gradient"`` synthesizes the linear c1 -> c2 ramp on
+    device per variant, spanning the variant's TRUE extent along the
+    (static) ``gradient_horizontal`` axis — same f32 lerp + truncating u8
+    cast as ops.background.gradient_canvas (the reference's fill_gradient,
+    /root/reference/background_resizing.py:63-98); the cropped region
+    matches the per-request path within +/-1 at ramp truncation
+    boundaries (division lowering differs between compiled programs).
+
+    ``kernel="pallas"`` swaps the vmapped XLA compose for the gen-3 fused
+    Pallas kernel (in-kernel tables) INSIDE the same program — layout
+    solve, background fill, resample+blend, and stats still compile into
+    one dispatch. Same signature and padded-render semantics (the plane is
+    bitcast back to u8 NHWC and cropped to (h_max, w_max)). Numerics:
+    traced-table envelope. ``interpret`` runs the kernel in the Pallas
+    interpreter (CPU tests).
+    """
+    h_max, w_max = canvas_max_hw
+    padded_canvas = _make_padded_canvas(
+        background, gradient_horizontal, canvas_max_hw
+    )
+    render_one = _make_render_one(
+        prog, canvas_max_hw, obj_pad_hw, method, padded_canvas
+    )
 
     @jax.jit
     def step(canvas_wh, bg_color, objs, obj_wh, obj_known):
@@ -120,7 +197,7 @@ def make_fused_render(
         _pallas_fused_v3_impl,
         _round_up,
         fused_canvas_pad_hw,
-        packed_luma,
+        packed_luma_masked,
         planarize_objects,
         window_extents,
     )
@@ -159,18 +236,17 @@ def make_fused_render(
                 padded = padded.at[:h_max, :w_max].set(rgba)
                 return jax.lax.bitcast_convert_type(padded, jnp.int32)
             canvas_v = jax.vmap(grad_plane)(canvas_wh)
-        objs_p = jnp.broadcast_to(
-            planarize_objects(objs[None]), (v, objs.shape[0], 4,
-                                            _round_up(objs.shape[1], 8),
-                                            _round_up(objs.shape[2], 128))
-        )
+        # ONE shared planar copy — the kernel reads object row 0 for every
+        # variant (compose_pallas STATUS item 24) instead of materializing
+        # V identical ~10s-of-MB copies as a pallas operand per call
+        objs_p = planarize_objects(objs[None])
         out_v = _pallas_fused_v3_impl(
             canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
             static_in_hw=static_obj_hw,
         )
         crop = out_v[:, :h_max, :w_max]
         out = jax.lax.bitcast_convert_type(crop, jnp.uint8)
-        return out, boxes, scales, packed_luma(crop)
+        return out, boxes, scales, packed_luma_masked(crop, canvas_wh)
 
     return pallas_step
 
@@ -184,10 +260,15 @@ def make_sharded_fused_render(
     spatial: bool = False,
     batch_axes: Tuple[str, ...] = ("data",),
     masked: bool = False,
+    background: str = "solid",
+    gradient_horizontal: bool = True,
 ):
     """Multi-chip fused step: variants shard over the mesh batch axes
     (canvas rows over ``spatial`` when set); object tensors replicate; the
-    global mean luminance is a cross-device all-reduce.
+    global mean luminance is a cross-device all-reduce. The per-variant
+    render core (backgrounds incl. ``background="gradient"``, masked luma)
+    is shared with :func:`make_fused_render`, so single-chip and sharded
+    semantics agree by construction.
 
     ``batch_axes`` names the mesh axes the variant batch shards over —
     ``("data",)`` for one slice, ``("slice", "data")`` to span a two-level
@@ -208,20 +289,20 @@ def make_sharded_fused_render(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    h_max, w_max = canvas_max_hw
     axes = batch_axes if len(batch_axes) > 1 else batch_axes[0]
     batch = NamedSharding(mesh, P(axes))
     repl = NamedSharding(mesh, P())
     out_spec = NamedSharding(mesh, P(axes, "spatial") if spatial else P(axes))
 
+    render_core = _make_render_one(
+        prog, canvas_max_hw, obj_pad_hw, method,
+        _make_padded_canvas(background, gradient_horizontal, canvas_max_hw),
+    )
+
     def render_one(wh, bg_color, objs, obj_wh, obj_known):
-        boxes, scales = solve_program(prog, (wh[0], wh[1]), obj_wh, obj_known)
-        rgba = jnp.concatenate([bg_color, jnp.array([255], jnp.uint8)])
-        canvas = jnp.broadcast_to(rgba, (h_max, w_max, 4))
-        hw_swapped = obj_wh[:, ::-1]
-        out = composite_canvas(canvas, objs, hw_swapped, boxes, obj_pad_hw, method)
-        chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(0, 1))
-        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+        out, boxes, _scales, luma = render_core(
+            wh, bg_color, objs, obj_wh, obj_known
+        )
         return out, boxes, luma
 
     def render_all(canvas_wh, bg_color, objs, obj_wh, obj_known):
@@ -315,21 +396,8 @@ def fused_multi_ratio_render(
 
     arrays = bundle.to_arrays()
     prog = FlexProgram.from_dsl(root)
-    n = prog.n_objects
     obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
-
-    # FlexProgram rows are DSL order; map them onto the bundle arrays.
-    objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
-    obj_wh = np.zeros((n, 2), np.int32)
-    known = np.zeros((n,), bool)
-    size_map = bundle.sizes()
-    for k, oid in enumerate(prog.obj_ids):
-        oid = int(oid)
-        if oid in size_map:
-            idx = arrays.index_of(oid)
-            objs[k] = arrays.objects[idx]
-            obj_wh[k] = size_map[oid]
-            known[k] = True
+    objs, obj_wh, known = map_bundle_to_program(prog, bundle, arrays)
 
     bg, horizontal = background_spec(
         jnp.asarray(np.asarray(bundle.background)), background

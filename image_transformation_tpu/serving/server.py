@@ -351,18 +351,11 @@ class ComposeService:
             with self._lock:
                 inputs = self._device_inputs.get(input_key)
             if inputs is None:
-                arrays = bundle.to_arrays()
-                n = prog.n_objects
-                objs = np.zeros((n, *arrays.objects.shape[1:]), np.uint8)
-                obj_wh = np.zeros((n, 2), np.int32)
-                known = np.zeros((n,), bool)
-                size_map = bundle.sizes()
-                for k, oid in enumerate(prog.obj_ids):
-                    oid = int(oid)
-                    if oid in size_map:
-                        objs[k] = arrays.objects[arrays.index_of(oid)]
-                        obj_wh[k] = size_map[oid]
-                        known[k] = True
+                from ..pipeline.fused import map_bundle_to_program
+
+                objs, obj_wh, known = map_bundle_to_program(
+                    prog, bundle, bundle.to_arrays()
+                )
                 inputs = (
                     jnp.asarray(objs), jnp.asarray(obj_wh), jnp.asarray(known)
                 )

@@ -104,7 +104,49 @@ def test_fused_render_pallas_kernel_matches_xla():
     assert np.array_equal(np.asarray(sx), np.asarray(sp))
     diff = np.abs(np.asarray(ox).astype(int) - np.asarray(op).astype(int))
     assert diff.max() <= 1  # cross-program traced-resample envelope
-    assert np.allclose(np.asarray(lx), np.asarray(lp), atol=0.01)
+    # luma is the MASKED mean over each variant's true extent, so the
+    # kernels' +/-1 pixel envelope carries straight through (it is no
+    # longer diluted by bit-identical padding): |mean diff| <= max pixel
+    # diff. The old 0.01 bound only held because pad pixels dominated.
+    assert np.allclose(np.asarray(lx), np.asarray(lp), atol=1.0)
+
+
+def test_fused_luma_is_masked_to_true_extent():
+    """The per-variant luma must equal the Rec.709 mean of the CROPPED
+    render — out-of-canvas padding (garbage-by-construction) must not
+    contaminate the stat, however different the variant extents are."""
+    import jax.numpy as jnp
+
+    bundle = load_bundle("data/squarespace")
+    root = _layout_for(bundle)
+    ratios = ["9:16", "16:9"]  # maximally mismatched extents in one batch
+    renders, _ = fused_multi_ratio_render(bundle, root, ratios)
+    from image_transformation_tpu.layout.canvas import compute_canvas_size
+    from image_transformation_tpu.layout.solve import FlexProgram
+    from image_transformation_tpu.pipeline.fused import (
+        make_fused_render,
+        map_bundle_to_program,
+    )
+    from image_transformation_tpu.ops.background import masked_median_rgb
+
+    sizes = [compute_canvas_size(bundle.background.size, r, verbose=False)
+             for r in ratios]
+    w_max = max(w for w, _ in sizes)
+    h_max = max(h for _, h in sizes)
+    arrays = bundle.to_arrays()
+    prog = FlexProgram.from_dsl(root)
+    obj_pad = (arrays.objects.shape[1], arrays.objects.shape[2])
+    objs, obj_wh, known = map_bundle_to_program(prog, bundle, arrays)
+    median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+    out, _, _, luma = make_fused_render(prog, (h_max, w_max), obj_pad)(
+        jnp.asarray(np.asarray(sizes, np.int32)), median.astype(jnp.uint8),
+        jnp.asarray(objs), jnp.asarray(obj_wh), jnp.asarray(known),
+    )
+    out_np = np.asarray(out)
+    for i, (w, h) in enumerate(sizes):
+        crop = out_np[i, :h, :w, :3].astype(np.float64)
+        expect = crop.mean(axis=(0, 1)) @ np.array([0.2126, 0.7152, 0.0722])
+        assert abs(float(luma[i]) - expect) < 0.05, (i, float(luma[i]), expect)
 
 
 def test_fused_render_is_one_program_small():
