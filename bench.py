@@ -121,7 +121,20 @@ def main() -> None:
     canvases = np.zeros((B, H, W, 4), np.uint8)
     canvases[..., :3] = 128
     canvases[..., 3] = 255
-    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    # per-batch object copies exist ONLY for the XLA path and the loud
+    # fallback tiers; the primary gen-3 path shares one copy (STATUS item
+    # 24), so the B-fold host tensor (~3.7 GB at batch 448) is built lazily
+    _objs_bcast_cell: list = []
+
+    def objs_broadcast() -> np.ndarray:
+        if not _objs_bcast_cell:
+            _objs_bcast_cell.append(
+                np.broadcast_to(
+                    arrays.objects, (B, *arrays.objects.shape)
+                ).copy()
+            )
+        return _objs_bcast_cell[0]
+
     hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
     boxes = np.stack(
         [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
@@ -212,6 +225,10 @@ def main() -> None:
                 c, jnp.uint8
             )
             ou8 = o if o.shape[4] == 4 else jnp.transpose(o, (0, 1, 3, 4, 2))
+            if ou8.shape[0] == 1 and cu8.shape[0] > 1:
+                # primary path shares one object copy (STATUS item 24);
+                # the fallback kernels want per-canvas rows
+                ou8 = jnp.broadcast_to(ou8, (cu8.shape[0], *ou8.shape[1:]))
             if tier[0] == 1:
                 try:
                     out = composite_batch_fused_v2(cu8, ou8, h_, b, packed_out=True)
@@ -247,7 +264,12 @@ def main() -> None:
                 _canvases_cell.append(jnp.asarray(canvases_packed))
             return _canvases_cell[0]
 
-        objs_dev = np.asarray(planarize_objects(jnp.asarray(objs)))
+        # ONE shared planar copy: the kernel reads object row 0 for every
+        # canvas (STATUS item 24) — B-fold duplication dropped from both
+        # host RAM and HBM (~3.7 GB at batch 448)
+        objs_dev = np.asarray(
+            planarize_objects(jnp.asarray(arrays.objects[None]))
+        )
         pallas_step = make_pallas_step()
 
         def step(c, o, h_, b):
@@ -263,7 +285,9 @@ def main() -> None:
     else:
         step = make_batched_compose((pad_h, pad_w))
         release_reuse = lambda: None  # noqa: E731 - XLA path retains no plane
-        dev_args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+        dev_args = tuple(
+            jnp.asarray(x) for x in (canvases, objs_broadcast(), hw, boxes)
+        )
 
     def fence(x):
         # block_until_ready does not reliably synchronize on the tunneled
@@ -282,7 +306,9 @@ def main() -> None:
         log(f"pallas path failed ({e}); falling back to the XLA path")
         step = make_batched_compose((pad_h, pad_w))
         # u8 NHWC canvases/objects again
-        dev_args = (jnp.asarray(canvases), jnp.asarray(objs), *dev_args[2:])
+        dev_args = (
+            jnp.asarray(canvases), jnp.asarray(objs_broadcast()), *dev_args[2:]
+        )
         out, luma = step(*dev_args)
         fence(luma)
     log(f"first call (incl. compile): {time.perf_counter() - t0:.1f}s")

@@ -265,6 +265,20 @@ benchmarks/bisect_resize.py --clamped):
    IDENTICAL to the pre-refactor trace for all four variant combinations
    (pipelined x static_obj_hw), so Mosaic compiles the same program —
    no hardware re-measure needed. Future resample/blend fixes land once.
+24. SHARED OBJECT TENSOR: every real single-bundle workload composites
+   the SAME assets onto every canvas (bench headline: 448 copies of one
+   ~8 MB object tensor = ~3.7 GB of duplicated HBM; the multi-ratio
+   serving step: V copies per call), so the fused kernels now accept
+   objs_p with a leading dim of 1 against a B-batch canvas and read
+   object row 0 — bitwise-identical (interpret-pinned vs broadcast
+   copies, both kernels + reuse chains). The pipelined kernel also drops
+   (n_batch - 1) object DMAs per object row (one copy per grid step into
+   slot 0) and halves its object VMEM scratch. bench.py uploads ONE
+   planar copy on the primary path (the B-fold broadcast is now lazy,
+   fallback-tier-only); the fused multi-ratio/serving step passes the
+   single planar copy instead of broadcast_to. Hardware effect to be
+   re-measured when the dev tunnel returns — the duplicated object
+   tensor was a prime suspect for the batch-512 resource wall.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -1713,6 +1727,34 @@ def packed_luma(crop_i32: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(lum, axis=(1, 2))
 
 
+def packed_luma_masked(crop_i32: jnp.ndarray,
+                       canvas_wh: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean Rec.709 luminance per canvas of a packed-u32 batch.
+
+    Each batch element averages only its TRUE (W, H) extent of the padded
+    plane (``canvas_wh`` is [B, 2] as (W, H)) — the fused multi-ratio
+    path's out-of-canvas area is garbage-by-construction and must not
+    contaminate the run-level stat. Same single-pass weighted reduce as
+    :func:`packed_luma`."""
+    _, Hp, Wp = crop_i32.shape
+    lum = (
+        0.2126 * (crop_i32 & 255).astype(jnp.float32)
+        + 0.7152 * ((crop_i32 >> 8) & 255).astype(jnp.float32)
+        + 0.0722 * ((crop_i32 >> 16) & 255).astype(jnp.float32)
+    )
+    row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None] < (
+        canvas_wh[:, 1][:, None, None]
+    )
+    col = jnp.arange(Wp, dtype=jnp.int32)[None, None, :] < (
+        canvas_wh[:, 0][:, None, None]
+    )
+    mask = (row & col).astype(jnp.float32)
+    denom = jnp.maximum(
+        1.0, (canvas_wh[:, 0] * canvas_wh[:, 1]).astype(jnp.float32)
+    )
+    return jnp.sum(lum * mask, axis=(1, 2)) / denom
+
+
 def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
     """v3 packed blend: clamped windows + row shift baked by the producer.
 
@@ -2580,6 +2622,7 @@ def _blend_window_rows(
 def _make_fused_kernel_v3(
     obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int], method: str,
     static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
+    shared_objs: bool = False,
 ):
     """Fused resample+blend, generation 3: coefficient tables built
     IN-KERNEL from per-object size scalars.
@@ -2638,7 +2681,11 @@ def _make_fused_kernel_v3(
             out_h = meta_ref[b, k, 8]
             out_w = meta_ref[b, k, 9]
 
-            d_obj = pltpu.make_async_copy(objs_ref.at[b, k], obj_vmem, sem_obj)
+            # shared_objs: every canvas composites the same assets — read
+            # object row 0 of a [1, N, ...] tensor instead of row b
+            d_obj = pltpu.make_async_copy(
+                objs_ref.at[0 if shared_objs else b, k], obj_vmem, sem_obj
+            )
             d_obj.start()
             window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
             dma_in = pltpu.make_async_copy(window_slice, win_ref, sem_in)
@@ -2693,6 +2740,7 @@ def _make_fused_kernel_v3(
 def _make_fused_kernel_v3_pipelined(
     n_batch: int, obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int],
     method: str, static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
+    shared_objs: bool = False,
 ):
     """Gen-3 fused kernel with double-buffered window/object DMAs.
 
@@ -2743,7 +2791,16 @@ def _make_fused_kernel_v3_pipelined(
             )
 
         window_dma(0, 0, True).start()
-        obj_dma(0, 0).start()
+        if shared_objs:
+            # every canvas composites the same assets: ONE object copy per
+            # grid step (object k of the [1, N, ...] tensor into slot 0),
+            # reused across the whole batch loop — drops (n_batch - 1)
+            # object DMAs per object row
+            d0 = obj_dma(0, 0)
+            d0.start()
+            d0.wait()
+        else:
+            obj_dma(0, 0).start()
 
         def body(b, _):
             slot = jax.lax.rem(b, 2)
@@ -2756,9 +2813,11 @@ def _make_fused_kernel_v3_pipelined(
             @pl.when(b + 1 < n_batch)
             def _():
                 window_dma(b + 1, nslot, True).start()
-                obj_dma(b + 1, nslot).start()
+                if not shared_objs:
+                    obj_dma(b + 1, nslot).start()
 
-            obj_dma(b, slot).wait()
+            if not shared_objs:
+                obj_dma(b, slot).wait()
             window_dma(b, slot, True).wait()
 
             def step_compute(s: int):
@@ -2775,11 +2834,12 @@ def _make_fused_kernel_v3_pipelined(
         def identity_into_pk(b, s: int):
             same = meta_ref[b, k, 4] > 0
             valid = meta_ref[b, k, 5] > 0
+            obj_s = 0 if shared_objs else s
 
             @pl.when(valid & same)
             def _():
                 _identity_pack_into(
-                    pk_ref, obj_vmem[s].astype(jnp.int32),
+                    pk_ref, obj_vmem[obj_s].astype(jnp.int32),
                     (ph_a, pw_a), (mh_a, mw_a),
                 )
 
@@ -2791,14 +2851,16 @@ def _make_fused_kernel_v3_pipelined(
             out_h = meta_ref[b, k, 8]
             out_w = meta_ref[b, k, 9]
 
+            obj_s = 0 if shared_objs else s
+
             def resample_into_pk(ph_k: int, pw_k: int):
                 # chunked resample over this branch's static extents
                 # (STATUS items 17/19); tables use the traced sizes. The
-                # object DMA was waited in body(), so load_obj is a plain
-                # VMEM slot read.
+                # object DMA was waited in body() (or once per grid step
+                # when shared), so load_obj is a plain VMEM slot read.
                 _resample_chunked_into(
                     pk_ref, tmp_ref,
-                    lambda: obj_vmem[s, :, :ph_k, :pw_k].astype(jnp.int32),
+                    lambda: obj_vmem[obj_s, :, :ph_k, :pw_k].astype(jnp.int32),
                     in_h, in_w, out_h, out_w, ph_k, pw_k, method,
                 )
 
@@ -2845,10 +2907,20 @@ def _pallas_fused_v3_impl(
     pipelined: bool = False,
     static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
 ) -> jnp.ndarray:
-    B, N = objs_p.shape[0], objs_p.shape[1]
+    B, N = canvas_v.shape[0], objs_p.shape[1]
     ph_a, pw_a = objs_p.shape[3], objs_p.shape[4]
     mh_a, mw_a = out_max_hw
     MH, MW = window_extents((mh_a, mw_a))
+    # SHARED OBJECT TENSOR: a leading objs dim of 1 against a B-batch
+    # canvas means every canvas composites the SAME assets (the bench and
+    # multi-ratio workloads) — the kernels then index object row 0 instead
+    # of requiring B materialized copies (B x the object tensor in HBM;
+    # ~3.7 GB at the 448-canvas headline batch).
+    if objs_p.shape[0] not in (1, B):
+        raise ValueError(
+            f"objs_p batch {objs_p.shape[0]} must be 1 (shared) or {B}"
+        )
+    shared_objs = objs_p.shape[0] == 1 and B != 1
     if static_in_hw is not None and len(static_in_hw) != N:
         raise ValueError(
             f"static_in_hw has {len(static_in_hw)} entries for {N} objects"
@@ -2856,7 +2928,8 @@ def _pallas_fused_v3_impl(
     if pipelined:
         grid = (N,)
         kernel = _make_fused_kernel_v3_pipelined(
-            B, (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw
+            B, (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw,
+            shared_objs=shared_objs,
         )
         scratch = [
             pltpu.VMEM((2, MH, MW), jnp.int32),
@@ -2865,7 +2938,8 @@ def _pallas_fused_v3_impl(
             pltpu.VMEM((_round_up(mh_a, 128), mw_a), jnp.int32),
             # H-pass intermediate, channel-stacked (chunked resample)
             pltpu.VMEM((4 * ph_a, mw_a), jnp.bfloat16),
-            pltpu.VMEM((2, 4, ph_a, pw_a), jnp.uint8),
+            # shared objects use only slot 0 — halve the object VMEM
+            pltpu.VMEM((1 if shared_objs else 2, 4, ph_a, pw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -2873,7 +2947,8 @@ def _pallas_fused_v3_impl(
     else:
         grid = (B, N)
         kernel = _make_fused_kernel_v3(
-            (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw
+            (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw,
+            shared_objs=shared_objs,
         )
         scratch = [
             pltpu.VMEM((MH, MW), jnp.int32),
@@ -3129,6 +3204,11 @@ def render_solid_fused_v3_program(
     ``obj_hw`` row-for-row on every batch element (asset sizes are fixed
     per bundle). Specializes the kernel's resample dots to each object's
     real padded extents (STATUS item 19); bitwise-identical output.
+
+    ``objs_p`` may carry a leading dim of 1 against a B-batch ``boxes``:
+    every canvas then composites the SAME assets from one copy (STATUS
+    item 24 — the bench/multi-ratio workloads save B x the object tensor
+    in HBM); bitwise-identical to passing B copies.
     """
     if out_max_hw is None:
         out_max_hw = (objs_p.shape[3], objs_p.shape[4])
@@ -3137,7 +3217,9 @@ def render_solid_fused_v3_program(
     MH, MW = window_extents((mh_a, mw_a))
     hp, wp = fused_canvas_pad_hw(canvas_hw, (mh_a, mw_a))
     meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
-    canvas_v = jnp.full((objs_p.shape[0], hp, wp), jnp.int32(bg_packed), jnp.int32)
+    canvas_v = jnp.full(
+        (boxes.shape[0], hp, wp), jnp.int32(bg_packed), jnp.int32
+    )
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
         pipelined, static_in_hw=static_obj_hw,

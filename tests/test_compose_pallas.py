@@ -836,6 +836,34 @@ def test_fused_v3_framebuffer_reuse():
     )
     assert np.array_equal(np.asarray(back_s), np.asarray(first_s))
 
+    # SHARED OBJECT TENSOR (STATUS item 24): a [1, N, ...] planar tensor
+    # against B-batch boxes must produce bitwise-identical planes to B
+    # materialized copies of the same assets — for the grid kernel, the
+    # pipelined kernel (one object DMA per grid step), and through a
+    # reuse chain. (This test's per-row objects differ, so the copied
+    # reference broadcasts row 0.)
+    op1 = op[:1]
+    op_b = jnp.broadcast_to(op1, op.shape)
+    for pl_flag in (False, True):
+        ref_first = render_solid_fused_v3_program(
+            op_b, hw, b1, (Hc, Wc), bg, interpret=True,
+            static_obj_hw=static_hw, pipelined=pl_flag,
+        )
+        first_sh = render_solid_fused_v3_program(
+            op1, hw, b1, (Hc, Wc), bg, interpret=True,
+            static_obj_hw=static_hw, pipelined=pl_flag,
+        )
+        assert np.array_equal(np.asarray(first_sh), np.asarray(ref_first))
+        ref_reused = render_solid_fused_v3_reuse_program(
+            ref_first, b1, op_b, hw, b2, (Hc, Wc), bg, interpret=True,
+            static_obj_hw=static_hw, pipelined=pl_flag,
+        )
+        reused_sh = render_solid_fused_v3_reuse_program(
+            first_sh, b1, op1, hw, b2, (Hc, Wc), bg, interpret=True,
+            static_obj_hw=static_hw, pipelined=pl_flag,
+        )
+        assert np.array_equal(np.asarray(reused_sh), np.asarray(ref_reused))
+
     # THE PRODUCTION CONFIGURATION (bench.py headline + sweep default):
     # pipelined double-buffered kernel + per-object static sizes + reuse
     # chain. Must match the non-pipelined grid-(B,N) results bitwise —
