@@ -27,24 +27,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _masked_channel_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Exact uint8 median of ``values`` where ``mask`` is set.
-
-    values: int32 [P] in [0, 255]; mask: float32/int32 [P] of 0/1 weights.
-    Returns an int32 scalar equal to int(np.median(values[mask])).
-    """
-    counts = jnp.zeros((256,), jnp.int32).at[values].add(mask.astype(jnp.int32))
-    n = jnp.sum(counts)
-    cdf = jnp.cumsum(counts)
-    # k-th order statistic (0-based): smallest v with cdf[v] >= k+1.
-    k_lo = (n - 1) // 2
-    k_hi = n // 2
-    lo = jnp.searchsorted(cdf, k_lo + 1, side="left")
-    hi = jnp.searchsorted(cdf, k_hi + 1, side="left")
-    # np.median averages the two middle samples; int() then truncates.
-    return ((lo + hi) // 2).astype(jnp.int32)
-
-
 @jax.jit
 def masked_median_rgb(rgba_u8: jnp.ndarray) -> jnp.ndarray:
     """Median RGB over alpha>0 pixels (falling back to all pixels).
@@ -56,8 +38,25 @@ def masked_median_rgb(rgba_u8: jnp.ndarray) -> jnp.ndarray:
     alpha_mask = (flat[:, 3] > 0).astype(jnp.int32)
     any_opaque = jnp.any(alpha_mask > 0)
     mask = jnp.where(any_opaque, alpha_mask, jnp.ones_like(alpha_mask))
-    meds = [_masked_channel_median(flat[:, c], mask) for c in range(3)]
-    return jnp.stack(meds)
+    # ONE scatter into a flattened [3*256] histogram (index = c*256 + v)
+    # instead of three independent passes over the pixel buffer — the
+    # medians then come from three tiny per-channel cdf reductions.
+    chan = jnp.arange(3, dtype=jnp.int32)[None, :]
+    idx = (chan * 256 + flat[:, :3]).reshape(-1)
+    counts = (
+        jnp.zeros((3 * 256,), jnp.int32)
+        .at[idx]
+        .add(jnp.broadcast_to(mask[:, None], (mask.shape[0], 3)).reshape(-1))
+        .reshape(3, 256)
+    )
+    n = jnp.sum(counts[0])
+    cdf = jnp.cumsum(counts, axis=1)
+    k_lo = (n - 1) // 2
+    k_hi = n // 2
+    lo = jax.vmap(lambda c: jnp.searchsorted(c, k_lo + 1, side="left"))(cdf)
+    hi = jax.vmap(lambda c: jnp.searchsorted(c, k_hi + 1, side="left"))(cdf)
+    # np.median averages the two middle samples; int() then truncates.
+    return ((lo + hi) // 2).astype(jnp.int32)
 
 
 def _region_median_rgb(region_u8: jnp.ndarray) -> jnp.ndarray:
@@ -94,8 +93,7 @@ def solid_canvas(color_rgb: jnp.ndarray, height: int, width: int) -> jnp.ndarray
     return jnp.broadcast_to(rgba, (height, width, 4))
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "horizontal"))
-def gradient_canvas(
+def gradient_canvas(  # host-level: ramp math is numpy (see body); no jit
     c1: jnp.ndarray, c2: jnp.ndarray, height: int, width: int, horizontal: bool
 ) -> jnp.ndarray:
     """Linear gradient RGBA canvas c1 → c2 along the chosen axis.
@@ -104,11 +102,23 @@ def gradient_canvas(
     (background_resizing.py:76-95) without the O(width) Python iteration.
     """
     n = width if horizontal else height
-    t = jnp.arange(n, dtype=jnp.float32) / max(1, n - 1)
-    c1f = c1.astype(jnp.float32)
-    c2f = c2.astype(jnp.float32)
-    ramp = (1.0 - t)[:, None] * c1f[None, :] + t[:, None] * c2f[None, :]
-    ramp_u8 = ramp.astype(jnp.uint8)  # truncation, as in the reference
+    # The ramp arithmetic runs in numpy with the reference loop's exact
+    # float semantics — t and (1 - t) in f64, cast to f32 at the multiply,
+    # separate mul/mul/add roundings. Two earlier vectorizations each lost
+    # one ulp on ~0.03% of (width, color) rows and flipped the truncating
+    # u8 cast: an f32 (1.0 - t) drops round-to-even ties, and XLA fuses
+    # the f32 lerp into an FMA (single rounding). This is a host-level
+    # entry point (pipeline/serving call it outside jit; sizes static), so
+    # host math costs nothing.
+    import numpy as _np
+
+    t64 = _np.arange(n) / max(1, n - 1)
+    t = t64.astype(_np.float32)
+    w1 = (1.0 - t64).astype(_np.float32)
+    c1f = _np.asarray(c1).astype(_np.float32)
+    c2f = _np.asarray(c2).astype(_np.float32)
+    ramp = w1[:, None] * c1f[None, :] + t[:, None] * c2f[None, :]
+    ramp_u8 = jnp.asarray(ramp.astype(_np.uint8))  # truncation, as reference
     if horizontal:
         rgb = jnp.broadcast_to(ramp_u8[None, :, :], (height, width, 3))
     else:

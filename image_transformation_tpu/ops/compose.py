@@ -96,8 +96,12 @@ def _blend_window(
     smaller out_max). Destination clamping: dynamic_slice-style window
     clamping plus a compensating source shift reproduces PIL's "crop the
     overlay to the canvas" semantics for x1, y1 in [0, W/H]; fully
-    off-canvas or negative origins become no-ops (PIL raises on negative
-    dest — compositor.py callers pre-clamp).
+    off-canvas or NEGATIVE origins become no-ops. That last case is a
+    DOCUMENTED divergence (PARITY.md #4): PIL raises ValueError on a
+    negative alpha_composite dest, so the reference fails loudly where
+    this kernel silently skips the placement. Solver-produced boxes are
+    always clamped non-negative (layout/flex.clamp_boxes); raw
+    compositor.composite callers passing negative origins get the skip.
     """
     mh, mw = resized_f32.shape[0], resized_f32.shape[1]
     h_c, w_c = canvas_u8.shape[0], canvas_u8.shape[1]
@@ -185,7 +189,7 @@ composite_batch = jax.vmap(
 """vmapped compose: canvases [B,H,W,4], objects [B,N,Hm,Wm,4], sizes, boxes."""
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("wide",))
 def composite_canvas_tables(
     canvas_u8: jnp.ndarray,
     objs_u8: jnp.ndarray,
@@ -193,6 +197,7 @@ def composite_canvas_tables(
     kh_i32: jnp.ndarray,
     kv_i32: jnp.ndarray,
     same_size: jnp.ndarray,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """Compose with precomputed per-object coefficient tables.
 
@@ -204,7 +209,9 @@ def composite_canvas_tables(
 
     def step(work, per_obj):
         obj, kh, kv, same, box = per_obj
-        resized = resize_with_tables(obj.astype(jnp.float32), kh, kv, same)
+        resized = resize_with_tables(
+            obj.astype(jnp.float32), kh, kv, same, wide=wide
+        )
         return _blend_window(work, resized, box[0], box[1]), None
 
     work = _grow_canvas(canvas_u8, (kv_i32.shape[1], kh_i32.shape[1]))
@@ -212,7 +219,7 @@ def composite_canvas_tables(
     return work[:h_c, :w_c]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("wide",))
 def composite_canvas_tables_indexed(
     canvas_u8: jnp.ndarray,
     objs_all: jnp.ndarray,
@@ -221,6 +228,7 @@ def composite_canvas_tables_indexed(
     kh_i32: jnp.ndarray,
     kv_i32: jnp.ndarray,
     same_size: jnp.ndarray,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """Compose placements that index into a fixed device-resident object
     tensor: ``perm[k]`` selects the source cutout for placement k.
@@ -233,7 +241,9 @@ def composite_canvas_tables_indexed(
 
     def step(work, per_placement):
         idx, box, kh, kv, same = per_placement
-        resized = resize_with_tables(objs_all[idx].astype(jnp.float32), kh, kv, same)
+        resized = resize_with_tables(
+            objs_all[idx].astype(jnp.float32), kh, kv, same, wide=wide
+        )
         return _blend_window(work, resized, box[0], box[1]), None
 
     work = _grow_canvas(canvas_u8, (kv_i32.shape[1], kh_i32.shape[1]))
@@ -241,7 +251,7 @@ def composite_canvas_tables_indexed(
     return work[:h_c, :w_c]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("wide",))
 def composite_canvas_tables_indexed_many(
     canvas_u8: jnp.ndarray,
     objs_all: jnp.ndarray,
@@ -250,6 +260,7 @@ def composite_canvas_tables_indexed_many(
     kh_i32: jnp.ndarray,
     kv_i32: jnp.ndarray,
     same_size: jnp.ndarray,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """A batch of independent placement sets (leading axis) composed onto
     one shared canvas/object tensor in a single dispatch.
@@ -263,7 +274,7 @@ def composite_canvas_tables_indexed_many(
 
     def one(p, b, kh, kv, s):
         return composite_canvas_tables_indexed(
-            canvas_u8, objs_all, p, b, kh, kv, s
+            canvas_u8, objs_all, p, b, kh, kv, s, wide=wide
         )
 
     return jax.vmap(one)(perm, boxes, kh_i32, kv_i32, same_size)
@@ -293,9 +304,12 @@ def composite_exact(
             (max(1, int(b[2]) - int(b[0])) for b in boxes), default=1
         )
         out_max_hw = (max(need_h, pad_h), max(need_w, pad_w))
+    from .resize import needs_wide_accumulation
+
     kh = np.zeros((n, out_max_hw[1], pad_w), np.int32)
     kv = np.zeros((n, out_max_hw[0], pad_h), np.int32)
     same = np.zeros((n,), bool)
+    wide = False
     for k in range(n):
         x1, y1, x2, y2 = (int(v) for v in boxes[k])
         w = max(1, x2 - x1)
@@ -304,6 +318,11 @@ def composite_exact(
         kh[k] = build_coeffs_host(ow, w, pad_w, out_max_hw[1], method)
         kv[k] = build_coeffs_host(oh, h, pad_h, out_max_hw[0], method)
         same[k] = (w == ow) and (h == oh)
+        # extreme downscales (an object hundreds of times wider than its
+        # box) need chunked-exact limb accumulation to stay bit-exact
+        wide = wide or needs_wide_accumulation(ow, w, method) or (
+            needs_wide_accumulation(oh, h, method)
+        )
     return composite_canvas_tables(
         jnp.asarray(canvas_u8),
         jnp.asarray(objs_u8),
@@ -311,4 +330,5 @@ def composite_exact(
         jnp.asarray(kh),
         jnp.asarray(kv),
         jnp.asarray(same),
+        wide=wide,
     )

@@ -3514,9 +3514,14 @@ def render_gradient_fused_v3_program(
 
     n = wp if horizontal else hp
     limit = W if horizontal else H
-    t = jnp.clip(jnp.arange(n, dtype=jnp.float32) / max(1, limit - 1), 0.0, 1.0)
+    # f64 weights on host, like the reference loop (and gradient_canvas):
+    # an f32 (1.0 - t) loses round-to-even ties by one ulp, flipping the
+    # truncating u8 cast on ~0.03% of (extent, color) rows
+    t64 = np.clip(np.arange(n) / max(1, limit - 1), 0.0, 1.0)
+    t = jnp.asarray(t64.astype(np.float32))
+    w1 = jnp.asarray((1.0 - t64).astype(np.float32))
     ramp = (
-        (1.0 - t)[None, :, None] * c1.astype(jnp.float32)[:, None, :]
+        w1[None, :, None] * c1.astype(jnp.float32)[:, None, :]
         + t[None, :, None] * c2.astype(jnp.float32)[:, None, :]
     )
     rgb = ramp.astype(jnp.uint8).astype(jnp.int32)  # truncation, as reference

@@ -56,14 +56,6 @@ def _premultiply_np(rgba: np.ndarray) -> np.ndarray:
     return out
 
 
-def _unpremultiply_np(rgba: np.ndarray) -> np.ndarray:
-    out = rgba.astype(np.int64)
-    a = out[..., 3:4]
-    rgb = np.minimum(255, (255 * out[..., :3]) // np.maximum(a, 1))
-    out[..., :3] = np.where(a == 0, out[..., :3], rgb)
-    return out
-
-
 def _reduce_np(rgba: np.ndarray, fx: int, fy: int) -> np.ndarray:
     """Pillow Image.reduce, bit-exact: block sums + the fixed-point
     reciprocal rounding ((sum + area/2) * floor(2^24/area)) >> 24."""
@@ -133,13 +125,27 @@ def build_labeled_contact_sheet(
     font_size: int = 24,
 ) -> Image.Image:
     """Grid sheet of labeled thumbnails, ordered by object_id."""
-    ids = sorted(objects)
-    if not ids:
+    entries = [
+        (objects[oid], labels.get(oid, f"id_{oid}")) for oid in sorted(objects)
+    ]
+    return _build_sheet(entries, thumb_size, cols, label_height, font_size)
+
+
+def _build_sheet(
+    entries,
+    thumb_size: Tuple[int, int] = (256, 256),
+    cols: int = 4,
+    label_height: int = 72,
+    font_size: int = 24,
+) -> Image.Image:
+    """One grid cell per (image, label) entry — duplicates preserved, as
+    the reference renders one cell per results.json item."""
+    if not entries:
         return Image.new(
             "RGBA", (thumb_size[0], thumb_size[1] + label_height), (255, 255, 255, 255)
         )
 
-    rows = (len(ids) + cols - 1) // cols
+    rows = (len(entries) + cols - 1) // cols
     cell_w = thumb_size[0]
     cell_h = thumb_size[1] + label_height
     sheet_w, sheet_h = cols * cell_w, rows * cell_h
@@ -153,9 +159,9 @@ def build_labeled_contact_sheet(
     # 40-850 s per fresh process even on persistent-cache hits, while the
     # small per-thumb resize programs load in ~seconds total.)
     sheet = Image.new("RGBA", (sheet_w, sheet_h), (255, 255, 255, 255))
-    for k, oid in enumerate(ids):
+    for k, (img, _label) in enumerate(entries):
         thumb = thumbnail_exact_u8(
-            np.asarray(objects[oid].convert("RGBA")), thumb_size
+            np.asarray(img.convert("RGBA")), thumb_size
         )
         th, tw = thumb.shape[:2]
         r, c = divmod(k, cols)
@@ -166,8 +172,7 @@ def build_labeled_contact_sheet(
     # Label band: host-side text rasterization.
     draw = ImageDraw.Draw(sheet)
     font = _load_font(font_size)
-    for k, oid in enumerate(ids):
-        label = labels.get(oid, f"id_{oid}")
+    for k, (_img, label) in enumerate(entries):
         r, c = divmod(k, cols)
         tw, th_text = _measure_text(draw, label, font)
         tx = c * cell_w + (cell_w - tw) // 2
@@ -190,10 +195,14 @@ def build_contact_sheet_from_results(
     results_json_path = Path(results_json_path)
     with open(results_json_path, "r", encoding="utf-8") as f:
         items = json.load(f)
-    objects: Dict[int, Image.Image] = {}
-    labels: Dict[int, str] = {}
-    for it in items:
+    # one grid cell PER ITEM, sorted by object_id — duplicate ids keep
+    # their own cells, exactly like the reference
+    # (/root/reference/macro_placement_test.py:172-196)
+    entries = []
+    for it in sorted(items, key=lambda it: int(it["object_id"])):
         oid = int(it["object_id"])
-        objects[oid] = Image.open(results_json_path.parent / it["filename"]).convert("RGBA")
-        labels[oid] = str(it.get("label", f"id_{oid}"))
-    return build_labeled_contact_sheet(objects, labels, thumb_size, cols, label_height, font_size)
+        img = Image.open(
+            results_json_path.parent / it["filename"]
+        ).convert("RGBA")
+        entries.append((img, str(it.get("label", f"id_{oid}"))))
+    return _build_sheet(entries, thumb_size, cols, label_height, font_size)

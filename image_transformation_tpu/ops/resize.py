@@ -239,23 +239,92 @@ def _split_limbs(k_i32: jnp.ndarray):
     return hi.astype(jnp.bfloat16), mid.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
-def _limb_matmul(img_f32: jnp.ndarray, k_i32: jnp.ndarray, spec: str) -> jnp.ndarray:
+#: Max live taps per coefficient row the f32 limb accumulators can sum
+#: EXACTLY: limb products reach 255 (pixel) x 255 (mid/lo limb), so a row
+#: sum stays under 2^24 (f32's exact-integer range) only up to
+#: 2^24 / 65025 = 258 terms. Beyond that the caller must select the
+#: chunked wide path.
+_EXACT_TAP_LIMIT = 256
+
+
+def needs_wide_accumulation(
+    in_size: int, out_size: int, method: str = "lanczos"
+) -> bool:
+    """True when a downscale is extreme enough that one output pixel's
+    coefficient row has more live taps than the single-dot limb path can
+    accumulate exactly (taps = 2*ceil(support*scale) + 2 — e.g. a
+    2048-px object into a <=15-px box for lanczos). Callers with concrete
+    sizes use this to pick ``wide=True`` on the exact resample entry
+    points; the flag is static, so common workloads keep today's single
+    fused dot."""
+    scale = max(1.0, float(in_size) / max(1, int(out_size)))
+    taps = 2 * int(np.ceil(_SUPPORT[method] * scale)) + 2
+    return taps > _EXACT_TAP_LIMIT
+
+
+def _limb_matmul(
+    img_f32: jnp.ndarray, k_i32: jnp.ndarray, spec: str, wide: bool = False
+) -> jnp.ndarray:
     """Exact int32 matmul Σ kk*p via exact bf16 MXU matmuls.
 
     The three limb tables concatenate along the output dim into ONE dot so
-    the image operand streams from HBM once instead of three times."""
+    the image operand streams from HBM once instead of three times.
+
+    ``wide=True`` (static): chunk the contraction into _EXACT_TAP_LIMIT
+    pieces, convert each f32 partial (exact: < 2^24) to int32, and sum the
+    chunks in int32 — exact for ANY tap count (row totals are bounded by
+    255*255*in_max < 2^31, and the final limb recombination is correct
+    modulo 2^32 because the true Σ k*p is normalization-bounded under
+    2^30). Needed only for extreme downscales; see
+    :func:`needs_wide_accumulation`."""
     hi, mid, lo = _split_limbs(k_i32)
     img_bf = img_f32.astype(jnp.bfloat16)  # uint8 values: exact in bf16
     k3 = jnp.concatenate([hi, mid, lo], axis=0)  # [3*out_max, in_max]
-    s3 = jnp.einsum(spec, img_bf, k3, preferred_element_type=jnp.float32)
-    # the contraction output axis ('o') is the last axis for "hic,oi->hoc"
-    # and the first for "hwc,oh->owc"
-    out_axis = 1 if spec == "hic,oi->hoc" else 0
     n_out = k_i32.shape[0]
-    s_hi, s_mid, s_lo = (
-        jax.lax.slice_in_dim(s3, j * n_out, (j + 1) * n_out, axis=out_axis).astype(
-            jnp.int32
+    if not wide:
+        s3 = jnp.einsum(spec, img_bf, k3, preferred_element_type=jnp.float32)
+        # the contraction output axis ('o') is the last axis for
+        # "hic,oi->hoc" and the first for "hwc,oh->owc"
+        out_axis = 1 if spec == "hic,oi->hoc" else 0
+        s_hi, s_mid, s_lo = (
+            jax.lax.slice_in_dim(
+                s3, j * n_out, (j + 1) * n_out, axis=out_axis
+            ).astype(jnp.int32)
+            for j in range(3)
         )
+        return (s_hi << 16) + (s_mid << 8) + s_lo
+
+    q = _EXACT_TAP_LIMIT
+    in_max = k_i32.shape[1]
+    pad = (-in_max) % q
+    nc = (in_max + pad) // q
+    k3c = jnp.pad(k3, ((0, 0), (0, pad))).reshape(3 * n_out, nc, q)
+    if spec == "hic,oi->hoc":
+        imgc = jnp.pad(img_bf, ((0, 0), (0, pad), (0, 0))).reshape(
+            img_bf.shape[0], nc, q, img_bf.shape[2]
+        )
+        s3 = jnp.sum(
+            jnp.einsum(
+                "hnqc,onq->hocn", imgc, k3c,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32),
+            axis=-1,
+        )
+        out_axis = 1
+    else:  # "hwc,oh->owc": contraction over the leading image axis
+        imgc = jnp.pad(img_bf, ((0, pad), (0, 0), (0, 0))).reshape(
+            nc, q, img_bf.shape[1], img_bf.shape[2]
+        )
+        s3 = jnp.sum(
+            jnp.einsum(
+                "nqwc,onq->owcn", imgc, k3c,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32),
+            axis=-1,
+        )
+        out_axis = 0
+    s_hi, s_mid, s_lo = (
+        jax.lax.slice_in_dim(s3, j * n_out, (j + 1) * n_out, axis=out_axis)
         for j in range(3)
     )
     return (s_hi << 16) + (s_mid << 8) + s_lo
@@ -268,18 +337,21 @@ def _clip8(ss: jnp.ndarray) -> jnp.ndarray:
 
 
 def resample_fixed(
-    img_u8f: jnp.ndarray, kh_i32: jnp.ndarray, kv_i32: jnp.ndarray
+    img_u8f: jnp.ndarray, kh_i32: jnp.ndarray, kv_i32: jnp.ndarray,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """Two-pass fixed-point resample, bit-exact vs Pillow given its tables.
 
     img_u8f: float32 [Hin_max, Win_max, C] holding uint8 values.
     kh_i32: [Wout_max, Win_max]; kv_i32: [Hout_max, Hin_max].
     Returns float32 [Hout_max, Wout_max, C] of uint8 values.
+    ``wide`` (static): chunked-exact accumulation for extreme downscales
+    (see :func:`needs_wide_accumulation`).
     """
     # Horizontal pass first (PIL order): tmp[h,o,c] = clip8(half + Σ_i kk[o,i] p[h,i,c])
-    ss_h = _limb_matmul(img_u8f, kh_i32, "hic,oi->hoc") + _HALF
+    ss_h = _limb_matmul(img_u8f, kh_i32, "hic,oi->hoc", wide=wide) + _HALF
     tmp = _clip8(ss_h).astype(jnp.bfloat16)  # uint8 values: exact, half the traffic
-    ss_v = _limb_matmul(tmp, kv_i32, "hwc,oh->owc") + _HALF
+    ss_v = _limb_matmul(tmp, kv_i32, "hwc,oh->owc", wide=wide) + _HALF
     return _clip8(ss_v).astype(jnp.float32)
 
 
@@ -362,18 +434,23 @@ def resize_with_tables(
     kv_i32: jnp.ndarray,
     same_size,
     traced: bool = False,
+    wide: bool = False,
 ) -> jnp.ndarray:
     """Resample uint8-valued f32 [Hm,Wm,C] with given tables; RGBA inputs
     take the premultiplied path. ``same_size`` (bool scalar, may be traced)
     selects PIL's plain-copy shortcut. ``traced=True`` uses the faster
     HIGHEST-precision f32 resample (traced-table callers only — see
-    resample_fixed_traced); the default limb path is bit-exact."""
+    resample_fixed_traced); the default limb path is bit-exact. ``wide``
+    (static, exact path only) selects chunked-exact accumulation for
+    extreme downscales (see :func:`needs_wide_accumulation`)."""
     channels = img_f32.shape[2]
     out_max_h, out_max_w = kv_i32.shape[0], kh_i32.shape[0]
 
-    resample = resample_fixed_traced if traced else resample_fixed
     src = premultiply_rgba(img_f32).astype(jnp.float32) if channels == 4 else img_f32
-    out = resample(src, kh_i32, kv_i32)
+    if traced:
+        out = resample_fixed_traced(src, kh_i32, kv_i32)
+    else:
+        out = resample_fixed(src, kh_i32, kv_i32, wide=wide)
     if channels == 4:
         out = unpremultiply_rgba(out).astype(jnp.float32)
 
@@ -422,10 +499,12 @@ def resize_u8(
     return out.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("method",))
-def _resize_exact_jit(img_u8, kh, kv, same, method="lanczos"):
+@functools.partial(jax.jit, static_argnames=("method", "wide"))
+def _resize_exact_jit(img_u8, kh, kv, same, method="lanczos", wide=False):
     del method
-    return resize_with_tables(img_u8.astype(jnp.float32), kh, kv, same).astype(jnp.uint8)
+    return resize_with_tables(
+        img_u8.astype(jnp.float32), kh, kv, same, wide=wide
+    ).astype(jnp.uint8)
 
 
 def resize_exact_u8(
@@ -441,4 +520,9 @@ def resize_exact_u8(
     kh = build_coeffs_host(in_w, out_w, img_u8.shape[1], out_max_hw[1], method)
     kv = build_coeffs_host(in_h, out_h, img_u8.shape[0], out_max_hw[0], method)
     same = (out_h == in_h) and (out_w == in_w)
-    return _resize_exact_jit(img_u8, jnp.asarray(kh), jnp.asarray(kv), same, method)
+    wide = needs_wide_accumulation(in_w, out_w, method) or (
+        needs_wide_accumulation(in_h, out_h, method)
+    )
+    return _resize_exact_jit(
+        img_u8, jnp.asarray(kh), jnp.asarray(kv), same, method, wide
+    )

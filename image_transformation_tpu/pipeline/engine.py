@@ -174,7 +174,12 @@ class ComposeEngine:
         signature = tuple(
             (int(p["object_id"]), tuple(int(v) for v in p["box"])) for p in live
         )
-        if self._use_fused and not _FUSED_DISABLED[0]:
+        wide = self._wide_for(live)
+        if self._use_fused and not _FUSED_DISABLED[0] and not wide:
+            # `wide` placements (extreme downscales) bypass the fused gen-2
+            # kernel: its in-kernel limb dots lack the chunked-exact
+            # accumulation the XLA path has, so only the XLA path holds
+            # the bit-exact claim there
             try:
                 out = self._fused_compose(live, ("fused", signature))
                 if not getattr(self, "_fused_validated", False):
@@ -205,14 +210,14 @@ class ComposeEngine:
         cached = self._cache_get(signature)
         if cached is not None:
             return composite_canvas_tables_indexed(
-                self.canvas_dev, self.objs_dev, *cached
+                self.canvas_dev, self.objs_dev, *cached, wide=wide
             )
         dev_args = tuple(
             jnp.asarray(a) for a in self._indexed_args_np(live, len(live))
         )
         self._cache_put(signature, dev_args)
         return composite_canvas_tables_indexed(
-            self.canvas_dev, self.objs_dev, *dev_args
+            self.canvas_dev, self.objs_dev, *dev_args, wide=wide
         )
 
     def _indexed_args_np(self, live: List[Dict], n_pad: int):
@@ -236,6 +241,24 @@ class ComposeEngine:
             kv[k] = build_coeffs_host(oh, h, self.pad_h, self.out_max_h, self.method)
             same[k] = (w == ow) and (h == oh)
         return perm, boxes, kh, kv, same
+
+    def _wide_for(self, live: List[Dict]) -> bool:
+        """Static chunked-exact flag: any placement downscaling an object
+        beyond the single-dot limb path's exact-tap limit (a big cutout in
+        a tiny box) selects the wide resample program (ops.resize
+        needs_wide_accumulation) so the bit-exact claim holds there too."""
+        from ..ops.resize import needs_wide_accumulation
+
+        for p in live:
+            x1, y1, x2, y2 = (int(v) for v in p["box"])
+            w, h = max(1, x2 - x1), max(1, y2 - y1)
+            idx = self._id_to_idx[int(p["object_id"])]
+            oh, ow = (int(v) for v in self.arrays.obj_hw[idx])
+            if needs_wide_accumulation(ow, w, self.method) or (
+                needs_wide_accumulation(oh, h, self.method)
+            ):
+                return True
+        return False
 
     def validate_placements(self, placements: List[Dict]) -> List[Dict]:
         """Public pre-flight used by compose()/compose_many() and the
@@ -293,5 +316,6 @@ class ComposeEngine:
             )
             self._cache_put(signature, stacked)
         return composite_canvas_tables_indexed_many(
-            self.canvas_dev, self.objs_dev, *stacked
+            self.canvas_dev, self.objs_dev, *stacked,
+            wide=any(self._wide_for(live) for live in lives),
         )

@@ -55,10 +55,17 @@ def _make_padded_canvas(background: str, gradient_horizontal: bool,
         span, extent = (
             (w_max, wh[0]) if gradient_horizontal else (h_max, wh[1])
         )
-        t = jnp.arange(span, dtype=jnp.float32) / jnp.maximum(
-            1.0, extent.astype(jnp.float32) - 1.0
-        )
-        ramp = ((1.0 - t)[:, None] * c1f + t[:, None] * c2f).astype(jnp.uint8)
+        # integer-ratio weights: i, (n-1-i), and (n-1) are all exact in
+        # f32 (< 2^24), so each division rounds the exact rational ONCE —
+        # matching the reference's f32(1 - t_f64) weight to the last ulp
+        # (computing 1.0f - t instead loses a ulp to round-to-even ties
+        # and flips the truncating u8 cast). The extent is traced here, so
+        # the host-f64 form gradient_canvas uses is not available.
+        denom = jnp.maximum(1.0, extent.astype(jnp.float32) - 1.0)
+        idx = jnp.arange(span, dtype=jnp.float32)
+        t = idx / denom
+        w1 = (denom - idx) / denom
+        ramp = (w1[:, None] * c1f + t[:, None] * c2f).astype(jnp.uint8)
         if gradient_horizontal:
             rgb = jnp.broadcast_to(ramp[None, :, :], (h_max, w_max, 3))
         else:

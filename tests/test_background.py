@@ -73,6 +73,28 @@ def test_gradient_canvas_truncates_like_reference_loop():
     assert tuple(outv[0, 0][:3]) == tuple(c1)
 
 
+def test_gradient_canvas_reference_parity_fuzz():
+    """Randomized bit-exactness vs the reference's per-line loop: the f64
+    weights (1 - t computed in f64, cast to f32 at the multiply) matter —
+    an f32 (1.0 - t) flips round-to-even ties one ulp low and truncates
+    the u8 cast off by one on ~0.03% of (width, color) rows."""
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        w = int(rng.integers(2, 600))
+        c1 = rng.integers(0, 256, 3).astype(np.uint8)
+        c2 = rng.integers(0, 256, 3).astype(np.uint8)
+        out = np.asarray(
+            gradient_canvas(jnp.asarray(c1), jnp.asarray(c2), 1, w, True)
+        )
+        expect = np.zeros((1, w, 4), np.uint8)
+        for x in range(w):
+            t = x / max(1, w - 1)
+            rgb = (1 - t) * c1.astype(np.float32) + t * c2.astype(np.float32)
+            expect[:, x, :3] = rgb.astype(np.uint8)
+        expect[:, :, 3] = 255
+        assert np.array_equal(out, expect), (w, c1.tolist(), c2.tolist())
+
+
 def test_fill_gradient_axis_choice():
     # horizontally-uniform image -> horizontal gradient (variance 0 on that axis)
     arr = np.zeros((20, 40, 4), np.uint8)

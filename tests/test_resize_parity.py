@@ -114,3 +114,62 @@ def test_premultiply_roundtrip_formulas_match_pil():
     pil_un = np.asarray(Image.frombuffer("RGBa", (256, 256), rgba.tobytes()).convert("RGBA"))
     ours_un = np.asarray(unpremultiply_rgba(jnp.asarray(rgba))).astype(np.uint8)
     assert np.array_equal(pil_un, ours_un)
+
+
+def test_extreme_downscale_wide_accumulation_bit_exact():
+    """Extreme downscales (taps > 256: a huge cutout in a 1-px-ish box)
+    route to the chunked-exact wide limb path and stay bit-exact vs PIL.
+    The single-dot path's f32 limb accumulators exceed 2^24 there — an
+    invariant violation that XLA's CPU reduce order happens not to expose
+    but the TPU MXU's accumulation order is not guaranteed to forgive."""
+    from image_transformation_tpu.ops.resize import needs_wide_accumulation
+
+    rng = np.random.default_rng(11)
+    cases = [(1600, 1200, 3, 2), (2048, 64, 2, 16), (900, 1800, 40, 2)]
+    for W_in, H_in, w, h in cases:
+        assert needs_wide_accumulation(W_in, w) or needs_wide_accumulation(
+            H_in, h
+        )
+        img = rng.integers(0, 256, (H_in, W_in, 4), np.uint8)
+        img[..., 3] = rng.integers(1, 256, (H_in, W_in), np.uint8)
+        pil = np.asarray(
+            Image.fromarray(img, "RGBA").resize((w, h), Image.LANCZOS)
+        )
+        out = np.asarray(
+            resize_exact_u8(jnp.asarray(img), (H_in, W_in), (h, w), (h, w))
+        )
+        assert np.array_equal(out[:h, :w], pil), (W_in, H_in, w, h)
+        # boundary-adversarial: uniform colors land exactly on >>22
+        # rounding boundaries
+        flat = np.full((H_in, W_in, 4), 137, np.uint8)
+        flat[..., 3] = 255
+        pil_f = np.asarray(
+            Image.fromarray(flat, "RGBA").resize((w, h), Image.LANCZOS)
+        )
+        out_f = np.asarray(
+            resize_exact_u8(jnp.asarray(flat), (H_in, W_in), (h, w), (h, w))
+        )
+        assert np.array_equal(out_f[:h, :w], pil_f), (W_in, H_in, w, h)
+
+
+def test_composite_exact_extreme_downscale_matches_pil():
+    """composite_exact auto-selects the wide program when any placement is
+    an extreme downscale; output stays bit-exact vs the PIL pipeline."""
+    from image_transformation_tpu.ops.compose import composite_exact
+
+    rng = np.random.default_rng(12)
+    H_in, W_in = 40, 1500
+    obj = rng.integers(0, 256, (H_in, W_in, 4), np.uint8)
+    canvas = np.full((64, 96, 4), 200, np.uint8)
+    box = [10, 20, 14, 25]  # 4x5 box from a 1500-wide object: taps >> 256
+    # PIL oracle (reference compositor semantics)
+    pil_canvas = Image.fromarray(canvas, "RGBA")
+    resized = Image.fromarray(obj, "RGBA").resize((4, 5), Image.LANCZOS)
+    pil_canvas.alpha_composite(resized, dest=(10, 20))
+    expect = np.asarray(pil_canvas)
+    got = np.asarray(
+        composite_exact(
+            canvas, obj[None], np.array([[H_in, W_in]]), [box]
+        )
+    )
+    assert np.array_equal(got, expect)
