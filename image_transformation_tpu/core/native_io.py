@@ -106,9 +106,15 @@ def probe_png(path) -> Optional[Tuple[int, int]]:
         return None
     w = ctypes.c_int32()
     h = ctypes.c_int32()
-    if lib.png_probe(str(path).encode(), ctypes.byref(w), ctypes.byref(h)) != 0:
+    if lib.png_probe(os.fsencode(path), ctypes.byref(w), ctypes.byref(h)) != 0:
         return None
-    return int(w.value), int(h.value)
+    # unvalidated header dims: reject non-positive / absurd sizes here so
+    # a corrupt PNG degrades to the PIL fallback instead of raising
+    # MemoryError/ValueError out of a None-contract function
+    wv, hv = int(w.value), int(h.value)
+    if wv <= 0 or hv <= 0 or wv * hv > (1 << 28):
+        return None
+    return wv, hv
 
 
 def decode_png_rgba(path) -> Optional[np.ndarray]:
@@ -124,7 +130,7 @@ def decode_png_rgba(path) -> Optional[np.ndarray]:
     ow = ctypes.c_int32()
     oh = ctypes.c_int32()
     rc = lib.png_decode_rgba(
-        str(path).encode(),
+        os.fsencode(path),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         buf.nbytes,
         ctypes.byref(ow),
@@ -162,7 +168,7 @@ def batch_decode_into_padded(
         raise ValueError(f"{n} paths > {n_slots} slots")
     tensor = np.zeros((n_slots, pad_h, pad_w, 4), np.uint8)
     out_hw = np.zeros((n_slots, 2), np.int32)
-    arr = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
     rc = lib.png_batch_decode_into_padded(
         arr, n,
         tensor.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -181,6 +187,11 @@ def encode_png_rgba_bytes(rgba: np.ndarray, level: int = 1) -> Optional[bytes]:
     if lib is None:
         return None
     rgba = np.ascontiguousarray(rgba, np.uint8)
+    if rgba.ndim != 3 or rgba.shape[2] != 4:
+        # the native encoder reads w*h*4 bytes; anything but [H, W, 4]
+        # would be an out-of-bounds read — let the PIL fallback raise its
+        # clean mode error instead
+        return None
     h, w = rgba.shape[:2]
     src = rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     cap = lib.png_encode_rgba(src, w, h, level, None, 0)

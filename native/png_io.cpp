@@ -74,7 +74,8 @@ struct PngImage {
   std::vector<uint8_t> rgba;  // H*W*4
 };
 
-// Decode an 8-bit non-interlaced PNG (color types 0, 2, 4, 6) to RGBA.
+// Decode an 8-bit non-interlaced PNG (color types 0, 2, 3, 4, 6;
+// palette tRNS applied; gray/truecolor color-key tRNS falls back) to RGBA.
 bool decode_png(const uint8_t* data, size_t size, PngImage* img) {
   if (size < 8 || std::memcmp(data, kPngSig, 8) != 0) return false;
   size_t pos = 8;
@@ -113,6 +114,14 @@ bool decode_png(const uint8_t* data, size_t size, PngImage* img) {
     pos += 12 + len;
   }
   if (width == 0 || height == 0 || idat.empty()) return false;
+  // Reject absurd declared dimensions before allocating: a corrupt or
+  // malicious header must fail into the PIL fallback, not throw
+  // bad_alloc across the C ABI (process abort) or OOM the host.
+  if (uint64_t(width) * uint64_t(height) > (uint64_t(1) << 28)) return false;
+  // Color-key transparency (tRNS on gray/truecolor) is not implemented:
+  // decoding it as opaque would silently diverge from PIL's RGBA convert,
+  // so those files take the bit-exact PIL fallback instead.
+  if (!trns.empty() && (color_type == 0 || color_type == 2)) return false;
 
   int channels;
   switch (color_type) {
@@ -222,7 +231,7 @@ extern "C" {
 // Decode one PNG file into caller-provided buffer (cap bytes). Returns 0 on
 // success and writes (*out_w, *out_h); buffer is tightly packed RGBA8.
 int png_decode_rgba(const char* path, uint8_t* out, int64_t cap,
-                    int32_t* out_w, int32_t* out_h) {
+                    int32_t* out_w, int32_t* out_h) try {
   std::vector<uint8_t> file;
   if (!read_file(path, &file)) return -1;
   PngImage img;
@@ -233,6 +242,10 @@ int png_decode_rgba(const char* path, uint8_t* out, int64_t cap,
   *out_w = int32_t(img.width);
   *out_h = int32_t(img.height);
   return 0;
+} catch (...) {
+  // never unwind across the C ABI (ctypes/libffi frames -> abort); a
+  // bad_alloc on a hostile header is an error code like any other
+  return -4;
 }
 
 // Probe just the header. Returns 0 and (w, h) on success.
@@ -253,16 +266,21 @@ int png_probe(const char* path, int32_t* out_w, int32_t* out_h) {
 // level: zlib level (1 = fast artifacts, 6 = default). Returns bytes
 // written, or negative on error. Call with out=null to get an upper bound.
 int64_t png_encode_rgba(const uint8_t* rgba, int32_t w, int32_t h,
-                        int32_t level, uint8_t* out, int64_t cap) {
+                        int32_t level, uint8_t* out, int64_t cap) try {
+  if (w <= 0 || h <= 0) return -1;
   const size_t stride = size_t(w) * 4;
-  std::vector<uint8_t> raw((stride + 1) * size_t(h));
+  const size_t raw_size = (stride + 1) * size_t(h);
+  // Size probe (out == nullptr): the bound is pure arithmetic — do NOT
+  // build and fill the filtered scanline buffer only to discard it (a
+  // full-frame copy per probe, and every encode probes first).
+  if (out == nullptr) return int64_t(compressBound(uLong(raw_size))) + 1024;
+  std::vector<uint8_t> raw(raw_size);
   for (int32_t y = 0; y < h; ++y) {
     uint8_t* line = raw.data() + size_t(y) * (stride + 1);
     line[0] = 0;
     std::memcpy(line + 1, rgba + size_t(y) * stride, stride);
   }
   uLongf bound = compressBound(uLong(raw.size()));
-  if (out == nullptr) return int64_t(bound) + 1024;
   std::vector<uint8_t> comp(bound);
   uLongf comp_len = bound;
   if (compress2(comp.data(), &comp_len, raw.data(), uLong(raw.size()),
@@ -284,6 +302,8 @@ int64_t png_encode_rgba(const uint8_t* rgba, int32_t w, int32_t h,
   if (int64_t(png.size()) > cap) return -3;
   std::memcpy(out, png.data(), png.size());
   return int64_t(png.size());
+} catch (...) {
+  return -4;  // see png_decode_rgba: no unwinding across the C ABI
 }
 
 // Batch ingest: decode n PNGs into one zero-padded uint8 tensor
@@ -301,15 +321,25 @@ int png_batch_decode_into_padded(const char** paths, int32_t n,
   if (int32_t(workers) > n) workers = unsigned(n);
   std::atomic<int32_t> next{0};
 
+  auto decode_one = [&](int32_t k, PngImage* img) -> bool {
+    // exceptions must not escape the worker lambda (std::terminate on a
+    // std::thread); treat them as per-file decode failures
+    try {
+      std::vector<uint8_t> file;
+      return read_file(paths[k], &file) &&
+             decode_png(file.data(), file.size(), img) &&
+             int32_t(img->height) <= pad_h && int32_t(img->width) <= pad_w;
+    } catch (...) {
+      return false;
+    }
+  };
+
   auto worker = [&]() {
     for (;;) {
       int32_t k = next.fetch_add(1);
       if (k >= n) break;
-      std::vector<uint8_t> file;
       PngImage img;
-      if (!read_file(paths[k], &file) ||
-          !decode_png(file.data(), file.size(), &img) ||
-          int32_t(img.height) > pad_h || int32_t(img.width) > pad_w) {
+      if (!decode_one(k, &img)) {
         failures.fetch_add(1);
         out_hw[k * 2] = 0;
         out_hw[k * 2 + 1] = 0;

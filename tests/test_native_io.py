@@ -106,7 +106,51 @@ def test_png_bytes_roundtrip_and_fallback(monkeypatch):
     assert np.array_equal(back, img)
 
     monkeypatch.setattr(nio, "load_library", lambda: None)
-    assert nio.encode_png_rgba_bytes(img) is None
+    assert native_io.encode_png_rgba_bytes(img) is None
     data2 = nio.png_bytes(img)  # PIL fallback
     back2 = np.asarray(Image.open(io.BytesIO(data2)).convert("RGBA"))
     assert np.array_equal(back2, img)
+
+
+def test_corrupt_header_degrades_to_none(tmp_path):
+    """A PNG declaring absurd dimensions must fail into the PIL-fallback
+    contract (None), not raise MemoryError or abort the process inside
+    the native decoder."""
+    import struct
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_body = struct.pack(">IIBBBBB", 0x40000000, 0x40000000, 8, 6, 0, 0, 0)
+    import zlib as _z
+
+    chunk = (
+        struct.pack(">I", len(ihdr_body)) + b"IHDR" + ihdr_body
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr_body))
+    )
+    idat = struct.pack(">I", 0) + b"IDAT" + struct.pack(">I", _z.crc32(b"IDAT"))
+    p = tmp_path / "huge.png"
+    p.write_bytes(sig + chunk + idat)
+    assert native_io.probe_png(p) is None
+    assert native_io.decode_png_rgba(p) is None
+
+
+def test_rgb_color_key_transparency_falls_back_to_pil(tmp_path):
+    """RGB PNGs with a tRNS color key are not implemented natively —
+    decode must report failure (so the bundle path takes the bit-exact
+    PIL fallback that APPLIES the key), never silently return alpha=255."""
+    rgb = np.zeros((6, 6, 3), np.uint8)
+    rgb[:3] = (10, 20, 30)  # keyed color
+    rgb[3:] = (200, 100, 50)
+    p = tmp_path / "keyed.png"
+    Image.fromarray(rgb, "RGB").save(p, transparency=(10, 20, 30))
+    # confirm PIL itself sees the transparency
+    pil = np.asarray(Image.open(p).convert("RGBA"))
+    assert (pil[:3, :, 3] == 0).all() and (pil[3:, :, 3] == 255).all()
+    assert native_io.decode_png_rgba(p) is None  # native declines -> fallback
+
+
+def test_encode_rejects_non_rgba_input():
+    """The native encoder reads H*W*4 bytes; non-RGBA arrays must return
+    None (PIL fallback raises its clean mode error) instead of an
+    out-of-bounds read."""
+    assert native_io.encode_png_rgba_bytes(np.zeros((4, 4, 3), np.uint8)) is None
+    assert native_io.encode_png_rgba_bytes(np.zeros((4, 4), np.uint8)) is None
