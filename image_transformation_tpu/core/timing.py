@@ -57,3 +57,21 @@ class StepTimer:
         with open(path, "w", encoding="utf-8") as f:
             for line in self.to_lines():
                 f.write(line + "\n")
+
+    def load_from_file(self, path) -> None:
+        """Seed durations from a previous run's time_log.txt (resume path:
+        the final write would otherwise replace the whole log with only
+        post-resume steps). Unparseable lines are ignored."""
+        try:
+            text = open(path, "r", encoding="utf-8").read()
+        except OSError:
+            return
+        for line in text.splitlines():
+            name, sep, value = line.rpartition(": ")
+            if sep and value.endswith("s"):
+                try:
+                    self._durations[name] = self._durations.get(
+                        name, 0.0
+                    ) + float(value[:-1])
+                except ValueError:
+                    pass

@@ -159,6 +159,10 @@ def measure_node(node: FlexNode, sizes: SizeMap) -> Tuple[int, int]:
             max(0, h + pad["top"] + pad["bottom"]),
         )
 
+    if not isinstance(node, dict):
+        raise FlexError(
+            f"layout nodes must be objects, got {type(node).__name__}"
+        )
     direction = node.get("direction", "row")
     gap = int(node.get("gap_px", 0))
     pad = int(node.get("padding_px", 0))
@@ -356,7 +360,13 @@ def place_tree(
     inner_w = max(0, cw - 2 * pad)
     inner_h = max(0, ch - 2 * pad)
 
-    children: List[Dict] = node.get("children", [])
+    children: List[Dict] = node.get("children", []) or []
+    for ch in children:
+        if not isinstance(ch, dict):
+            raise FlexError(
+                f"container children must be objects, got {type(ch).__name__}"
+            )
+    children = list(children)
     child_sizes = [measure_node(ch, sizes) for ch in children]
     n = len(children)
 

@@ -15,6 +15,14 @@ Structure: a mode dataclass + styling-snapshot policy pass per container,
 an in-order tree walk collecting leaf ids, and a separate post-order
 conflict sweep — rather than one large nested closure. Error strings match
 the reference (they are part of the retry-prompt protocol).
+
+Spec-inherited gap (kept for parity, not fixed): an object whose bundle
+label is EMPTY skips the name-must-match check (the reference does the
+same), so its VLM-chosen leaf name can never match the ``id_N``-keyed
+conflict pairs computed from labels — nesting-conflict validation is
+silently toothless for unlabeled objects. Real bundles always carry
+labels; fixing it would change the retry-prompt protocol vs the
+reference.
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ from ..core.bundle import load_bundle
 from ..core.logging import RunLogger
 from ..core.timing import StepTimer
 from ..layout.canvas import compute_canvas_size
-from ..layout.flex import FlexError, solve_flex
+from ..layout.flex import solve_flex
 from ..layout.validate import compute_nesting_conflicts, parse_flex_response, validate_flex_dsl
 from ..ops.contact_sheet import build_labeled_contact_sheet
 from ..vlm.client import encode_pil_b64_png, get_api_client
@@ -122,17 +122,29 @@ def run_macro_only(
     flex_raw: Dict = {}
     previous_critic_text = ""
     previous_refiner_json: Optional[Dict] = None
+    resume_state = None
     if resume:
+        # Scan BACKWARD for the newest iteration that finished (has
+        # loop_state.json): a crash mid-iteration leaves the latest dir
+        # half-built, and resuming from it would otherwise fall through to
+        # the purge and destroy every completed iteration.
         last = latest_iteration(base_out)
-        if last is not None:
-            state_path = base_out / f"iteration_{last:02d}" / "layout_json" / "loop_state.json"
+        while last is not None and last >= 0:
+            state_path = (
+                base_out / f"iteration_{last:02d}" / "layout_json"
+                / "loop_state.json"
+            )
             if state_path.exists():
-                state = json.loads(state_path.read_text())
-                flex_raw = state["flex_raw"]
-                previous_critic_text = state.get("previous_critic_text", "")
-                previous_refiner_json = state.get("previous_refiner_json")
+                resume_state = json.loads(state_path.read_text())
+                flex_raw = resume_state["flex_raw"]
+                previous_critic_text = resume_state.get(
+                    "previous_critic_text", ""
+                )
+                previous_refiner_json = resume_state.get("previous_refiner_json")
                 start_iter = last + 1
                 print(f"[resume] continuing from iteration {start_iter}")
+                break
+            last -= 1
     if start_iter == 0:
         purge_run_dir(base_out)
 
@@ -224,6 +236,7 @@ def run_macro_only(
             "flex_raw": flex_raw,
             "previous_critic_text": previous_critic_text,
             "previous_refiner_json": previous_refiner_json,
+            "best_practices": best_practices,
         })
 
     def validate(data: Dict, *, baseline: bool) -> None:
@@ -277,7 +290,7 @@ def run_macro_only(
 
             try:
                 validate(flex_raw, baseline=True)
-            except (FlexError, Exception) as e:  # persist + continue (ref behavior)
+            except Exception as e:  # persist + continue (ref behavior)
                 logger.log("validate", f"Baseline layout failed validation: {e}", iteration=0)
                 write_text(d0.in_text / "flex_validation_error_iter_00.txt", str(e))
                 record_failed_output(d0.vlm_out / "failed_output.txt", str(e), flex_raw)
@@ -292,16 +305,37 @@ def run_macro_only(
         save_loop_state(d0)
     else:
         d_prev = iteration_dirs(base_out, start_iter - 1)
+        # The newest iteration may have skipped compose (identical-JSON or
+        # no-root): walk back to the newest draft that actually exists so
+        # the critic/refiner see a real image, not an empty b64 payload.
         draft_path_prev = (
             d_prev.final / f"draft_macro_iter_{start_iter - 1:02d}.png"
         )
+        for j in range(start_iter - 1, -1, -1):
+            cand = (
+                iteration_dirs(base_out, j).final
+                / f"draft_macro_iter_{j:02d}.png"
+            )
+            if cand.exists():
+                draft_path_prev = cand
+                break
         canvas_path_0 = d_prev.in_image / "canvas.png"
         if not canvas_path_0.exists():
             canvas_path_0 = iteration_dirs(base_out, 0).in_image / "canvas.png"
-        from ..vlm.personas import best_practices_text as _bp
-        from ..layout.canvas import ratio_family as _rf
+        # restore the run's ACTUAL best-practices text (it may have been
+        # planner_custom_design_rules); older loop states fall back to the
+        # ratio-family default
+        bp_saved = (resume_state or {}).get("best_practices")
+        if bp_saved:
+            best_practices = bp_saved
+        else:
+            from ..vlm.personas import best_practices_text as _bp
+            from ..layout.canvas import ratio_family as _rf
 
-        best_practices = _bp(_rf(ratio))
+            best_practices = _bp(_rf(ratio))
+        # keep the timing record of pre-resume steps: the final write
+        # replaces time_log.txt wholesale
+        timer.load_from_file(base_out / "time_log.txt")
 
     # --------------------------- refinement loop ---------------------------
     for i in range(max(1, start_iter), max(0, refine_iters) + 1):
@@ -344,7 +378,9 @@ def run_macro_only(
             refine_images = [contact_b64, _b64_file(canvas_path_0)]
             if original_b64:
                 refine_images.append(original_b64)
-            refine_images.append(_b64_file(draft_path_prev))
+            prev_draft_b64 = _b64_file(draft_path_prev)
+            if prev_draft_b64:  # missing draft: send no empty payload
+                refine_images.append(prev_draft_b64)
 
             def request_refine(extra_instr: str):
                 msgs, prompt = build_refiner_messages(
@@ -410,7 +446,20 @@ def run_macro_only(
                 logger.log("compose", f"Iter {i:02d} has no usable layout; skipping compose.", iteration=i)
                 save_loop_state(di)
                 continue
-            placements_i = solve_flex(refine_raw["root"], canvas_size, sizes)
+            try:
+                placements_i = solve_flex(refine_raw["root"], canvas_size, sizes)
+            except Exception as e:  # noqa: BLE001 - robustness extension:
+                # a document that failed validation twice can still reach
+                # here structurally broken; the reference would crash the
+                # whole run (losing the remaining iterations), we persist
+                # the failure and move on like the validation path does
+                logger.log("compose", f"Iter {i:02d} solve failed: {e}", iteration=i)
+                record_failed_output(
+                    di.vlm_out / f"failed_output_iter_{i:02d}.txt", str(e),
+                    refine_raw,
+                )
+                save_loop_state(di)
+                continue
             draft_path_prev = save_composed(di, placements_i, i, "flex_refine")
 
         flex_raw = refine_raw

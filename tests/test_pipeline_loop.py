@@ -122,6 +122,81 @@ def test_resume_continues_without_baseline(tmp_path, capsys):
     assert (base / "iteration_00" / "vlm_input_text" / "prompt_flex.txt").exists()
 
 
+def test_resume_survives_crash_mid_iteration(tmp_path, capsys):
+    """A kill mid-iteration leaves the newest iteration dir half-built
+    (no loop_state.json). Resume must scan BACK to the newest completed
+    iteration and continue from there — never fall through to the purge
+    that would destroy every completed iteration."""
+    import shutil
+
+    script = [_layout(), "c1", _layout(pad_cta=4)]
+    base = _run(tmp_path, script, refine_iters=1)
+    # simulate the crash: iteration_02 dirs created, nothing completed
+    half = base / "iteration_02" / "layout_json"
+    half.mkdir(parents=True)
+    (base / "iteration_02" / "final_product").mkdir()
+    register_fake_client(lambda: FakeClient(["c2", _layout(pad_cta=8)]))
+    out_base = run_macro_only(
+        BUNDLE, "9:16", "center", 0.05, api_type="auto",
+        refine_iters=2, base_output_root=tmp_path, resume=True,
+    )
+    out = capsys.readouterr().out
+    assert "[resume] continuing from iteration 2" in out
+    # completed iterations intact (the purge did NOT run)
+    assert (out_base / "iteration_00" / "final_product"
+            / "draft_macro_iter_00.png").exists()
+    assert (out_base / "iteration_01" / "layout_json"
+            / "loop_state.json").exists()
+    assert (out_base / "iteration_02" / "final_product"
+            / "draft_macro_iter_02.png").exists()
+    # pre-resume timings preserved in the rewritten log
+    log = (out_base / "time_log.txt").read_text()
+    assert "compose_baseline" in log and "compose_iter_02" in log
+    shutil.rmtree(out_base)
+
+
+def test_resume_walks_back_to_existing_draft(tmp_path):
+    """If the newest completed iteration skipped compose (identical JSON),
+    resume must feed the critic/refiner the newest EXISTING draft rather
+    than an empty payload for a missing file."""
+    # iteration_01 produces identical JSON -> skip compose, loop_state saved
+    script = [_layout(), "c1", _layout()]
+    base = _run(tmp_path, script, refine_iters=1)
+    assert not (base / "iteration_01" / "final_product"
+                / "draft_macro_iter_01.png").exists()
+    register_fake_client(lambda: FakeClient(["c2", _layout(pad_cta=6)]))
+    out_base = run_macro_only(
+        BUNDLE, "9:16", "center", 0.05, api_type="auto",
+        refine_iters=2, base_output_root=tmp_path, resume=True,
+    )
+    # the resumed iteration used iteration_00's draft and composed fine
+    prev = (out_base / "iteration_02" / "vlm_input_image"
+            / "composite_prev.png")
+    assert prev.exists()
+    assert (out_base / "iteration_02" / "final_product"
+            / "draft_macro_iter_02.png").exists()
+
+
+def test_refine_solve_crash_skips_compose_and_continues(tmp_path):
+    """A refinement that fails validation twice AND crashes the solver
+    must persist the failure and continue (the reference would abort the
+    run); the iteration keeps its loop state."""
+    # padding_px: -5 passes json parsing but blows up sanitize at solve
+    bad = json.dumps({"root": {
+        "type": "flex", "direction": "column",
+        "children": [
+            {"object_id": 1, "name": "x", "padding_px": -5},
+        ],
+    }})
+    script = [_layout(), "c1", bad, bad, "c2", _layout(pad_cta=9)]
+    base = _run(tmp_path, script, refine_iters=2)
+    # iteration_01: solve crash recorded, run continued into iteration_02
+    assert (base / "iteration_01" / "vlm_output"
+            / "failed_output_iter_01.txt").exists()
+    assert (base / "iteration_02" / "final_product"
+            / "draft_macro_iter_02.png").exists()
+
+
 def test_draft_matches_pil_reference_end_to_end(tmp_path):
     """The composed draft is bit-exact vs a PIL rendering of the same
     solved layout on the same solid canvas."""
