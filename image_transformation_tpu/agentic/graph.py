@@ -71,6 +71,8 @@ class StateGraph:
     def compile(self) -> CompiledGraph:
         if self.entry is None:
             raise ValueError("entry point not set")
+        if self.entry not in self.nodes:
+            raise ValueError(f"entry point references unknown node: {self.entry!r}")
         missing = [
             d
             for d in list(self.edges.values())

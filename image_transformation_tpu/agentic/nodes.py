@@ -31,22 +31,48 @@ def load_prompt(name: str) -> str:
 
 
 def extract_json_object(text: str) -> Dict:
-    """Fence-aware, outermost-braces JSON extraction; raises ValueError."""
+    """Tolerant JSON extraction; raises ValueError when nothing parses.
+
+    Fenced blocks ANYWHERE in the text are tried first (models often
+    preface them with prose), then a balanced-brace scan returns the
+    FIRST parseable object — a first-{-to-last-} slice would splice in
+    trailing prose like "tune {gap_px} later" and kill the run on output
+    the agent loop should survive."""
+
+    def first_object(s: str):
+        depth = 0
+        start = -1
+        for i, ch in enumerate(s):
+            if ch == "{":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "}" and depth:
+                depth -= 1
+                if depth == 0 and start != -1:
+                    try:
+                        obj = json.loads(s[start : i + 1])
+                    except json.JSONDecodeError:
+                        start = -1  # e.g. a brace inside prose; keep going
+                        continue
+                    if isinstance(obj, dict):
+                        return obj
+        return None
+
     s = text.strip()
-    if s.startswith("```"):
-        parts = s.split("```", 2)
-        if len(parts) >= 3:
-            s = parts[1]
-            if s.startswith("json"):
-                s = s[4:]
-    start = s.find("{")
-    end = s.rfind("}")
-    if start == -1 or end <= start:
-        raise ValueError("no JSON object found in response")
-    try:
-        return json.loads(s[start : end + 1])
-    except json.JSONDecodeError as exc:
-        raise ValueError(f"invalid JSON in response: {exc}") from exc
+    candidates = []
+    parts = s.split("```")
+    for k in range(1, len(parts), 2):  # fenced block contents
+        block = parts[k]
+        if block.startswith("json"):
+            block = block[4:]
+        candidates.append(block.strip())
+    candidates.append(s)
+    for cand in candidates:
+        obj = first_object(cand)
+        if obj is not None:
+            return obj
+    raise ValueError("no JSON object found in response")
 
 
 def _iteration_dirs(state: AgentState) -> Dict[str, Path]:
@@ -213,27 +239,53 @@ def build_validator_node(required_ids: List[int]) -> Callable[[AgentState], Agen
     return node
 
 
+_BUNDLE_ASSETS_CACHE: Dict[str, tuple] = {}
+
+
+def _bundle_assets(bundle_dir):
+    """(bundle, arrays, median) memoized per bundle_dir: the compositor
+    runs every loop iteration, and re-decoding every cutout PNG plus
+    re-reducing the background median 10+ times per run is pure waste —
+    nothing in the bundle changes within a run."""
+    key = str(bundle_dir)
+    entry = _BUNDLE_ASSETS_CACHE.get(key)
+    if entry is None:
+        import jax.numpy as jnp
+
+        from ..core.bundle import load_bundle
+        from ..ops.background import masked_median_rgb
+
+        bundle = load_bundle(bundle_dir)
+        arrays = bundle.to_arrays()
+        median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
+        entry = (bundle, arrays, median)
+        if len(_BUNDLE_ASSETS_CACHE) >= 4:
+            _BUNDLE_ASSETS_CACHE.pop(next(iter(_BUNDLE_ASSETS_CACHE)))
+        _BUNDLE_ASSETS_CACHE[key] = entry
+    return entry
+
+
 def build_compositor_node() -> Callable[[AgentState], AgentState]:
     def node(state: AgentState) -> AgentState:
-        from ..core.bundle import load_bundle
         from ..ops.compose import composite_exact
 
-        bundle = load_bundle(state.run.bundle_dir)
-        arrays = bundle.to_arrays()
+        bundle, arrays, median = _bundle_assets(state.run.bundle_dir)
 
         # No scaling: every placement must use the object's natural size.
-        order = sorted(state.placements.values(), key=lambda p: p.object_id)
+        # Z-ORDER = placement insertion order (DSL traversal), exactly the
+        # reference compositor's paint order — sorting by object_id would
+        # visibly reorder overlapping objects after micro nudges.
+        order = list(state.placements.values())
         for p in order:
             meta = state.objects[p.object_id]
             if (p.width, p.height) != (meta.width, meta.height):
                 raise ValueError("Placement size mismatch; scaling objects is not permitted")
 
         from ..layout.canvas import compute_canvas_size  # noqa: F401 (doc anchor)
-        from ..ops.background import masked_median_rgb, solid_canvas
+        from ..ops.background import solid_canvas
 
         import jax.numpy as jnp
 
-        median = masked_median_rgb(jnp.asarray(np.asarray(bundle.background)))
         w, h = state.canvas_size
         canvas = np.asarray(solid_canvas(median.astype(jnp.uint8), h, w))
 

@@ -163,17 +163,30 @@ def _resolve_object(state: AgentState, object_identifier: str) -> PlacementState
     raise ValueError(f"No placement matches object '{object_identifier}'")
 
 
+def _clamp_origin(state: AgentState, placement) -> None:
+    """Keep the nudged box on-canvas. Without this, a critic-suggested
+    nudge past an edge goes negative and the compose kernel's documented
+    negative-origin no-op (PARITY #4) silently DROPS the object from the
+    render while layout_json still records it — the critic only ever sees
+    coordinates, so nothing would catch the vanished object."""
+    cw, ch = state.canvas_size
+    placement.x = max(0, min(placement.x, max(0, cw - placement.width)))
+    placement.y = max(0, min(placement.y, max(0, ch - placement.height)))
+
+
 def adjust_x(state: AgentState, object: str, pixels: int) -> Dict:
-    """Move an object horizontally (positive=right)."""
+    """Move an object horizontally (positive=right); clamped on-canvas."""
     placement = _resolve_object(state, object)
     placement.move_dx(int(pixels))
+    _clamp_origin(state, placement)
     return {"object_id": placement.object_id, "x": placement.x, "y": placement.y}
 
 
 def adjust_y(state: AgentState, object: str, pixels: int) -> Dict:
-    """Move an object vertically (positive=down)."""
+    """Move an object vertically (positive=down); clamped on-canvas."""
     placement = _resolve_object(state, object)
     placement.move_dy(int(pixels))
+    _clamp_origin(state, placement)
     return {"object_id": placement.object_id, "x": placement.x, "y": placement.y}
 
 

@@ -25,16 +25,21 @@ from .state import AgentState, ObjectMeta, RunContext
 
 
 def load_objects(results_json_path: Path, objects_dir: Path) -> Dict[int, ObjectMeta]:
-    with open(results_json_path, "r", encoding="utf-8") as f:
-        items = json.load(f)
+    """ObjectMeta map from the shared bundle loader (one metadata parse,
+    one image-open per object — previously a parallel re-implementation
+    that opened every PNG a second time). ``objects_dir`` is part of the
+    reference signature; the bundle layout fixes it to results.json's
+    sibling ``objects/``."""
+    del objects_dir  # reference-signature parity; derived from the bundle
+    from ..core.bundle import load_bundle
+
+    bundle = load_bundle(Path(results_json_path).parent)
     objects: Dict[int, ObjectMeta] = {}
-    for it in items:
-        oid = int(it["object_id"])
-        rel = it["filename"]
-        with Image.open(results_json_path.parent / rel) as im:
-            w, h = im.size
-        name = str(it.get("label", f"id_{oid}")).strip() or f"id_{oid}"
-        objects[oid] = ObjectMeta(oid, name, Path(rel).name, w, h)
+    for oid, m in bundle.meta.items():
+        name = (m.label or "").strip() or f"id_{oid}"
+        objects[int(oid)] = ObjectMeta(
+            int(oid), name, Path(m.filename).name, m.width, m.height
+        )
     return objects
 
 

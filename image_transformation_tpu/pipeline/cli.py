@@ -29,8 +29,16 @@ def _install_fake_client(bundle_dir: Path) -> None:
     layout = {"root": {"type": "flex", "direction": "column", "children": children}}
 
     def scripted(messages, **kwargs):
-        sys_text = messages[0].get("content", "") if messages else ""
-        if "critic" in sys_text.lower():
+        # Dispatch on the LAST system-role message: the agentic nodes
+        # append their system prompt last (messages[0] there is the layout
+        # JSON, which would misroute), while only the critic personas'
+        # SYSTEM prompts mention "critic" — the refiner/micro user turns
+        # quote critic feedback and must still receive layout JSON.
+        sys_msgs = [
+            m for m in (messages or []) if m.get("role") == "system"
+        ]
+        probe = sys_msgs[-1] if sys_msgs else (messages[0] if messages else {})
+        if "critic" in str(probe.get("content", "")).lower():
             return {"message": {"content": "1. Overall Score: 8/10\nLooks fine. No violations."}}
         return {"message": {"content": json.dumps(layout)}}
 

@@ -143,3 +143,53 @@ def test_agentic_compositor_rejects_scaling(tmp_path):
     )
     with pytest.raises(ValueError, match="scaling objects is not permitted"):
         build_compositor_node()(state)
+
+
+def test_extract_json_object_survives_prose_and_fences():
+    """Realistic LLM replies: prose before/after the object, stray brace
+    placeholders in trailing text, fences anywhere — all must yield the
+    layout object instead of killing the run."""
+    from image_transformation_tpu.agentic.nodes import extract_json_object
+
+    layout = {"root": {"type": "flex", "children": [{"object_id": 1}]}}
+    blob = json.dumps(layout)
+    cases = [
+        blob,
+        f"Here is the layout: {blob} Note: tune {{gap_px}} later.",
+        f"Sure!\n```json\n{blob}\n```\nLet me know.",
+        f"prose first\n```\n{blob}\n```",
+        f"{{broken json}} then the real one {blob}",
+    ]
+    for text in cases:
+        assert extract_json_object(text) == layout, text[:60]
+    with pytest.raises(ValueError):
+        extract_json_object("no json here {not: valid}")
+
+
+def test_micro_nudges_clamp_on_canvas():
+    """An over-eager nudge past a canvas edge clamps instead of going
+    negative — a negative origin would make the compose kernel silently
+    drop the object from the render (PARITY divergence #4) while the
+    layout JSON still records it."""
+    from image_transformation_tpu.agentic.state import AgentState, PlacementState, RunContext
+    from image_transformation_tpu.agentic.tools import adjust_x, adjust_y
+
+    run = RunContext(
+        image_name="t", ratio="1:1", canvas_size=(100, 80), bundle_dir=".",
+        background_path=".", objects_dir=".", results_json_path=".",
+        original_image_path=None, run_root=".", max_iterations=1,
+    )
+    state = AgentState(
+        run=run,
+        objects={1: ObjectMeta(1, "logo", "logo.png", 30, 20)},
+        api_type="fake", api_key=None, temperature=0.0,
+    )
+    state.placements["logo"] = PlacementState(
+        object_id=1, name="logo", x=5, y=5, width=30, height=20
+    )
+    adjust_x(state, "logo", -50)
+    assert state.placements["logo"].x == 0
+    adjust_y(state, "logo", 500)
+    assert state.placements["logo"].y == 60  # 80 - 20
+    adjust_x(state, "logo", 500)
+    assert state.placements["logo"].x == 70  # 100 - 30
