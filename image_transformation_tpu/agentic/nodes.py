@@ -32,47 +32,14 @@ def load_prompt(name: str) -> str:
 
 def extract_json_object(text: str) -> Dict:
     """Tolerant JSON extraction; raises ValueError when nothing parses.
+    One extractor for the whole framework: vlm.client.scan_json_object
+    (fence-aware balanced-brace scan)."""
+    from ..vlm.client import scan_json_object
 
-    Fenced blocks ANYWHERE in the text are tried first (models often
-    preface them with prose), then a balanced-brace scan returns the
-    FIRST parseable object — a first-{-to-last-} slice would splice in
-    trailing prose like "tune {gap_px} later" and kill the run on output
-    the agent loop should survive."""
-
-    def first_object(s: str):
-        depth = 0
-        start = -1
-        for i, ch in enumerate(s):
-            if ch == "{":
-                if depth == 0:
-                    start = i
-                depth += 1
-            elif ch == "}" and depth:
-                depth -= 1
-                if depth == 0 and start != -1:
-                    try:
-                        obj = json.loads(s[start : i + 1])
-                    except json.JSONDecodeError:
-                        start = -1  # e.g. a brace inside prose; keep going
-                        continue
-                    if isinstance(obj, dict):
-                        return obj
-        return None
-
-    s = text.strip()
-    candidates = []
-    parts = s.split("```")
-    for k in range(1, len(parts), 2):  # fenced block contents
-        block = parts[k]
-        if block.startswith("json"):
-            block = block[4:]
-        candidates.append(block.strip())
-    candidates.append(s)
-    for cand in candidates:
-        obj = first_object(cand)
-        if obj is not None:
-            return obj
-    raise ValueError("no JSON object found in response")
+    obj = scan_json_object(text)
+    if obj is None:
+        raise ValueError("no JSON object found in response")
+    return obj
 
 
 def _iteration_dirs(state: AgentState) -> Dict[str, Path]:

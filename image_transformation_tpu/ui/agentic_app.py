@@ -46,10 +46,20 @@ def main() -> None:
     max_iterations = st.sidebar.slider("Micro iterations", 0, 10, 2, 1)
 
     bundle_root = REPO_ROOT / "data"
-    bundles = sorted(p.name for p in bundle_root.iterdir() if (p / "results.json").exists())
+    bundles = (
+        sorted(
+            p.name for p in bundle_root.iterdir()
+            if (p / "results.json").exists()
+        )
+        if bundle_root.exists()
+        else []
+    )
+    if not bundles:
+        st.warning(f"No segmentation bundles found under {bundle_root}.")
+        return
     bundle_name = st.selectbox("Bundle", bundles)
 
-    if st.button("Run agentic workflow"):
+    if st.button("Run agentic workflow") and bundle_name:
         bundle_dir = bundle_root / bundle_name
         api_type = backend
         if backend == "fake (hermetic)":

@@ -200,6 +200,16 @@ def main() -> None:
                 status_box.success("Run completed.")
             except Exception as e:  # surface to the user, as the reference does
                 status_box.error(f"Run failed: {e}")
+            finally:
+                if backend == "fake (hermetic)":
+                    # the fake registration is PROCESS-global: without this
+                    # a later real-backend run (any session on this server)
+                    # would silently receive canned fake output
+                    from image_transformation_tpu.vlm.client import (
+                        register_fake_client,
+                    )
+
+                    register_fake_client(None)
 
     _artifact_browser(st.session_state.get("selected_stem"))
 
@@ -239,7 +249,12 @@ def _artifact_browser(selected_stem) -> None:
     else:
         st.info("No composed image for this iteration (likely no-change).")
 
-    st.slider("Iteration", 0, idx_max, iter_idx, key="iter_idx")
+    if idx_max > 0:
+        st.slider("Iteration", 0, idx_max, iter_idx, key="iter_idx")
+    else:
+        # real Streamlit rejects st.slider(min=0, max=0); a 0-refine run
+        # has exactly one iteration, so there is nothing to slide
+        st.caption("Single iteration run.")
 
     with st.expander("JSON artifacts"):
         tabs = st.tabs(["VLM layout JSON", "Final placements JSON", "Retry (if any)"])

@@ -88,6 +88,11 @@ def show_run(root: Path, stem: str, iteration: Optional[int] = None) -> Dict:
     iters = _iterations(run_dir)
     if not iters:
         raise FileNotFoundError(f"no iterations under {run_dir}")
+    if iteration is not None and iteration not in iters:
+        raise FileNotFoundError(
+            f"iteration {iteration} not found under {run_dir} "
+            f"(have: {iters})"
+        )
     chosen = iters if iteration is None else [iteration]
     report = {
         "stem": stem,

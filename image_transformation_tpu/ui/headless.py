@@ -172,15 +172,40 @@ class HeadlessStreamlit:
                   key: Optional[str] = None) -> str:
         return self._widget("text_area", label, value, key=key)
 
+    @staticmethod
+    def _bounded(label, result, min_value, max_value):
+        """Enforce real Streamlit's widget invariants: min < max must hold
+        (st.slider(0, 0) raises StreamlitAPIException in the real app —
+        the faithful driver must catch that class of bug, not mask it),
+        and scripted values clamp into range like the real widget would
+        never return an out-of-range value."""
+        if (
+            min_value is not None
+            and max_value is not None
+            and min_value >= max_value
+        ):
+            raise ValueError(
+                f"widget {label!r}: min_value {min_value!r} must be < "
+                f"max_value {max_value!r} (real Streamlit raises here)"
+            )
+        if result is not None:
+            if min_value is not None and result < min_value:
+                result = min_value
+            if max_value is not None and result > max_value:
+                result = max_value
+        return result
+
     def number_input(self, label: str, min_value=None, max_value=None,
                      value=None, step=None, *, key: Optional[str] = None):
         default = value if value is not None else min_value
-        return self._widget("number_input", label, default, key=key)
+        got = self._widget("number_input", label, default, key=key)
+        return self._bounded(label, got, min_value, max_value)
 
     def slider(self, label: str, min_value=None, max_value=None, value=None,
                step=None, *, key: Optional[str] = None):
         default = value if value is not None else min_value
-        return self._widget("slider", label, default, key=key)
+        got = self._widget("slider", label, default, key=key)
+        return self._bounded(label, got, min_value, max_value)
 
     def selectbox(self, label: str, options: Sequence[Any], index: int = 0,
                   *, key: Optional[str] = None):

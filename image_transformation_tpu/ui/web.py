@@ -23,7 +23,7 @@ import json
 import mimetypes
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from urllib.parse import unquote
+from urllib.parse import quote, unquote
 
 from .console import list_runs, show_run
 
@@ -57,7 +57,7 @@ def _render_index(root: Path) -> str:
         body = f"<h1>Macro placement runs</h1><p>No runs under <code>{html.escape(str(root))}</code>.</p>"
         return _PAGE.format(title="runs", body=body)
     rows = "".join(
-        f"<tr><td><a href='/run/{html.escape(r['stem'])}'>{html.escape(r['stem'])}</a></td>"
+        f"<tr><td><a href='/run/{quote(r['stem'])}'>{html.escape(r['stem'])}</a></td>"
         f"<td>{r['iterations']}</td><td>{r['last_iteration']:02d}</td>"
         f"<td>{'yes' if r['has_time_log'] else 'no'}</td></tr>"
         for r in runs
@@ -74,7 +74,10 @@ def _img_tag(root: Path, stem: str, path_str) -> str:
     if not path_str:
         return ""
     rel = Path(path_str).resolve().relative_to((root / stem).resolve())
-    return f"<img src='/file/{html.escape(stem)}/{html.escape(str(rel))}'>"
+    # percent-encode the URL path segments (html.escape is NOT URL
+    # encoding: a stem like "50%_off" or "promo?v2" would otherwise make
+    # a broken link for a run that exists)
+    return f"<img src='/file/{quote(stem)}/{quote(str(rel))}'>"
 
 
 def _render_run(root: Path, stem: str) -> str:

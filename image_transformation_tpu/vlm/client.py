@@ -143,18 +143,60 @@ def prepare_image_b64_jpeg(image_path: Union[str, Path], max_side: int = 512) ->
     return base64.b64encode(buf.getvalue()).decode("utf-8")
 
 
+def scan_json_object(text: str) -> Optional[Dict[str, Any]]:
+    """Tolerant JSON-object scan, the ONE extractor for LLM replies:
+    fenced blocks anywhere in the text are tried first (models preface
+    them with prose), then a balanced-brace scan returns the FIRST
+    parseable object. A greedy first-{-to-last-} slice would splice in
+    trailing prose braces like "tune {gap_px} later" and fail on output
+    the loop should survive. Returns None when nothing parses."""
+
+    def first_object(s: str):
+        depth = 0
+        start = -1
+        for i, ch in enumerate(s):
+            if ch == "{":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "}" and depth:
+                depth -= 1
+                if depth == 0 and start != -1:
+                    try:
+                        obj = json.loads(s[start : i + 1])
+                    except json.JSONDecodeError:
+                        start = -1  # brace inside prose; keep scanning
+                        continue
+                    if isinstance(obj, dict):
+                        return obj
+        return None
+
+    s = text.strip()
+    candidates = []
+    parts = s.split("```")
+    for k in range(1, len(parts), 2):  # fenced block contents
+        block = parts[k]
+        if block.startswith("json"):
+            block = block[4:]
+        candidates.append(block.strip())
+    candidates.append(s)
+    for cand in candidates:
+        obj = first_object(cand)
+        if obj is not None:
+            return obj
+    return None
+
+
 def extract_json_from_content(content: str) -> Dict[str, Any]:
-    """Best-effort JSON extraction (direct parse, then outermost braces)."""
+    """Best-effort JSON extraction: direct parse, then the tolerant scan.
+    Returns the reference's error-dict sentinel when nothing parses."""
     try:
         return json.loads(content.strip())
     except Exception:
         pass
-    m = re.search(r"\{.*\}", content, re.DOTALL)
-    if m:
-        try:
-            return json.loads(m.group(0))
-        except Exception:
-            pass
+    obj = scan_json_object(content)
+    if obj is not None:
+        return obj
     return {"error": "Could not parse JSON from response", "content": content}
 
 
