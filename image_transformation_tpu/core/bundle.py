@@ -176,6 +176,10 @@ def load_bundle_arrays(
     root = ensure_bundle(root)
     with open(root / "results.json", "r", encoding="utf-8") as f:
         items = json.load(f)
+    # duplicate object_ids keep the LAST occurrence — the dict-keyed PIL
+    # loader's semantics — so the native and fallback paths return the
+    # same arrays for the same bundle
+    items = list({int(it["object_id"]): it for it in items}.values())
     items = sorted(items, key=lambda it: int(it["object_id"]))
     paths = [root / it["filename"] for it in items]
     n = n_max if n_max is not None else len(paths)

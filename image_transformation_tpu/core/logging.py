@@ -30,8 +30,10 @@ class RunLogger:
             event.update(fields)
             try:
                 with open(self.events_path, "a", encoding="utf-8") as f:
-                    f.write(json.dumps(event) + "\n")
-            except OSError:
+                    # default=str: numpy scalars/Paths in **fields must
+                    # never crash the run the logger exists to observe
+                    f.write(json.dumps(event, default=str) + "\n")
+            except Exception:  # noqa: BLE001 - event persistence is best-effort
                 pass
 
     def event(self, tag: str, **fields: Any) -> None:
@@ -41,8 +43,8 @@ class RunLogger:
             event.update(fields)
             try:
                 with open(self.events_path, "a", encoding="utf-8") as f:
-                    f.write(json.dumps(event) + "\n")
-            except OSError:
+                    f.write(json.dumps(event, default=str) + "\n")
+            except Exception:  # noqa: BLE001 - best-effort
                 pass
 
 

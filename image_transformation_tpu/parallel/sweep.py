@@ -386,9 +386,18 @@ def throughput_sweep(
         else:
             W, H = compute_canvas_size(bundles[0].background.size, ratio, verbose=False)
         B = batch_per_ratio
-        canvases = np.zeros((B, H, W, 4), np.uint8)
-        canvases[..., :3] = 128
-        canvases[..., 3] = 255
+        # the solid-render (pallas) step ignores its canvases argument
+        # entirely (backgrounds synthesize on device): build/upload the
+        # ~2 GB host tensor lazily, only for the xla/mesh/fallback paths
+        _canvases_cell: list = []
+
+        def canvases_np() -> np.ndarray:
+            if not _canvases_cell:
+                c = np.zeros((B, H, W, 4), np.uint8)
+                c[..., :3] = 128
+                c[..., 3] = 255
+                _canvases_cell.append(c)
+            return _canvases_cell[0]
         objs = np.zeros((B, n_max, pad_h, pad_w, 4), np.uint8)
         hw = np.zeros((B, n_max, 2), np.int32)
         boxes = np.zeros((B, n_max, 4), np.int32)
@@ -475,7 +484,11 @@ def throughput_sweep(
                     (H, W), (pad_h, pad_w), static_obj_hw=static_hw
                 )
         if not k_scan:
-            args = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+            # solid-render steps never read their canvases argument; pass a
+            # 1-element dummy there instead of uploading the ~GB tensor
+            lazy_ok = kernel == "pallas" and mesh is None
+            c = np.zeros((1, 1, 1, 4), np.uint8) if lazy_ok else canvases_np()
+            args = tuple(jnp.asarray(x) for x in (c, objs, hw, boxes))
             per_rep = B
         # the pallas per-batch path switches to the framebuffer-reuse
         # program on its SECOND call — warm both programs so neither
@@ -483,9 +496,28 @@ def throughput_sweep(
         warm_calls = warmup + (
             1 if (kernel == "pallas" and mesh is None and not k_scan) else 0
         )
-        for _ in range(warm_calls):
-            out, stat = step(*args)
-            np.asarray(stat)  # true execution fence (see bench.py)
+        for w_i in range(max(1, warm_calls)):
+            try:
+                out, stat = step(*args)
+                np.asarray(stat)  # true execution fence (see bench.py)
+            except Exception as e:  # noqa: BLE001 - runtime (async) kernel
+                # failure surfaces at the FENCE, after step()'s own except
+                # already returned: latch the generic fallback here instead
+                # of crashing the sweep
+                import sys
+
+                print(f"[sweep] fenced warmup failed ({e!r}); latching "
+                      "the generic step", file=sys.stderr)
+                step = make_batched_compose(
+                    (pad_h, pad_w), method=method, kernel="xla"
+                )
+                args = tuple(
+                    jnp.asarray(x) for x in (canvases_np(), objs, hw, boxes)
+                )
+                k_scan = 0
+                per_rep = B
+                out, stat = step(*args)
+                np.asarray(stat)
         t0 = time.perf_counter()
         for _ in range(reps):
             out, stat = step(*args)

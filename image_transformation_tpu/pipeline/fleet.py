@@ -40,6 +40,27 @@ def _fallback_layout(items: List[dict]) -> Dict:
     return {"root": {"type": "flex", "direction": "column", "children": children}}
 
 
+def _unique_stems(bundle_dirs: Sequence[Path]) -> Dict[Path, str]:
+    """Stable unique output stem per bundle dir: two dirs sharing a
+    basename (clientA/promo, clientB/promo) get parent-qualified stems so
+    their artifact trees and result keys never collide — under the full
+    loop a collision is destructive (run_macro_only PURGES its tree at
+    start, so one thread would delete the other's in-flight run)."""
+    dirs = [Path(d) for d in bundle_dirs]
+    by_name: Dict[str, int] = {}
+    for d in dirs:
+        by_name[d.name] = by_name.get(d.name, 0) + 1
+    stems: Dict[Path, str] = {}
+    used: set = set()
+    for d in dirs:
+        stem = d.name if by_name[d.name] == 1 else f"{d.parent.name}__{d.name}"
+        while stem in used:  # parent names may collide too
+            stem += "_"
+        used.add(stem)
+        stems[d] = stem
+    return stems
+
+
 def _layout_from_previous_run(
     bundle_dir: Path, search_roots: Sequence[Path]
 ) -> Optional[Dict]:
@@ -55,7 +76,13 @@ def _layout_from_previous_run(
         for idx in range(last, -1, -1):
             state = base / f"iteration_{idx:02d}" / "layout_json" / "loop_state.json"
             if state.exists():
-                flex = json.loads(state.read_text()).get("flex_raw") or {}
+                try:
+                    flex = json.loads(state.read_text()).get("flex_raw") or {}
+                except (json.JSONDecodeError, OSError):
+                    # a truncated state file (interrupted run) must not
+                    # abort the whole fleet — older iterations or the
+                    # fallback layout still apply
+                    continue
                 if "root" in flex:
                     return flex
     return None
@@ -103,6 +130,7 @@ def run_fleet(
     ``data`` axis when a mesh is given. ``reps`` > 1 re-runs the device
     step for stable throughput numbers (amortizing dispatch).
     """
+    reps = max(1, int(reps))
     import jax.numpy as jnp
 
     from ..core.bundle import load_bundle
@@ -122,7 +150,10 @@ def run_fleet(
     total_device_s = 0.0
     t_start = time.perf_counter()
 
+    stems = _unique_stems([Path(d) for d in bundle_dirs])
     for bundle_dir in map(Path, bundle_dirs):
+        stem = stems[bundle_dir]
+        probe_warm = False  # set when the pallas probe already warmed the step
         bundle = load_bundle(bundle_dir)
         flex, layout_src = resolve_layout(
             bundle_dir, bundle.items, layout_json, output_root=output_root
@@ -171,6 +202,7 @@ def run_fleet(
                     # dispatch is async: fence so a runtime kernel failure
                     # surfaces HERE and latches the fallback, not later
                     np.asarray(probe[-1])
+                    probe_warm = True  # the probe IS the warmup call
                 except Exception as e:  # noqa: BLE001 - no Mosaic here
                     import sys as _sys
 
@@ -189,8 +221,9 @@ def run_fleet(
         )
         if valid is not None:
             args = args + (jnp.asarray(valid),)
-        result = step(*args)
-        np.asarray(result[-1])  # execution fence (see bench.py)
+        if not probe_warm:
+            result = step(*args)
+            np.asarray(result[-1])  # execution fence (see bench.py)
         t0 = time.perf_counter()
         for _ in range(reps):
             result = step(*args)
@@ -200,7 +233,7 @@ def run_fleet(
 
         out_np = np.asarray(out)
         boxes_np = np.asarray(boxes)
-        bdir = output_root / bundle_dir.name
+        bdir = output_root / stem
         renders = {}
         for i, r in enumerate(ratios):
             w, h = sizes_wh[i]
@@ -217,7 +250,7 @@ def run_fleet(
 
         total_canvases += v_real * reps
         total_device_s += device_s * reps
-        summary["bundles"][bundle_dir.name] = {
+        summary["bundles"][stem] = {
             "layout_source": layout_src,
             "objects": int(arrays.n_valid),
             "canvas_sizes": {r: list(sizes_wh[i]) for i, r in enumerate(ratios)},
@@ -288,19 +321,28 @@ def run_fleet_loops(
     from .run import run_macro_only
 
     results: Dict[str, Dict] = {}
+    dirs = [Path(d) for d in bundle_dirs]
+    stems = _unique_stems(dirs)
 
     def one(bundle_dir: Path) -> None:
+        stem = stems[bundle_dir]
         try:
+            # colliding basenames get their OWN output root: run_macro_only
+            # names (and purges!) its tree by bundle_dir.name, so two
+            # threads sharing a name would destroy each other's runs
+            root = base_output_root
+            if stem != bundle_dir.name:
+                root = Path(root or "output_macro_placement") / stem
             out = run_macro_only(
                 bundle_dir, ratio, align, margin,
-                base_output_root=base_output_root, **run_kwargs,
+                base_output_root=root, **run_kwargs,
             )
-            results[bundle_dir.name] = {"output": str(out)}
+            results[stem] = {"output": str(out)}
         except Exception as e:  # noqa: BLE001 - per-bundle isolation
-            results[bundle_dir.name] = {"error": str(e)}
+            results[stem] = {"error": str(e)}
 
     with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
-        list(pool.map(one, map(Path, bundle_dirs)))
+        list(pool.map(one, dirs))
     return results
 
 
