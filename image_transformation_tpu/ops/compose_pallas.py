@@ -10,7 +10,12 @@ for each object the kernel:
 2. premultiplies the RGBA cutout (Pillow MULDIV255, exact int math);
 3. resamples with Pillow's int32 fixed-point tables via 3-limb bf16 MXU
    dots — bf16 holds the 8-bit limbs and pixels exactly and the MXU
-   accumulates in f32, so the int32 arithmetic is reproduced exactly;
+   accumulates in f32, so the int32 arithmetic is reproduced exactly
+   up to ~256 live taps per coefficient row (beyond that the f32 limb
+   accumulators pass 2^24 — a >43x lanczos downscale; the ENGINE routes
+   such placements to ops.compose's chunked-exact wide path, see
+   resize.needs_wide_accumulation, and the traced-table kernels are
+   inside their documented +-2/255 envelope regardless);
 4. unpremultiplies (floor(255*c/a), alpha==0 passthrough) and applies the
    PIL identity-size shortcut;
 5. alpha-blends (Pillow fixed-point, PRECISION_BITS=7) and DMAs the
@@ -602,7 +607,7 @@ def composite_batch_pallas(
     return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
 
 
-def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int], wp: int):
+def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
     """Blend-only kernel: resized sources are precomputed (XLA resize);
     the kernel DMAs a full-width ROW BAND of the canvas per object (one
     contiguous run per channel plane — window-shaped DMAs fragment into
@@ -695,7 +700,7 @@ def _pallas_blend_planar(
         ],
     )
     return pl.pallas_call(
-        _make_blend_kernel(N, (mh_a, mw_a), wp),
+        _make_blend_kernel(N, (mh_a, mw_a)),
         out_shape=jax.ShapeDtypeStruct(canvas_p.shape, jnp.uint8),
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
@@ -975,7 +980,6 @@ def _hybrid_producer_aligned(canvases, objs, obj_hw, boxes, out_max_hw, method):
             objf, (hw[0], hw[1]), (h, w), (dy, dx), (MH, MW), method
         )
         # PIL identity shortcut: plain copy, shifted into position.
-        ph, pw = obj.shape[0], obj.shape[1]
         ident = jax.lax.dynamic_update_slice(
             jnp.zeros((MH, MW, 4), jnp.float32), objf, (dy, dx, 0)
         )
@@ -1413,7 +1417,7 @@ def _pallas_blend_resident(
     )(meta, canvas_v, src_v)
 
 
-def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int], wp: int):
+def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int]):
     """Clamped-window blend with full-width ROW-BAND DMAs.
 
     The window-slice DMA of the clamped kernel fragments into MH row-segment
@@ -1495,7 +1499,7 @@ def _pallas_blend_band(
         ],
     )
     return pl.pallas_call(
-        _make_blend_kernel_band(N, (mh_a, mw_a), wp),
+        _make_blend_kernel_band(N, (mh_a, mw_a)),
         out_shape=jax.ShapeDtypeStruct(canvas_v.shape, jnp.int32),
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
@@ -3150,8 +3154,11 @@ def composite_batch_fused_v3(
     mw_a = _round_up(out_max_hw[1], 128)
     if canvases is None:
         bg_packed = pack_rgba_scalar(bg_rgba)
+        # batch from BOXES, not objs: a shared [1, N, ...] object tensor
+        # (STATUS item 24) against B-batch boxes must render B canvases,
+        # not silently drop boxes[1:] behind a 1-canvas plane
         canvas_v, objs_p, meta = _fused_v3_producer_fill(
-            objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c), objs.shape[0],
+            objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c), boxes.shape[0],
             bg_packed,
         )
     else:
@@ -3634,9 +3641,13 @@ def composite_batch_fused_v2_host_tables(
 
     The gen-2 kernel's 3-limb MXU dots are exact integer arithmetic given
     int32 tables; with Pillow-exact host tables (build_coeffs_host) the
-    whole path reproduces PIL bit-for-bit — at fused-kernel speed. Boxes
-    must be host data (the orchestrator/serving case); canvases/objects
-    may stay device-resident. Returns u8 [B, H, W, 4].
+    whole path reproduces PIL bit-for-bit — at fused-kernel speed — for
+    coefficient rows up to ~256 live taps (see the module header; extreme
+    >43x downscales exceed the f32 limb accumulators' exact range and
+    belong on ops.compose's chunked-exact wide path, which the engine
+    selects automatically). Boxes must be host data (the
+    orchestrator/serving case); canvases/objects may stay
+    device-resident. Returns u8 [B, H, W, 4].
     """
     h_c, w_c = canvases.shape[1], canvases.shape[2]
     if objs.shape[4] != 4:  # pre-planarized

@@ -498,6 +498,26 @@ def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
         )
     )
     assert np.array_equal(packed_to_u8_np(full)[:, :H, :W], ref_fill)
+    # fill path + SHARED object tensor (STATUS item 24): [1, N, ...]
+    # objects against B-batch boxes must render B canvases identical to
+    # the copied form — the canvas batch sizes from BOXES, not objs
+    same_objs = np.array_equal(np.asarray(op[0]), np.asarray(op[1]))
+    op_sh = op[:1] if same_objs else jnp.broadcast_to(op[:1], op.shape)[:1]
+    ref_sh = np.asarray(
+        composite_batch_fused_v3(
+            None, jnp.broadcast_to(op_sh, op.shape), *dev[2:],
+            interpret=True, packed_out=True, padded_out=True,
+            bg_rgba=(40, 40, 40, 255), canvas_hw=(H, W),
+        )
+    )
+    full_sh = np.asarray(
+        composite_batch_fused_v3(
+            None, op_sh, *dev[2:], interpret=True, packed_out=True,
+            padded_out=True, bg_rgba=(40, 40, 40, 255), canvas_hw=(H, W),
+        )
+    )
+    assert full_sh.shape[0] == B
+    assert np.array_equal(full_sh, ref_sh)
     # single-program renderer (the bench headline path): same pixels
     from image_transformation_tpu.ops.compose_pallas import (
         pack_rgba_scalar,
