@@ -1,0 +1,39 @@
+#!/bin/bash
+# One-shot hardware re-measure after the round-2 continuation changes
+# (shared object tensor, masked luma, wide-accumulation path). Run when
+# the dev-tunnel TPU returns; each step is bounded so a wedged device
+# can't hang the batch. Results land in /tmp/hw_refresh/.
+set -u
+OUT=${1:-/tmp/hw_refresh}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+probe() {
+  timeout 60 python -c "import jax, jax.numpy as jnp; print('tpu:', jax.jit(lambda v: (v*2).sum())(jnp.arange(8.0)))" || {
+    echo "TPU unreachable; aborting refresh"; exit 1; }
+}
+
+probe
+
+# 1. headline at the default batch, twice (stability check)
+timeout 600 python bench.py > "$OUT/bench_448_a.json" 2> "$OUT/bench_448_a.log"
+timeout 600 python bench.py > "$OUT/bench_448_b.json" 2> "$OUT/bench_448_b.log"
+
+# 2. the old resource wall: shared objects removed ~3.7 GB of duplicated
+#    HBM, so 512 may now fit (and 640 beyond it). Bounded: a hang here is
+#    the wall, not a reason to lose the rest of the batch.
+timeout 420 python bench.py --batch 512 > "$OUT/bench_512.json" 2> "$OUT/bench_512.log"
+timeout 420 python bench.py --batch 640 > "$OUT/bench_640.json" 2> "$OUT/bench_640.log"
+
+probe  # 512/640 may wedge the tunnel; stop cleanly if so
+
+# 3. the 4K sweep + multi-ratio configs on the items-15-24 kernel
+timeout 900 python benchmarks/run_all.py > "$OUT/run_all.log" 2>&1
+cp benchmarks/results.json "$OUT/results.json" 2>/dev/null || true
+
+# 4. identity workload + hardware numerics validation
+timeout 600 python benchmarks/identity_bench.py --batch 64 > "$OUT/identity.log" 2>&1 || true
+timeout 900 python benchmarks/validate_hw.py --random-trials 12 > "$OUT/validate_hw.log" 2>&1 || true
+
+echo "refresh complete: $OUT"
+ls -la "$OUT"
