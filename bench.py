@@ -110,7 +110,38 @@ def main() -> None:
         throughput_sweep,
     )
 
-    log(f"devices: {jax.devices()}")
+    # Bounded backend init: a wedged device tunnel hangs jax.devices()
+    # FOREVER (observed: the remote server died mid-round and every
+    # backend init blocked in make_c_api_client). Probe in a daemon
+    # thread so an unreachable device yields one honest JSON error line
+    # instead of a silent hang the driver can only kill. 900 s default
+    # comfortably covers the observed 151 s cold-process warmup.
+    import os as _os
+    import threading
+
+    _ready = threading.Event()
+    _dev_cell: list = []
+
+    def _probe_devices() -> None:
+        _dev_cell.append(jax.devices())
+        _ready.set()
+
+    threading.Thread(target=_probe_devices, daemon=True).start()
+    timeout_s = float(_os.environ.get("ITPU_BACKEND_INIT_TIMEOUT_S", "900"))
+    if not _ready.wait(timeout=timeout_s):
+        print(json.dumps({
+            "metric": "composited 1080p canvases/sec/chip",
+            "value": 0.0,
+            "unit": "canvases/sec",
+            "vs_baseline": 0.0,
+            "error": (
+                f"device backend init did not complete within {timeout_s:.0f}s "
+                "(unreachable tunnel?)"
+            ),
+        }))
+        _os._exit(2)
+
+    log(f"devices: {_dev_cell[0]}")
     bundle = load_bundle(REPO / "data" / "squarespace")
     arrays = bundle.to_arrays()
     H, W = 1080, 1920
