@@ -212,3 +212,37 @@ def test_ragged_shard_map_solid_render(workload):
         jnp.asarray(boxes),
     )
     assert np.array_equal(got, np.asarray(ref_out))
+
+
+def test_sharded_gradient_background_matches_single_chip(workload):
+    """The sharded step's gradient support (gained when the per-variant
+    render core was unified with make_fused_render) is bit-identical to
+    the single-chip gradient render across the 8-way mesh."""
+    prog, objs, obj_wh, known, _bg = workload
+    mesh = make_mesh(jax.devices()[:8], spatial=1)
+    v = 8
+    canvas_wh = _mixed_sizes(v)
+    bg_grad = np.array([[200, 40, 10], [15, 90, 230]], np.uint8)  # c1, c2
+
+    step = make_sharded_fused_render(
+        mesh, prog, (H_MAX, W_MAX), (PAD_H, PAD_W),
+        background="gradient", gradient_horizontal=True,
+    )
+    with mesh:
+        out, boxes, luma = step(
+            jnp.asarray(canvas_wh), jnp.asarray(bg_grad), jnp.asarray(objs),
+            jnp.asarray(obj_wh), jnp.asarray(known),
+        )
+    ref = make_fused_render(
+        prog, (H_MAX, W_MAX), (PAD_H, PAD_W),
+        background="gradient", gradient_horizontal=True,
+    )
+    ref_out, ref_boxes, _, ref_luma = ref(
+        jnp.asarray(canvas_wh), jnp.asarray(bg_grad), jnp.asarray(objs),
+        jnp.asarray(obj_wh), jnp.asarray(known),
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(ref_out))
+    assert np.array_equal(np.asarray(boxes), np.asarray(ref_boxes))
+    assert np.allclose(
+        float(luma[0]), float(np.mean(np.asarray(ref_luma))), rtol=1e-5
+    )
