@@ -9,7 +9,8 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
 probe() {
-  timeout 60 python -c "import jax, jax.numpy as jnp; print('tpu:', jax.jit(lambda v: (v*2).sum())(jnp.arange(8.0)))" || {
+  # cold-process backend warmup alone has measured 151 s — give it room
+  timeout 300 python -c "import jax, jax.numpy as jnp; print('tpu:', jax.jit(lambda v: (v*2).sum())(jnp.arange(8.0)))" || {
     echo "TPU unreachable; aborting refresh"; exit 1; }
 }
 
