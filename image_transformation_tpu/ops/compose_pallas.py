@@ -389,6 +389,53 @@ def window_extents(out_hw: Tuple[int, int]) -> Tuple[int, int]:
     return _round_up(mh_out + 8, 8), _round_up(mw_out + 128, 128)
 
 
+def _legacy_canvas_pad_hw(
+    canvas_hw: Tuple[int, int], window_hw: Tuple[int, int]
+) -> Tuple[int, int]:
+    """Padded extents for the UNCLAMPED legacy kernels: the canvas pre-pads
+    by a full window on the bottom/right so out-of-range window origins
+    never need in-kernel clamping (cropped back by the wrapper)."""
+    h_c, w_c = canvas_hw
+    MH, MW = window_hw
+    return _round_up(h_c + MH, 8), _round_up(w_c + MW, 128)
+
+
+def _window_meta6(boxes, canvas_hw, origin_cap=None, same=None):
+    """Shared drop/clamp/window-origin derivation for every producer tier.
+
+    Returns the [B, N, 6] i32 meta = (ws_x, ws_y, dx, dy, same, valid)
+    consumed by the blend kernels: window origins quantize down to the
+    (8, 128) DMA tiles, (dx, dy) is the object's in-window offset, and
+    placements whose top-left corner falls outside the canvas are dropped
+    (the reference paints nothing for them either — its paste origin is
+    the clamped box corner, compositor.py:16-21).
+
+    ``origin_cap``: (max_ws_y, max_ws_x) for the CLAMPED kernels, whose
+    window origins must stay inside the tile-aligned padded canvas; None
+    selects the unclamped legacy convention (canvas pre-padded by a full
+    window, see _legacy_canvas_pad_hw). ``same``: optional [B, N] bool
+    identity-size flags (kernels with an identity fast path); zeros when
+    absent.
+    """
+    h_c, w_c = canvas_hw
+    x1 = boxes[..., 0]
+    y1 = boxes[..., 1]
+    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
+    x1c = jnp.clip(x1, 0, w_c)
+    y1c = jnp.clip(y1, 0, h_c)
+    ws_x = (x1c // 128) * 128
+    ws_y = (y1c // 8) * 8
+    if origin_cap is not None:
+        ws_y = jnp.minimum(ws_y, origin_cap[0])
+        ws_x = jnp.minimum(ws_x, origin_cap[1])
+    same_col = jnp.zeros_like(x1) if same is None else same.astype(jnp.int32)
+    return jnp.stack(
+        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same_col,
+         (~drop).astype(x1.dtype)],
+        axis=-1,
+    ).astype(jnp.int32)
+
+
 def _make_kernel(n_obj: int, out_hw: Tuple[int, int]):
     mh_out, mw_out = out_hw
     MH, MW = window_extents(out_hw)
@@ -576,32 +623,14 @@ def composite_batch_pallas(
     mh_out, mw_out = mh_out_a, mw_out_a
     MH, MW = window_extents((mh_out, mw_out))
 
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    w = jnp.maximum(1, boxes[..., 2] - x1)
-    h = jnp.maximum(1, boxes[..., 3] - y1)
+    w = jnp.maximum(1, boxes[..., 2] - boxes[..., 0])
+    h = jnp.maximum(1, boxes[..., 3] - boxes[..., 1])
     same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = (x1c // 128) * 128  # DMA-tile-aligned window origin
-    ws_y = (y1c // 8) * 8
-    meta = jnp.stack(
-        [
-            ws_x,
-            ws_y,
-            x1c - ws_x,
-            y1c - ws_y,
-            same.astype(jnp.int32),
-            (~drop).astype(jnp.int32),
-        ],
-        axis=-1,
-    ).astype(jnp.int32)
+    meta = _window_meta6(boxes, (h_c, w_c), same=same)
 
     canvas_p = jnp.transpose(canvases, (0, 3, 1, 2))
-    pad_rows = _round_up(h_c + MH, 8) - h_c
-    pad_cols = _round_up(w_c + MW, 128) - w_c
-    canvas_p = jnp.pad(canvas_p, ((0, 0), (0, 0), (0, pad_rows), (0, pad_cols)))
+    hp, wp = _legacy_canvas_pad_hw((h_c, w_c), (MH, MW))
+    canvas_p = jnp.pad(canvas_p, ((0, 0), (0, 0), (0, hp - h_c), (0, wp - w_c)))
     objs_p = jnp.transpose(objs, (0, 1, 4, 2, 3))
     out_p = _pallas_compose_planar(canvas_p, objs_p, kh, kv_t, meta, interpret)
     return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
@@ -746,23 +775,11 @@ def composite_batch_hybrid(
     resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
     src_p = jnp.transpose(resized.astype(jnp.uint8), (0, 1, 4, 2, 3))
 
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = (x1c // 128) * 128
-    ws_y = (y1c // 8) * 8
-    meta = jnp.stack(
-        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
-         (~drop).astype(x1.dtype)],
-        axis=-1,
-    ).astype(jnp.int32)
+    meta = _window_meta6(boxes, (h_c, w_c))
 
     canvas_p = jnp.transpose(canvases, (0, 3, 1, 2))
-    pad_rows = _round_up(h_c + MH, 8) - h_c
-    pad_cols = _round_up(w_c + MW, 128) - w_c
-    canvas_p = jnp.pad(canvas_p, ((0, 0), (0, 0), (0, pad_rows), (0, pad_cols)))
+    hp, wp = _legacy_canvas_pad_hw((h_c, w_c), (MH, MW))
+    canvas_p = jnp.pad(canvas_p, ((0, 0), (0, 0), (0, hp - h_c), (0, wp - w_c)))
     out_p = _pallas_blend_planar(canvas_p, src_p, meta, interpret)
     return jnp.transpose(out_p[:, :, :h_c, :w_c], (0, 2, 3, 1))
 
@@ -962,15 +979,9 @@ def _hybrid_producer_aligned(canvases, objs, obj_hw, boxes, out_max_hw, method):
     mh_a, mw_a = out_max_hw
     MH, MW = window_extents((mh_a, mw_a))
 
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = (x1c // 128) * 128
-    ws_y = (y1c // 8) * 8
-    dxs = x1c - ws_x
-    dys = y1c - ws_y
+    meta = _window_meta6(boxes, (h_c, w_c))
+    dxs = meta[..., 2]
+    dys = meta[..., 3]
 
     def resize_one(obj, hw, box, dy, dx):
         w = jnp.maximum(1, box[2] - box[0])
@@ -989,15 +1000,9 @@ def _hybrid_producer_aligned(canvases, objs, obj_hw, boxes, out_max_hw, method):
     aligned = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes, dys, dxs)
     src_v = jax.lax.bitcast_convert_type(aligned.astype(jnp.uint8), jnp.int32)
 
-    meta = jnp.stack(
-        [ws_x, ws_y, dxs, dys, jnp.zeros_like(x1), (~drop).astype(x1.dtype)],
-        axis=-1,
-    ).astype(jnp.int32)
-
     canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
-    pad_rows = _round_up(h_c + MH, 8) - h_c
-    pad_cols = _round_up(w_c + MW, 128) - w_c
-    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, pad_rows), (0, pad_cols)))
+    hp, wp = _legacy_canvas_pad_hw((h_c, w_c), (MH, MW))
+    canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
     return canvas_v, src_v, meta
 
 
@@ -1864,15 +1869,8 @@ def _hybrid_producer_rowbaked(canvases, objs, obj_hw, boxes, out_max_hw, method)
     hp = max(_round_up(h_c, 8), MH)
     wp = max(_round_up(w_c, 128), MW)
 
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
-    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
-    dxs = x1c - ws_x
-    dys = y1c - ws_y
+    meta = _window_meta6(boxes, (h_c, w_c), origin_cap=(hp - MH, wp - MW))
+    dys = meta[..., 3]
 
     def resize_one(obj, hw, box, dy):
         w = jnp.maximum(1, box[2] - box[0])
@@ -1898,11 +1896,6 @@ def _hybrid_producer_rowbaked(canvases, objs, obj_hw, boxes, out_max_hw, method)
 
     resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes, dys)
     src_v = jax.lax.bitcast_convert_type(resized.astype(jnp.uint8), jnp.int32)
-
-    meta = jnp.stack(
-        [ws_x, ws_y, dxs, dys, jnp.zeros_like(x1), (~drop).astype(x1.dtype)],
-        axis=-1,
-    ).astype(jnp.int32)
 
     canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
     canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
@@ -1944,21 +1937,8 @@ def _hybrid_producer_impl(canvases, objs, obj_hw, boxes, out_max_hw, method, cla
     resized = jax.vmap(jax.vmap(resize_one))(objs, obj_hw, boxes)
     src_v = jax.lax.bitcast_convert_type(resized, jnp.int32)
 
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = (x1c // 128) * 128
-    ws_y = (y1c // 8) * 8
-    if clamp:
-        ws_x = jnp.minimum(ws_x, wp - MW)
-        ws_y = jnp.minimum(ws_y, hp - MH)
-    meta = jnp.stack(
-        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, jnp.zeros_like(x1),
-         (~drop).astype(x1.dtype)],
-        axis=-1,
-    ).astype(jnp.int32)
+    cap = (hp - MH, wp - MW) if clamp else None
+    meta = _window_meta6(boxes, (h_c, w_c), origin_cap=cap)
 
     canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)  # [B, H, W]
     canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
@@ -2323,18 +2303,9 @@ def _fused_v2_producer(canvases, objs, obj_hw, boxes, out_max_hw, method):
         (0, 1, 4, 2, 3),
     )
 
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
-    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
-    meta = jnp.stack(
-        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same.astype(jnp.int32),
-         (~drop).astype(x1.dtype)],
-        axis=-1,
-    ).astype(jnp.int32)
+    meta = _window_meta6(
+        boxes, (h_c, w_c), origin_cap=(hp - MH, wp - MW), same=same
+    )
 
     canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
     canvas_v = jnp.pad(canvas_v, ((0, 0), (0, hp - h_c), (0, wp - w_c)))
@@ -3038,25 +3009,20 @@ def planarize_objects(objs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fused_v3_meta(obj_hw, boxes, canvas_hw, pad_hw, window_hw):
-    """Clamped window meta [B, N, 10] shared by the v3 producers."""
-    h_c, w_c = canvas_hw
+    """Clamped window meta [B, N, 10] shared by the v3 producers: the
+    shared 6-column window meta plus per-object source and target sizes
+    (the gen-3 kernel builds its coefficient tables in-kernel from these,
+    STATUS item 12)."""
     hp, wp = pad_hw
     MH, MW = window_hw
-    x1 = boxes[..., 0]
-    y1 = boxes[..., 1]
-    w = jnp.maximum(1, boxes[..., 2] - x1)
-    h = jnp.maximum(1, boxes[..., 3] - y1)
+    w = jnp.maximum(1, boxes[..., 2] - boxes[..., 0])
+    h = jnp.maximum(1, boxes[..., 3] - boxes[..., 1])
     same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
-    drop = (x1 < 0) | (y1 < 0) | (x1 >= w_c) | (y1 >= h_c)
-    x1c = jnp.clip(x1, 0, w_c)
-    y1c = jnp.clip(y1, 0, h_c)
-    ws_x = jnp.minimum((x1c // 128) * 128, wp - MW)
-    ws_y = jnp.minimum((y1c // 8) * 8, hp - MH)
-    return jnp.stack(
-        [ws_x, ws_y, x1c - ws_x, y1c - ws_y, same.astype(jnp.int32),
-         (~drop).astype(x1.dtype), obj_hw[..., 0], obj_hw[..., 1], h, w],
-        axis=-1,
-    ).astype(jnp.int32)
+    meta6 = _window_meta6(
+        boxes, canvas_hw, origin_cap=(hp - MH, wp - MW), same=same
+    )
+    sizes = jnp.stack([obj_hw[..., 0], obj_hw[..., 1], h, w], axis=-1)
+    return jnp.concatenate([meta6, sizes.astype(jnp.int32)], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "canvas_hw"))
