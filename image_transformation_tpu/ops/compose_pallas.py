@@ -871,6 +871,65 @@ def _make_blend_kernel_packed(n_obj: int, src_hw: Tuple[int, int]):
     return kernel
 
 
+def _double_buffered_walk(n_batch, window_dma, compute, aux_dma=None,
+                          aux_wait_first=False, pre_loop=None):
+    """Shared double-buffer scaffold for the batch-walking kernels.
+
+    The grid iterates OBJECTS; this walks the batch with two VMEM slots so
+    the next canvas's window (and optional per-step aux tensor: resized
+    source or raw object) prefetches while the current step computes —
+    consecutive steps touch different canvases, so there is no aliasing
+    hazard, and each step's writeback is waited one iteration later (the
+    epilogue waits the last) so all of a grid step's writebacks land
+    before the next grid step reuses those canvases (z-order preserved).
+
+    ``window_dma(b, slot, to_vmem)`` -> async-copy descriptor for canvas
+    b's window; ``aux_dma(b, slot)`` -> descriptor for the step's second
+    inbound tensor (None when the caller fetches it once up front);
+    ``compute(b, slot)`` does the step's work for a STATIC slot index
+    (dynamic-dim vector loads/stores lower to slow relayouts, so the walk
+    branches on the slot); ``aux_wait_first`` waits the aux DMA before the
+    window DMA (the fused kernel's historical order); ``pre_loop`` runs
+    after the b=0 prefetch starts (one-time shared-asset fetch).
+    """
+    window_dma(0, 0, True).start()
+    if aux_dma is not None:
+        aux_dma(0, 0).start()
+    if pre_loop is not None:
+        pre_loop()
+
+    def body(b, _):
+        slot = jax.lax.rem(b, 2)
+        nslot = 1 - slot
+
+        # Reuse of buffer nslot requires its previous write-back done.
+        @pl.when(b > 0)
+        def _():
+            window_dma(b - 1, nslot, False).wait()
+
+        @pl.when(b + 1 < n_batch)
+        def _():
+            window_dma(b + 1, nslot, True).start()
+            if aux_dma is not None:
+                aux_dma(b + 1, nslot).start()
+
+        if aux_dma is not None and aux_wait_first:
+            aux_dma(b, slot).wait()
+        window_dma(b, slot, True).wait()
+        if aux_dma is not None and not aux_wait_first:
+            aux_dma(b, slot).wait()
+
+        jax.lax.switch(slot, [lambda: compute(b, 0), lambda: compute(b, 1)])
+        window_dma(b, slot, False).start()
+        return ()
+
+    jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
+    # Epilogue: last write-back must land before the next grid step
+    # touches this canvas's next object (and before program end).
+    last = n_batch - 1
+    window_dma(last, jax.lax.rem(last, 2), False).wait()
+
+
 def _make_blend_kernel_aligned(n_batch: int):
     """Minimal packed blend: sources arrive pre-aligned to their window
     (the shift is baked into the resize tables by the producer), so each
@@ -900,37 +959,12 @@ def _make_blend_kernel_aligned(n_batch: int):
                 src_all_ref.at[b, k], src_vmem.at[slot], sem_src.at[slot]
             )
 
-        window_dma(0, 0, True).start()
-        src_dma(0, 0).start()
-
-        def body(b, _):
-            slot = jax.lax.rem(b, 2)
-            nslot = 1 - slot
-
-            @pl.when(b > 0)
-            def _():
-                window_dma(b - 1, nslot, False).wait()
-
-            @pl.when(b + 1 < n_batch)
-            def _():
-                window_dma(b + 1, nslot, True).start()
-                src_dma(b + 1, nslot).start()
-
-            window_dma(b, slot, True).wait()
-            src_dma(b, slot).wait()
+        def compute(b, s: int):
             valid = meta_ref[b, k, 5] > 0
+            src = jnp.where(valid, src_vmem[s], 0)
+            win_ref[s] = _alpha_over_packed(win_ref[s], src)
 
-            def compute(s):
-                src = jnp.where(valid, src_vmem[s], 0)
-                win_ref[s] = _alpha_over_packed(win_ref[s], src)
-
-            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
-            window_dma(b, slot, False).start()
-            return ()
-
-        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
-        last = n_batch - 1
-        window_dma(last, jax.lax.rem(last, 2), False).wait()
+        _double_buffered_walk(n_batch, window_dma, compute, aux_dma=src_dma)
 
     return kernel
 
@@ -1063,59 +1097,27 @@ def _make_blend_kernel_packed_pipelined(n_batch: int, src_hw: Tuple[int, int]):
                 src_all_ref.at[b, k], src_vmem.at[slot], sem_src.at[slot]
             )
 
-        # Prologue: fetch for b = 0.
-        window_dma(0, 0, True).start()
-        src_dma(0, 0).start()
-
-        def body(b, _):
-            slot = jax.lax.rem(b, 2)
-            nslot = 1 - slot
-
-            # Reuse of buffer nslot requires its previous write-back done.
-            @pl.when(b > 0)
-            def _():
-                window_dma(b - 1, nslot, False).wait()
-
-            @pl.when(b + 1 < n_batch)
-            def _():
-                window_dma(b + 1, nslot, True).start()
-                src_dma(b + 1, nslot).start()
-
-            window_dma(b, slot, True).wait()
-            src_dma(b, slot).wait()
-
+        def compute(b, s: int):
             dx = meta_ref[b, k, 2]
             dy = meta_ref[b, k, 3]
             valid = meta_ref[b, k, 5] > 0
+            src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
+            src_shift[8 : 8 + mh_a, :] = src_vmem[s]
+            rows = jax.lax.switch(
+                dy,
+                [
+                    (lambda d: lambda: src_shift[8 - d : 8 - d + MH, :])(d)
+                    for d in range(8)
+                ],
+            )
+            src = pltpu.roll(
+                jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
+            )
+            # invalid object => zero source (alpha 0) => dst passthrough
+            src = jnp.where(valid, src, 0)
+            win_ref[s] = _alpha_over_packed(win_ref[s], src)
 
-            def compute(s):
-                # static slot index: dynamic-dim vector loads/stores lower
-                # to slow relayouts, so branch instead
-                src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
-                src_shift[8 : 8 + mh_a, :] = src_vmem[s]
-                rows = jax.lax.switch(
-                    dy,
-                    [
-                        (lambda d: lambda: src_shift[8 - d : 8 - d + MH, :])(d)
-                        for d in range(8)
-                    ],
-                )
-                src = pltpu.roll(
-                    jnp.pad(rows, ((0, 0), (0, MW - mw_a))), dx, axis=1
-                )
-                # invalid object => zero source (alpha 0) => dst passthrough
-                src = jnp.where(valid, src, 0)
-                win_ref[s] = _alpha_over_packed(win_ref[s], src)
-
-            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
-            window_dma(b, slot, False).start()
-            return ()
-
-        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
-        # Epilogue: last write-back must land before the next grid step
-        # touches this canvas's next object (and before program end).
-        last = n_batch - 1
-        window_dma(last, jax.lax.rem(last, 2), False).wait()
+        _double_buffered_walk(n_batch, window_dma, compute, aux_dma=src_dma)
 
     return kernel
 
@@ -1550,45 +1552,19 @@ def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
                 src_all_ref.at[b, k], src_vmem.at[slot], sem_src.at[slot]
             )
 
-        window_dma(0, 0, True).start()
-        src_dma(0, 0).start()
-
-        def body(b, _):
-            slot = jax.lax.rem(b, 2)
-            nslot = 1 - slot
-
-            @pl.when(b > 0)
-            def _():
-                window_dma(b - 1, nslot, False).wait()
-
-            @pl.when(b + 1 < n_batch)
-            def _():
-                window_dma(b + 1, nslot, True).start()
-                src_dma(b + 1, nslot).start()
-
-            window_dma(b, slot, True).wait()
-            src_dma(b, slot).wait()
-
+        def compute(b, s: int):
             dx = meta_ref[b, k, 2]
             dy = meta_ref[b, k, 3]
             valid = meta_ref[b, k, 5] > 0
+            # compute is unguarded here (result masked by `valid`), so
+            # clamp the dropped-object dy == MH case inside the helper
+            src = _shift_roll_mask(
+                src_shift, src_vmem[s], dy, dx, MH, MW, clamp_dy=True
+            )
+            src = jnp.where(valid, src, 0)
+            win_ref[s] = _alpha_over_packed(win_ref[s], src)
 
-            def compute(s):
-                # compute is unguarded here (result masked by `valid`), so
-                # clamp the dropped-object dy == MH case inside the helper
-                src = _shift_roll_mask(
-                    src_shift, src_vmem[s], dy, dx, MH, MW, clamp_dy=True
-                )
-                src = jnp.where(valid, src, 0)
-                win_ref[s] = _alpha_over_packed(win_ref[s], src)
-
-            jax.lax.switch(slot, [lambda: compute(0), lambda: compute(1)])
-            window_dma(b, slot, False).start()
-            return ()
-
-        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
-        last = n_batch - 1
-        window_dma(last, jax.lax.rem(last, 2), False).wait()
+        _double_buffered_walk(n_batch, window_dma, compute, aux_dma=src_dma)
 
     return kernel
 
@@ -2765,8 +2741,12 @@ def _make_fused_kernel_v3_pipelined(
                 objs_ref.at[b, k], obj_vmem.at[slot], sem_obj.at[slot]
             )
 
-        window_dma(0, 0, True).start()
-        if shared_objs:
+        def step_compute(b, s: int):
+            identity_into_pk(b, s)
+            resample_branches(b, s)
+            blend_window(b, s)
+
+        def shared_fetch():
             # every canvas composites the same assets: ONE object copy per
             # grid step (object k of the [1, N, ...] tensor into slot 0),
             # reused across the whole batch loop — drops (n_batch - 1)
@@ -2774,37 +2754,6 @@ def _make_fused_kernel_v3_pipelined(
             d0 = obj_dma(0, 0)
             d0.start()
             d0.wait()
-        else:
-            obj_dma(0, 0).start()
-
-        def body(b, _):
-            slot = jax.lax.rem(b, 2)
-            nslot = 1 - slot
-
-            @pl.when(b > 0)
-            def _():
-                window_dma(b - 1, nslot, False).wait()
-
-            @pl.when(b + 1 < n_batch)
-            def _():
-                window_dma(b + 1, nslot, True).start()
-                if not shared_objs:
-                    obj_dma(b + 1, nslot).start()
-
-            if not shared_objs:
-                obj_dma(b, slot).wait()
-            window_dma(b, slot, True).wait()
-
-            def step_compute(s: int):
-                identity_into_pk(b, s)
-                resample_branches(b, s)
-                blend_window(b, s)
-
-            jax.lax.switch(
-                slot, [lambda: step_compute(0), lambda: step_compute(1)]
-            )
-            window_dma(b, slot, False).start()
-            return ()
 
         def identity_into_pk(b, s: int):
             same = meta_ref[b, k, 4] > 0
@@ -2860,13 +2809,16 @@ def _make_fused_kernel_v3_pipelined(
                     lambda rc, n, rows: win_ref.__setitem__(
                         (s, pl.ds(rc, n), slice(None)), rows
                     ),
-                    lambda: None,  # window DMA waited in body()
+                    lambda: None,  # window DMA waited in the walk body
                     dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
                 )
 
-        jax.lax.fori_loop(0, n_batch, body, (), unroll=False)
-        last = n_batch - 1
-        window_dma(last, jax.lax.rem(last, 2), False).wait()
+        _double_buffered_walk(
+            n_batch, window_dma, step_compute,
+            aux_dma=None if shared_objs else obj_dma,
+            aux_wait_first=True,
+            pre_loop=shared_fetch if shared_objs else None,
+        )
 
     return kernel
 
