@@ -122,23 +122,40 @@ def main() -> None:
     _ready = threading.Event()
     _dev_cell: list = []
 
+    _probe_err: list = []
+
     def _probe_devices() -> None:
-        _dev_cell.append(jax.devices())
-        _ready.set()
+        # _ready must be set on BOTH outcomes: a fast-failing backend init
+        # (connection refused) otherwise leaves the main thread waiting the
+        # full timeout and reporting a misleading "did not complete".
+        try:
+            _dev_cell.append(jax.devices())
+        except BaseException as e:  # noqa: BLE001 - reported below
+            _probe_err.append(f"{type(e).__name__}: {e}")
+        finally:
+            _ready.set()
 
     threading.Thread(target=_probe_devices, daemon=True).start()
     timeout_s = float(_os.environ.get("ITPU_BACKEND_INIT_TIMEOUT_S", "900"))
-    if not _ready.wait(timeout=timeout_s):
+    if not _ready.wait(timeout=timeout_s) or not _dev_cell:
+        reason = (
+            _probe_err[0]
+            if _probe_err
+            else (
+                f"device backend init did not complete within "
+                f"{timeout_s:.0f}s (unreachable tunnel?)"
+            )
+        )
+        # flush: os._exit skips atexit/stdio flushing, and stdout is block-
+        # buffered when redirected to a file (the hw_refresh.sh case) — an
+        # unflushed buffer would lose the one honest JSON error line.
         print(json.dumps({
             "metric": "composited 1080p canvases/sec/chip",
             "value": 0.0,
             "unit": "canvases/sec",
             "vs_baseline": 0.0,
-            "error": (
-                f"device backend init did not complete within {timeout_s:.0f}s "
-                "(unreachable tunnel?)"
-            ),
-        }))
+            "error": reason,
+        }), flush=True)
         _os._exit(2)
 
     log(f"devices: {_dev_cell[0]}")

@@ -8,6 +8,11 @@ OUT=${1:-/tmp/hw_refresh}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# bench.py's backend-init watchdog must fire BEFORE the outer timeouts
+# kill the process, or the honest JSON error line is never written
+# (default is 900 s; the smallest outer bound below is 420 s).
+export ITPU_BACKEND_INIT_TIMEOUT_S=${ITPU_BACKEND_INIT_TIMEOUT_S:-300}
+
 probe() {
   # cold-process backend warmup alone has measured 151 s — give it room
   timeout 300 python -c "import jax, jax.numpy as jnp; print('tpu:', jax.jit(lambda v: (v*2).sum())(jnp.arange(8.0)))" || {
@@ -28,9 +33,15 @@ timeout 420 python bench.py --batch 640 > "$OUT/bench_640.json" 2> "$OUT/bench_6
 
 probe  # 512/640 may wedge the tunnel; stop cleanly if so
 
-# 3. the 4K sweep + multi-ratio configs on the items-15-24 kernel
-timeout 900 python benchmarks/run_all.py > "$OUT/run_all.log" 2>&1
-cp benchmarks/results.json "$OUT/results.json" 2>/dev/null || true
+# 3. the 4K sweep + multi-ratio configs on the items-15-24 kernel.
+# Copy results.json only on success: a killed/failed run leaves the
+# committed pre-refresh file in place, which must not masquerade as the
+# re-measure.
+if timeout 900 python benchmarks/run_all.py > "$OUT/run_all.log" 2>&1; then
+  cp benchmarks/results.json "$OUT/results.json" 2>/dev/null || true
+else
+  echo "run_all.py failed or timed out; results.json NOT copied" >> "$OUT/run_all.log"
+fi
 
 # 4. identity workload + hardware numerics validation
 timeout 600 python benchmarks/identity_bench.py --batch 64 > "$OUT/identity.log" 2>&1 || true

@@ -202,7 +202,7 @@ def test_tensor_solver_adversarial_campaign_matches_oracle():
         children = []
         k = 0
         while k < len(leaves):
-            if rng.random() < 0.35 and len(leaves) - k >= 1:
+            if rng.random() < 0.35:
                 take = int(rng.integers(1, min(3, len(leaves) - k) + 1))
                 children.append({
                     "type": "flex",
