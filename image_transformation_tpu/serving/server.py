@@ -523,25 +523,52 @@ class ComposeService:
         Returns ``{stem: {"renders": render_batch result} | {"error": …}}``
         in the requested stem order.
         """
-        from concurrent.futures import ThreadPoolExecutor
+        stems = self._resolve_stems(stems)
+        results = dict(self.render_fleet_iter(
+            stems, ratios, layout=layout, background=background,
+            parallel=parallel,
+        ))
+        return {stem: results[stem] for stem in stems}
 
+    def _resolve_stems(self, stems: Optional[Sequence[str]]):
         if stems is None:
             stems = [b["stem"] for b in self.list_bundles()]
-        stems = list(stems)
-        ratios = list(ratios)
-        results: Dict[str, Dict] = {}
+        return list(stems)
 
-        def one(stem: str) -> None:
+    def render_fleet_iter(
+        self,
+        stems: Optional[Sequence[str]] = None,
+        ratios: Sequence[str] = ("1:1",),
+        layout: Optional[Dict] = None,
+        background: str = "solid",
+        parallel: int = 4,
+    ):
+        """Yield ``(stem, entry)`` fleet results in COMPLETION order.
+
+        The streaming counterpart of :meth:`render_fleet` (same thread
+        pool, caches, and per-bundle error isolation): each bundle's
+        result is yielded the moment its fused pass finishes, so a
+        chunked-transfer consumer starts receiving pixels while slower
+        bundles are still compiling/rendering instead of waiting for the
+        whole matrix.
+        """
+        from concurrent.futures import ThreadPoolExecutor, as_completed
+
+        stems = self._resolve_stems(stems)
+        ratios = list(ratios)
+
+        def one(stem: str):
             try:
-                results[stem] = {"renders": self.render_batch(
+                return stem, {"renders": self.render_batch(
                     stem, ratios, layout=layout, background=background,
                 )}
             except Exception as e:  # noqa: BLE001 - per-bundle isolation
-                results[stem] = {"error": str(e)}
+                return stem, {"error": str(e)}
 
         with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
-            list(pool.map(one, stems))
-        return {stem: results[stem] for stem in stems}
+            futures = [pool.submit(one, stem) for stem in stems]
+            for fut in as_completed(futures):
+                yield fut.result()
 
     def stats(self) -> Dict[str, int]:
         """Cache and coalescing counters for observability endpoints."""
@@ -613,6 +640,11 @@ class ComposeService:
 
 def make_handler(service: ComposeService):
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 is required for Transfer-Encoding: chunked (the
+        # streaming endpoints); every non-chunked response sets an exact
+        # Content-Length, so keep-alive stays framed correctly.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             pass
 
@@ -622,6 +654,36 @@ def make_handler(service: ComposeService):
             self.send_header("Content-Length", str(len(content)))
             self.end_headers()
             self.wfile.write(content)
+
+        # ------------- chunked NDJSON streaming (opt-in) -------------
+
+        def _start_chunked(self, ctype: str = "application/x-ndjson") -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+        def _write_chunk(self, data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode("ascii"))
+            self.wfile.write(data)
+            self.wfile.write(b"\r\n")
+
+        def _stream_lines(self, lines) -> None:
+            """Send an iterable of JSON-able objects as chunked NDJSON.
+
+            Each object becomes one line flushed immediately, so the
+            client consumes result i while result i+1 is still rendering
+            or encoding. A mid-stream failure is reported as a final
+            {"error": ...} line (the status line already went out)."""
+            self._start_chunked()
+            try:
+                for obj in lines:
+                    self._write_chunk(json.dumps(obj).encode("utf-8") + b"\n")
+            except Exception as e:  # noqa: BLE001 - already streaming
+                self._write_chunk(
+                    json.dumps({"error": str(e)}).encode("utf-8") + b"\n"
+                )
+            self.wfile.write(b"0\r\n\r\n")
 
         def _json(self, obj, code=200):
             self._send(code, json.dumps(obj).encode("utf-8"), "application/json")
@@ -690,6 +752,11 @@ def make_handler(service: ComposeService):
              "layout": {"root": {...}}?,
              "background": "solid"|"gradient"?}  ->
             {"<ratio>": {"canvas": {...}, "boxes": [...], "png_b64": "..."}}
+
+            With "stream": true the response is chunked NDJSON instead —
+            one {"ratio": ..., canvas, boxes, png_b64} line per requested
+            ratio, each encoded+flushed as soon as it's ready, so large
+            multi-ratio payloads never buffer fully server-side.
             """
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -700,6 +767,11 @@ def make_handler(service: ComposeService):
                     stem, ratios, layout=req.get("layout"),
                     background=req.get("background", "solid"),
                 )
+                if req.get("stream"):
+                    return self._stream_lines(
+                        {"ratio": r, **entry}
+                        for r, entry in _iter_encoded_renders(results)
+                    )
                 return self._json(_encode_renders(results))
             except KeyError as e:
                 return self._json({"error": f"missing field {e}"}, 400)
@@ -715,16 +787,35 @@ def make_handler(service: ComposeService):
              "layout": {"root": {...}}?, "background": ...?}  ->
             {"<stem>": {"<ratio>": {canvas, boxes, png_b64}} |
                        {"error": "..."}}
+
+            With "stream": true the response is chunked NDJSON — one
+            {"bundle": ..., "renders": {...}} (or {"bundle": ...,
+            "error": ...}) line per bundle in COMPLETION order, so the
+            client starts consuming the fastest bundle while slower ones
+            are still compiling/rendering.
             """
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                results = service.render_fleet(
+                kwargs = dict(
                     stems=req.get("bundles"),
                     ratios=req.get("ratios") or ["1:1"],
                     layout=req.get("layout"),
                     background=req.get("background", "solid"),
                 )
+                if req.get("stream"):
+                    def lines():
+                        for stem, entry in service.render_fleet_iter(**kwargs):
+                            if "error" in entry:
+                                yield {"bundle": stem, "error": entry["error"]}
+                            else:
+                                yield {
+                                    "bundle": stem,
+                                    "renders": _encode_renders(entry["renders"]),
+                                }
+
+                    return self._stream_lines(lines())
+                results = service.render_fleet(**kwargs)
                 payload = {}
                 for stem, entry in results.items():
                     if "error" in entry:
@@ -738,20 +829,25 @@ def make_handler(service: ComposeService):
     return Handler
 
 
-def _encode_renders(results: Dict) -> Dict:
-    """render_batch result -> JSON payload (boxes + base64 native PNG)."""
+def _iter_encoded_renders(results: Dict):
+    """Yield (ratio, JSON entry) per render_batch result, encoding each
+    PNG lazily so a streaming consumer receives ratio i while ratio i+1
+    encodes (encode dominates render latency on large canvases)."""
     import base64
 
     from ..core.native_io import png_bytes
 
-    payload = {}
     for r, (canvas_size, boxes, img) in results.items():
-        payload[r] = {
+        yield r, {
             "canvas": {"width": canvas_size[0], "height": canvas_size[1]},
             "boxes": boxes,
             "png_b64": base64.b64encode(png_bytes(img)).decode(),
         }
-    return payload
+
+
+def _encode_renders(results: Dict) -> Dict:
+    """render_batch result -> JSON payload (boxes + base64 native PNG)."""
+    return dict(_iter_encoded_renders(results))
 
 
 def serve(bundles_root, host: str = "127.0.0.1", port: int = 8601,

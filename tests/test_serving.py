@@ -173,6 +173,67 @@ def test_render_fleet_isolates_bundle_failures(server):
     assert "1:1" in payload["squarespace"]
 
 
+def test_render_batch_streaming_ndjson(server):
+    """"stream": true turns /v1/render_batch into chunked NDJSON — one
+    line per requested ratio, byte-identical content to the buffered
+    JSON payload."""
+    status, body, ctype = _post(server, "/v1/render_batch", {
+        "bundle": "squarespace", "ratios": ["1:1", "9:16"], "stream": True,
+    })
+    assert status == 200 and "ndjson" in ctype
+    lines = [json.loads(ln) for ln in body.decode().splitlines() if ln]
+    assert [ln["ratio"] for ln in lines] == ["1:1", "9:16"]
+    status, buffered_body, _ = _post(server, "/v1/render_batch", {
+        "bundle": "squarespace", "ratios": ["1:1", "9:16"],
+    })
+    buffered = json.loads(buffered_body)
+    for ln in lines:
+        r = ln.pop("ratio")
+        assert ln == buffered[r]
+
+
+def test_render_fleet_streaming_completion_order(server):
+    """"stream": true on /v1/render_fleet yields one NDJSON line per
+    bundle (completion order), per-bundle errors isolated in-stream."""
+    import base64
+
+    status, body, ctype = _post(server, "/v1/render_fleet", {
+        "bundles": ["squarespace", "no_such_bundle", "audio_book"],
+        "ratios": ["1:1"], "stream": True,
+    })
+    assert status == 200 and "ndjson" in ctype
+    lines = [json.loads(ln) for ln in body.decode().splitlines() if ln]
+    by_stem = {ln["bundle"]: ln for ln in lines}
+    assert set(by_stem) == {"squarespace", "no_such_bundle", "audio_book"}
+    assert "error" in by_stem["no_such_bundle"]
+    for stem in ("squarespace", "audio_book"):
+        entry = by_stem[stem]["renders"]["1:1"]
+        img = Image.open(io.BytesIO(base64.b64decode(entry["png_b64"])))
+        assert img.size == (
+            entry["canvas"]["width"], entry["canvas"]["height"],
+        )
+
+
+def test_streaming_first_line_before_last(server):
+    """The first NDJSON line is readable off the socket before the stream
+    finishes — i.e. results really are flushed incrementally, not
+    buffered into one body."""
+    req = urllib.request.Request(
+        server + "/v1/render_fleet",
+        data=json.dumps({
+            "bundles": ["squarespace", "audio_book"],
+            "ratios": ["1:1"], "stream": True,
+        }).encode(),
+        method="POST", headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        first = r.readline()
+        ln = json.loads(first)
+        assert ln.get("renders") or ln.get("error")
+        rest = r.read().decode().splitlines()
+    assert len([x for x in rest if x]) == 1  # exactly one more bundle line
+
+
 def test_stats_endpoint(server):
     """GET /v1/stats exposes cache/coalescing counters."""
     with urllib.request.urlopen(server + "/v1/stats") as r:
