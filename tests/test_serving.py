@@ -234,6 +234,42 @@ def test_streaming_first_line_before_last(server):
     assert len([x for x in rest if x]) == 1  # exactly one more bundle line
 
 
+def test_keepalive_framing_mixed_responses(server):
+    """HTTP/1.1 keep-alive: one socket carries buffered PNG, chunked
+    NDJSON, and buffered JSON responses back-to-back — i.e. every
+    response is framed exactly (Content-Length or chunked), so the
+    connection never desyncs."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=120)
+    try:
+        def post(path, payload):
+            conn.request(
+                "POST", path, body=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            r = conn.getresponse()
+            return r.status, r.read(), r.headers.get("Content-Type", "")
+
+        s1, png, ct1 = post("/v1/render", {
+            "bundle": "squarespace", "ratio": "1:1",
+        })
+        assert s1 == 200 and ct1 == "image/png" and png[:4] == b"\x89PNG"
+        s2, body2, ct2 = post("/v1/render_batch", {
+            "bundle": "squarespace", "ratios": ["1:1"], "stream": True,
+        })
+        assert s2 == 200 and "ndjson" in ct2
+        assert json.loads(body2.decode().splitlines()[0])["ratio"] == "1:1"
+        s3, body3, ct3 = post("/v1/render", {
+            "bundle": "squarespace", "ratio": "1:1", "boxes_only": True,
+        })
+        assert s3 == 200 and "json" in ct3 and "placements" in json.loads(body3)
+    finally:
+        conn.close()
+
+
 def test_stats_endpoint(server):
     """GET /v1/stats exposes cache/coalescing counters."""
     with urllib.request.urlopen(server + "/v1/stats") as r:
