@@ -47,5 +47,12 @@ fi
 timeout 600 python benchmarks/identity_bench.py --batch 64 > "$OUT/identity.log" 2>&1 || true
 timeout 900 python benchmarks/validate_hw.py --random-trials 12 > "$OUT/validate_hw.log" 2>&1 || true
 
+# 5. serving load + streaming TTFB on the real device
+if timeout 900 python benchmarks/serve_bench.py --out "$OUT/serving_results.json" > "$OUT/serve_bench.log" 2>&1; then
+  cp "$OUT/serving_results.json" benchmarks/serving_results.json 2>/dev/null || true
+else
+  echo "serve_bench.py failed or timed out" >> "$OUT/serve_bench.log"
+fi
+
 echo "refresh complete: $OUT"
 ls -la "$OUT"

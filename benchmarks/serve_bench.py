@@ -121,6 +121,33 @@ def main() -> None:
             "variants_per_sec_p50": round(3 / (percentiles(samples)["p50_ms"] / 1e3), 1),
         }
         log(f"render_batch_3ratio: {results['render_batch_3ratio']}")
+
+        # ---- streaming TTFB vs buffered total (chunked NDJSON) ----
+        def post_stream_ttfb(path, payload, timeout=600):
+            req = urllib.request.Request(
+                base + path, data=json.dumps(payload).encode(),
+                method="POST", headers={"Content-Type": "application/json"},
+            )
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=timeout) as r:
+                first = r.readline()  # first NDJSON result line
+                t_first = time.perf_counter() - t0
+                r.read()
+                t_total = time.perf_counter() - t0
+            assert first.strip(), "empty first stream line"
+            return t_first, t_total
+
+        stream_payload = {**payload, "stream": True}
+        ttfb, totals = zip(*[
+            post_stream_ttfb("/v1/render_batch", stream_payload)
+            for _ in range(10)
+        ])
+        results["render_batch_3ratio_stream"] = {
+            "ttfb": percentiles(list(ttfb)),
+            "total": percentiles(list(totals)),
+            "buffered_total_p50_ms": results["render_batch_3ratio"]["p50_ms"],
+        }
+        log(f"render_batch_3ratio_stream: {results['render_batch_3ratio_stream']}")
     finally:
         server.shutdown()
         thread.join(timeout=5)
