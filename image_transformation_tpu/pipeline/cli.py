@@ -17,7 +17,7 @@ from pathlib import Path
 from .run import run_macro_only
 
 
-def _install_fake_client(bundle_dir: Path) -> None:
+def install_fake_client(bundle_dir: Path) -> None:
     """Wire a deterministic FakeClient: single-column layout + canned critique."""
     from ..vlm.client import FakeClient, register_fake_client
 
@@ -103,7 +103,7 @@ def main(argv=None) -> None:
 
     api_type = args.api
     if api_type == "fake":
-        _install_fake_client(bundle_dir)
+        install_fake_client(bundle_dir)
         api_type = "auto"
 
     base_out = run_macro_only(

@@ -25,7 +25,7 @@ def main() -> None:
                            "image_transformation_tpu.agentic.run_workflow")
 
     from image_transformation_tpu.agentic.workflow import run_workflow
-    from image_transformation_tpu.pipeline.cli import _install_fake_client
+    from image_transformation_tpu.pipeline.cli import install_fake_client
     from image_transformation_tpu.vlm.client import register_fake_client
 
     st.set_page_config(page_title="Agentic Macro Placement (TPU)", layout="wide")
@@ -63,7 +63,7 @@ def main() -> None:
         bundle_dir = bundle_root / bundle_name
         api_type = backend
         if backend == "fake (hermetic)":
-            _install_fake_client(bundle_dir)
+            install_fake_client(bundle_dir)
             api_type = "auto"
         elif backend == "nebius" and not api_key:
             st.error("Please enter a Nebius API key.")

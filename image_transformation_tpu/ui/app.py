@@ -167,9 +167,9 @@ def main() -> None:
         else:
             api_type = backend
             if backend == "fake (hermetic)":
-                from image_transformation_tpu.pipeline.cli import _install_fake_client
+                from image_transformation_tpu.pipeline.cli import install_fake_client
 
-                _install_fake_client(bundle)
+                install_fake_client(bundle)
                 api_type = "auto"
             original = None
             for ext in (".png", ".jpg", ".jpeg"):
