@@ -134,7 +134,11 @@ def main() -> None:
                 t_first = time.perf_counter() - t0
                 r.read()
                 t_total = time.perf_counter() - t0
-            assert first.strip(), "empty first stream line"
+            line = json.loads(first)
+            # a mid-stream failure still arrives as a 200 {"error": ...}
+            # line; timing it as a render would report bogus TTFB numbers
+            assert "error" not in line, f"stream errored: {line}"
+            assert "png_b64" in line, f"first stream line has no render: {line}"
             return t_first, t_total
 
         stream_payload = {**payload, "stream": True}

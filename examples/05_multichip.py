@@ -34,17 +34,16 @@ honor_platform_env()
 import jax
 
 # Decide the platform WITHOUT probing jax.devices() first: initializing the
-# hardware backend hangs if the tunneled device server is unreachable, so the
-# virtual CPU mesh is the default and hardware is opt-in via the env.
-want_hw = os.environ.get("JAX_PLATFORMS", "cpu").lower() not in ("", "cpu")
-interpret = True
-if not want_hw:
+# hardware backend hangs if the tunneled device server is unreachable, so
+# the virtual CPU mesh is the default and hardware is opt-in via the env.
+# (After the first jax.devices() call the backend is live and the platform
+# can no longer change, so there is no probe-then-fall-back option here.)
+if os.environ.get("JAX_PLATFORMS", "cpu").lower() in ("", "cpu"):
     jax.config.update("jax_platforms", "cpu")
-elif len(jax.devices()) >= N_DEVICES and jax.devices()[0].platform != "cpu":
-    interpret = False
-else:
-    # hardware requested but <N_DEVICES chips visible: virtual CPU mesh
-    jax.config.update("jax_platforms", "cpu")
+# On CPU the Pallas kernel runs in the interpreter; any hardware platform
+# runs it compiled, over however many chips are actually visible (the
+# mesh and batch below are sized from the devices, not from N_DEVICES).
+interpret = jax.devices()[0].platform == "cpu"
 
 import numpy as np
 
@@ -58,7 +57,6 @@ from image_transformation_tpu.parallel.sweep import (
 
 def main() -> None:
     scale = int(os.environ.get("ITPU_EXAMPLE_SCALE", "1"))
-    B = N_DEVICES  # canvas batch, one shard per mesh device
     H, W = 32 * scale, 64 * scale
     n_obj, pad_h, pad_w = 3, 16 * scale, 24 * scale
 
@@ -74,6 +72,9 @@ def main() -> None:
         obj_hw[k] = (h, w)
 
     mesh = make_mesh()  # (data, spatial) over every visible device
+    # one canvas per data shard — sized from the mesh, so a pre-existing
+    # XLA_FLAGS device count (or a smaller real chip count) still divides
+    B = mesh.shape["data"]
     step = make_sharded_solid_render(mesh, (H, W), (pad_h, pad_w),
                                      interpret=interpret)
 

@@ -565,10 +565,18 @@ class ComposeService:
             except Exception as e:  # noqa: BLE001 - per-bundle isolation
                 return stem, {"error": str(e)}
 
-        with ThreadPoolExecutor(max_workers=max(1, parallel)) as pool:
+        pool = ThreadPoolExecutor(max_workers=max(1, parallel))
+        try:
             futures = [pool.submit(one, stem) for stem in stems]
             for fut in as_completed(futures):
                 yield fut.result()
+        finally:
+            # Abandoned mid-iteration (a streaming client disconnected):
+            # drop queued bundles instead of rendering them for a dead
+            # consumer. In-flight renders still finish (threads are not
+            # interruptible) but the handler thread is released now
+            # instead of after the whole remaining matrix.
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def stats(self) -> Dict[str, int]:
         """Cache and coalescing counters for observability endpoints."""
@@ -655,7 +663,27 @@ def make_handler(service: ComposeService):
             self.end_headers()
             self.wfile.write(content)
 
+        def _read_body(self) -> bytes:
+            """Read the request body, ALWAYS, for keep-alive framing.
+
+            Every POST path must consume the body before responding —
+            an unread body's bytes would be parsed as the next request
+            line on the persistent connection. An unparsable
+            Content-Length means the framing is unknowable, so the
+            connection is marked for close before the error surfaces."""
+            try:
+                length = int(self.headers.get("Content-Length", "0") or 0)
+            except ValueError:
+                self.close_connection = True
+                raise
+            return self.rfile.read(max(0, length))
+
         # ------------- chunked NDJSON streaming (opt-in) -------------
+
+        def _can_stream(self) -> bool:
+            """Chunked transfer needs an HTTP/1.1 client; a 1.0 client
+            asking for "stream" degrades to the buffered response."""
+            return self.request_version >= "HTTP/1.1"
 
         def _start_chunked(self, ctype: str = "application/x-ndjson") -> None:
             self.send_response(200)
@@ -673,23 +701,33 @@ def make_handler(service: ComposeService):
 
             Each object becomes one line flushed immediately, so the
             client consumes result i while result i+1 is still rendering
-            or encoding. A mid-stream failure is reported as a final
-            {"error": ...} line (the status line already went out)."""
-            self._start_chunked()
+            or encoding. A producer failure mid-stream is reported as a
+            final {"error": ...} line (the 200 status already went out).
+            Never raises: once the chunked body has started, a buffered
+            error response must NOT follow it on the same connection —
+            a socket write failure (client gone) instead marks the
+            connection for close, abandoning the producer."""
             try:
-                for obj in lines:
-                    self._write_chunk(json.dumps(obj).encode("utf-8") + b"\n")
-            except Exception as e:  # noqa: BLE001 - already streaming
-                self._write_chunk(
-                    json.dumps({"error": str(e)}).encode("utf-8") + b"\n"
-                )
-            self.wfile.write(b"0\r\n\r\n")
+                self._start_chunked()
+                try:
+                    for obj in lines:
+                        self._write_chunk(
+                            json.dumps(obj).encode("utf-8") + b"\n"
+                        )
+                except Exception as e:  # noqa: BLE001 - producer failed
+                    self._write_chunk(
+                        json.dumps({"error": str(e)}).encode("utf-8") + b"\n"
+                    )
+                self.wfile.write(b"0\r\n\r\n")
+            except Exception:  # noqa: BLE001 - write failed mid-body
+                self.close_connection = True
 
         def _json(self, obj, code=200):
             self._send(code, json.dumps(obj).encode("utf-8"), "application/json")
 
         def do_GET(self):  # noqa: N802
             try:
+                self._read_body()  # a GET may legally carry a body; drain it
                 if self.path == "/healthz":
                     import jax
 
@@ -713,9 +751,9 @@ def make_handler(service: ComposeService):
                 if self.path == "/v1/render_fleet":
                     return self._render_fleet()
                 if self.path != "/v1/render":
+                    self._read_body()  # drain: keep-alive framing
                     return self._json({"error": "not found"}, 404)
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(self._read_body() or b"{}")
                 stem = req["bundle"]
                 ratio = req.get("ratio", "1:1")
                 if req.get("boxes_only"):
@@ -759,15 +797,14 @@ def make_handler(service: ComposeService):
             multi-ratio payloads never buffer fully server-side.
             """
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(self._read_body() or b"{}")
                 stem = req["bundle"]
                 ratios = req.get("ratios") or ["1:1"]
                 results = service.render_batch(
                     stem, ratios, layout=req.get("layout"),
                     background=req.get("background", "solid"),
                 )
-                if req.get("stream"):
+                if req.get("stream") and self._can_stream():
                     return self._stream_lines(
                         {"ratio": r, **entry}
                         for r, entry in _iter_encoded_renders(results)
@@ -795,15 +832,14 @@ def make_handler(service: ComposeService):
             are still compiling/rendering.
             """
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = json.loads(self._read_body() or b"{}")
                 kwargs = dict(
                     stems=req.get("bundles"),
                     ratios=req.get("ratios") or ["1:1"],
                     layout=req.get("layout"),
                     background=req.get("background", "solid"),
                 )
-                if req.get("stream"):
+                if req.get("stream") and self._can_stream():
                     def lines():
                         for stem, entry in service.render_fleet_iter(**kwargs):
                             if "error" in entry:

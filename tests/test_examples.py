@@ -38,11 +38,19 @@ def _run(script: Path, timeout: float = 600.0) -> str:
 
 
 def test_examples_inventory_matches_readme():
-    """README's table lists exactly the scripts on disk."""
+    """README's table lists exactly the scripts on disk — both ways:
+    every script is documented AND every documented name still exists
+    (a rename/delete that leaves a stale row must fail here)."""
+    import re
+
     readme = (REPO / "examples" / "README.md").read_text()
     assert EXAMPLES, "no example scripts found"
-    for script in EXAMPLES:
-        assert script.name in readme, f"{script.name} missing from README"
+    on_disk = {script.name for script in EXAMPLES}
+    in_readme = set(re.findall(r"\b\d{2}_\w+\.py\b", readme))
+    assert in_readme == on_disk, (
+        f"README/disk mismatch: only in README {sorted(in_readme - on_disk)}, "
+        f"only on disk {sorted(on_disk - in_readme)}"
+    )
 
 
 @pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.name)

@@ -270,6 +270,104 @@ def test_keepalive_framing_mixed_responses(server):
         conn.close()
 
 
+def test_keepalive_error_paths_drain_request_body(server):
+    """A 404 (unknown path) and a 400 (bad request) must consume the
+    POSTed body before responding: an unread body on the persistent
+    connection would be parsed as the next request line, desyncing every
+    later request on the same socket."""
+    import http.client
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=120)
+    try:
+        def post(path, payload):
+            conn.request(
+                "POST", path, body=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            r = conn.getresponse()
+            return r.status, r.read()
+
+        s1, body1 = post("/v1/nope", {"bundle": "squarespace", "pad": "x" * 512})
+        assert s1 == 404 and "error" in json.loads(body1)
+        # missing-field 400 on a real endpoint, body still drained
+        s2, body2 = post("/v1/render_batch", {"pad": "y" * 512})
+        assert s2 == 400 and "error" in json.loads(body2)
+        # the SAME connection must still serve a valid request cleanly
+        s3, body3 = post("/v1/render", {
+            "bundle": "squarespace", "ratio": "1:1", "boxes_only": True,
+        })
+        assert s3 == 200 and "placements" in json.loads(body3)
+    finally:
+        conn.close()
+
+
+def test_http10_client_stream_degrades_to_buffered(server):
+    """An HTTP/1.0 client asking for "stream": true cannot decode
+    chunked framing, so the server must answer with the buffered JSON
+    response instead."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    body = json.dumps({
+        "bundle": "squarespace", "ratios": ["1:1"], "stream": True,
+    }).encode()
+    request = (
+        f"POST /v1/render_batch HTTP/1.0\r\n"
+        f"Host: {u.hostname}\r\n"
+        f"Content-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode() + body
+    with socket.create_connection((u.hostname, u.port), timeout=120) as sock:
+        sock.sendall(request)
+        raw = b""
+        while True:
+            piece = sock.recv(65536)
+            if not piece:
+                break
+            raw += piece
+    head, _, payload = raw.partition(b"\r\n\r\n")
+    headers = head.decode("latin-1").lower()
+    assert " 200 " in headers.splitlines()[0]
+    assert "transfer-encoding: chunked" not in headers
+    assert "content-length:" in headers
+    assert "png_b64" in json.loads(payload)["1:1"]
+
+
+def test_fleet_iter_abandoned_cancels_queued_bundles(monkeypatch):
+    """Closing render_fleet_iter mid-stream (a streaming client
+    disconnected) must cancel queued bundles instead of rendering the
+    whole remaining matrix for a dead consumer."""
+    import time
+
+    service = ComposeService("data")
+    rendered = []
+
+    def fake_render_batch(stem, ratios, layout=None, background="solid"):
+        rendered.append(stem)
+        time.sleep(0.2)
+        return {r: ((10, 10), [], np.zeros((10, 10, 4), np.uint8))
+                for r in ratios}
+
+    monkeypatch.setattr(service, "render_batch", fake_render_batch)
+    stems = [f"b{i}" for i in range(6)]
+    monkeypatch.setattr(
+        service, "_resolve_stems", lambda s: list(s) if s else stems
+    )
+
+    it = service.render_fleet_iter(stems, ["1:1"], parallel=1)
+    first = next(it)
+    assert first[0] in stems and "renders" in first[1]
+    it.close()  # client gone: GeneratorExit inside the pool block
+    time.sleep(1.0)  # were the queue NOT cancelled, more would render
+    # parallel=1: the first bundle rendered, at most one more was already
+    # in flight when the generator closed; the other four were cancelled
+    assert len(rendered) <= 2, rendered
+
+
 def test_stats_endpoint(server):
     """GET /v1/stats exposes cache/coalescing counters."""
     with urllib.request.urlopen(server + "/v1/stats") as r:
