@@ -62,5 +62,6 @@ def test_example_runs(script):
         "03_pipeline_fake_vlm.py": "composed drafts: ['draft_macro_iter_00.png']",
         "04_serving_client.py": "stream: ratio=16:9",
         "05_multichip.py": "mesh: ",
+        "06_agentic.py": "iterations: 2, placements: 4",
     }[script.name]
     assert expected in out, f"{script.name} output missing {expected!r}:\n{out}"
