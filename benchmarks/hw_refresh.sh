@@ -47,6 +47,11 @@ fi
 timeout 600 python benchmarks/identity_bench.py --batch 64 > "$OUT/identity.log" 2>&1 || true
 timeout 900 python benchmarks/validate_hw.py --random-trials 12 > "$OUT/validate_hw.log" 2>&1 || true
 
+# 4b. the examples suite on the real chip (compiled, not interpret):
+#     01/02 exercise the engine + fused batch paths end-to-end on hardware
+timeout 420 python examples/01_compose.py > "$OUT/example01.log" 2>&1 || true
+timeout 420 python examples/02_batch_ratios.py > "$OUT/example02.log" 2>&1 || true
+
 # 5. serving load + streaming TTFB on the real device
 if timeout 900 python benchmarks/serve_bench.py --out "$OUT/serving_results.json" > "$OUT/serve_bench.log" 2>&1; then
   cp "$OUT/serving_results.json" benchmarks/serving_results.json 2>/dev/null || true
