@@ -1696,6 +1696,22 @@ def packed_to_u8_np(packed_np) -> "np.ndarray":
     return arr.view(np.uint8).reshape(*arr.shape, 4)
 
 
+# Rec.709 luminance weights — the ONE home for the stat's constants
+# (pipeline/fused.py and parallel/sweep.py import these; keep in sync
+# with nothing: everything else must reference this tuple).
+REC709 = (0.2126, 0.7152, 0.0722)
+
+
+def _packed_weighted_lum(crop_i32: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel Rec.709 luminance of a packed-u32 plane batch."""
+    wr, wg, wb = REC709
+    return (
+        wr * (crop_i32 & 255).astype(jnp.float32)
+        + wg * ((crop_i32 >> 8) & 255).astype(jnp.float32)
+        + wb * ((crop_i32 >> 16) & 255).astype(jnp.float32)
+    )
+
+
 def packed_luma(crop_i32: jnp.ndarray) -> jnp.ndarray:
     """Mean Rec.709 luminance per canvas of a packed-u32 batch [B, H, W].
 
@@ -1704,12 +1720,7 @@ def packed_luma(crop_i32: jnp.ndarray) -> jnp.ndarray:
     plane — ~6 GB/batch at 4K b64). Same value: mean is linear, so
     mean(Σ wᵢ cᵢ) == Σ wᵢ mean(cᵢ) up to f32 reduction rounding.
     """
-    lum = (
-        0.2126 * (crop_i32 & 255).astype(jnp.float32)
-        + 0.7152 * ((crop_i32 >> 8) & 255).astype(jnp.float32)
-        + 0.0722 * ((crop_i32 >> 16) & 255).astype(jnp.float32)
-    )
-    return jnp.mean(lum, axis=(1, 2))
+    return jnp.mean(_packed_weighted_lum(crop_i32), axis=(1, 2))
 
 
 def packed_luma_masked(crop_i32: jnp.ndarray,
@@ -1722,11 +1733,7 @@ def packed_luma_masked(crop_i32: jnp.ndarray,
     contaminate the run-level stat. Same single-pass weighted reduce as
     :func:`packed_luma`."""
     _, Hp, Wp = crop_i32.shape
-    lum = (
-        0.2126 * (crop_i32 & 255).astype(jnp.float32)
-        + 0.7152 * ((crop_i32 >> 8) & 255).astype(jnp.float32)
-        + 0.0722 * ((crop_i32 >> 16) & 255).astype(jnp.float32)
-    )
+    lum = _packed_weighted_lum(crop_i32)
     row = jnp.arange(Hp, dtype=jnp.int32)[None, :, None] < (
         canvas_wh[:, 1][:, None, None]
     )

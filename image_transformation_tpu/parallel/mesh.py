@@ -68,6 +68,10 @@ def shard_batched(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedShardin
     ``data`` and (optionally) H over ``spatial``."""
     if spatial_dim is None:
         return NamedSharding(mesh, P("data"))
+    if spatial_dim == 0:
+        # would silently clobber the batch ('data') entry — the batch
+        # dim cannot also be the spatial dim
+        raise ValueError("spatial_dim 0 is the batch dim (sharded 'data')")
     spec = [None] * 4
     spec[0] = "data"
     spec[spatial_dim] = "spatial"

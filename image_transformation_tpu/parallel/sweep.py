@@ -41,8 +41,10 @@ def make_batched_compose(
 
     @jax.jit
     def luma_stat(out):
+        from ..ops.compose_pallas import REC709
+
         chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(1, 2))
-        return chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+        return chan @ jnp.array(REC709, jnp.float32)
 
     def one(canvas, objs, hw, boxes):
         return composite_canvas(canvas, objs, hw, boxes, out_max_hw, method)
@@ -256,9 +258,11 @@ def sharded_compose_step(
         out_shardings=(canvases_s, NamedSharding(mesh, P())),
     )
     def step(canvases, objs, obj_hw, boxes):
+        from ..ops.compose_pallas import REC709
+
         out = jax.vmap(one)(canvases, objs, obj_hw, boxes)
         chan = jnp.mean(out[..., :3].astype(jnp.float32), axis=(1, 2))
-        luma = chan @ jnp.array([0.2126, 0.7152, 0.0722], jnp.float32)
+        luma = chan @ jnp.array(REC709, jnp.float32)
         # Global batch-mean: a real cross-device all-reduce when sharded.
         return out, jnp.mean(luma, keepdims=True)
 
@@ -488,15 +492,26 @@ def throughput_sweep(
             # 1-element dummy there instead of uploading the ~GB tensor
             lazy_ok = kernel == "pallas" and mesh is None
             c = np.zeros((1, 1, 1, 4), np.uint8) if lazy_ok else canvases_np()
-            args = tuple(jnp.asarray(x) for x in (c, objs, hw, boxes))
+            if lazy_ok:
+                # planarize ONCE here instead of inside every jitted step
+                # call (the full object tensor's pad+transpose would
+                # otherwise re-execute per timed rep — the production
+                # paths all hoist it)
+                from ..ops.compose_pallas import planarize_objects
+
+                objs_in = planarize_objects(jnp.asarray(objs))
+            else:
+                objs_in = jnp.asarray(objs)
+            args = (jnp.asarray(c), objs_in, jnp.asarray(hw),
+                    jnp.asarray(boxes))
             per_rep = B
         # the pallas per-batch path switches to the framebuffer-reuse
-        # program on its SECOND call — warm both programs so neither
-        # compile lands in the timed region
-        warm_calls = warmup + (
+        # program on its SECOND call — ALWAYS warm both programs there
+        # (even at warmup=0) so neither compile lands in the timed region
+        extra_warm = (
             1 if (kernel == "pallas" and mesh is None and not k_scan) else 0
         )
-        for w_i in range(max(1, warm_calls)):
+        for w_i in range(max(1, warmup) + extra_warm):
             try:
                 out, stat = step(*args)
                 np.asarray(stat)  # true execution fence (see bench.py)
@@ -509,7 +524,7 @@ def throughput_sweep(
                 print(f"[sweep] fenced warmup failed ({e!r}); latching "
                       "the generic step", file=sys.stderr)
                 step = make_batched_compose(
-                    (pad_h, pad_w), method=method, kernel="xla"
+                    (pad_h, pad_w), method="lanczos", kernel="xla"
                 )
                 args = tuple(
                     jnp.asarray(x) for x in (canvases_np(), objs, hw, boxes)

@@ -25,8 +25,7 @@ import jax.numpy as jnp
 
 from ..layout.solve import FlexProgram, solve_program
 from ..ops.compose import composite_canvas
-
-_REC709 = (0.2126, 0.7152, 0.0722)
+from ..ops.compose_pallas import REC709 as _REC709
 
 
 def _make_padded_canvas(background: str, gradient_horizontal: bool,

@@ -87,6 +87,19 @@ def test_throughput_sweep_smoke():
     assert result["total_canvases"] == 4
 
 
+def test_throughput_sweep_pallas_cpu_smoke():
+    """kernel='pallas' sweep completes on a Mosaic-less backend through
+    the latched fallback chain, with hoisted planar object args and
+    warmup=0 (both compile warms must still happen outside the timing)."""
+    bundles = [load_bundle("data/squarespace")]
+    result = throughput_sweep(
+        bundles, ["1:1"], batch_per_ratio=2, warmup=0, reps=1,
+        kernel="pallas",
+    )
+    assert result["canvases_per_sec"] > 0
+    assert result["total_canvases"] == 2
+
+
 def test_throughput_sweep_on_mesh():
     bundles = [load_bundle("data/audio_book")] * 4
     mesh = make_mesh(jax.devices()[:4], spatial=1)
