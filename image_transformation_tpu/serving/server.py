@@ -660,6 +660,10 @@ def make_handler(service: ComposeService):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(content)))
+            if self.close_connection:
+                # e.g. unparsable request framing (_read_body): tell the
+                # client explicitly rather than just dropping the socket
+                self.send_header("Connection", "close")
             self.end_headers()
             self.wfile.write(content)
 

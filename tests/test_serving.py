@@ -337,6 +337,35 @@ def test_http10_client_stream_degrades_to_buffered(server):
     assert "png_b64" in json.loads(payload)["1:1"]
 
 
+def test_malformed_content_length_closes_connection(server):
+    """An unparsable Content-Length makes the request framing unknowable:
+    the server answers with an error and CLOSES the connection (the next
+    bytes on the socket could be anything)."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(server)
+    request = (
+        "POST /v1/render HTTP/1.1\r\n"
+        f"Host: {u.hostname}\r\n"
+        "Content-Type: application/json\r\n"
+        "Content-Length: notanumber\r\n"
+        "\r\n"
+    ).encode()
+    with socket.create_connection((u.hostname, u.port), timeout=60) as sock:
+        sock.sendall(request)
+        raw = b""
+        while True:  # server must close: recv drains to EOF
+            piece = sock.recv(65536)
+            if not piece:
+                break
+            raw += piece
+    status = raw.split(b"\r\n", 1)[0]
+    assert b"500" in status or b"400" in status, status
+    headers = raw.split(b"\r\n\r\n", 1)[0].decode("latin-1").lower()
+    assert "connection: close" in headers
+
+
 def test_fleet_iter_abandoned_cancels_queued_bundles(monkeypatch):
     """Closing render_fleet_iter mid-stream (a streaming client
     disconnected) must cancel queued bundles instead of rendering the
