@@ -1,0 +1,92 @@
+"""Summarize a benchmarks/hw_refresh.sh output directory.
+
+Reads the JSON/log artifacts the refresh batch writes under its OUT dir
+(default /tmp/hw_refresh) and prints one compact table: headline bench
+stability, the batch-512/640 probes, run_all config highlights, identity
+bench, hardware numerics validation, and serving percentiles — the
+numbers that feed README's engineering log after a re-measure.
+
+Usage: python benchmarks/hw_refresh_summary.py [/tmp/hw_refresh]
+"""
+import json
+import sys
+from pathlib import Path
+
+
+def _bench_line(path: Path):
+    """bench.py writes exactly one JSON object line (possibly after logs)."""
+    if not path.exists():
+        return None
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main() -> None:
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/hw_refresh")
+    if not out.is_dir():
+        raise SystemExit(f"no refresh dir at {out} — run benchmarks/hw_refresh.sh first")
+
+    print(f"== hw_refresh summary: {out} ==")
+
+    for name, label in (
+        ("bench_448_a.json", "headline batch 448 (run A)"),
+        ("bench_448_b.json", "headline batch 448 (run B)"),
+        ("bench_512.json", "batch 512 probe"),
+        ("bench_640.json", "batch 640 probe"),
+    ):
+        rec = _bench_line(out / name)
+        if rec is None:
+            print(f"  {label:28s}: MISSING")
+        elif rec.get("error"):
+            print(f"  {label:28s}: ERROR {rec['error']!r}")
+        else:
+            print(f"  {label:28s}: {rec['value']:.0f} {rec['unit']}"
+                  f" ({rec.get('vs_baseline', '?')}x baseline)")
+
+    results = out / "results.json"
+    if results.exists():
+        r = json.loads(results.read_text())
+        c5 = r.get("config5_throughput_sweep", {})
+        print(f"  run_all config5 sweep       : "
+              f"{c5.get('canvases_per_sec', '?')} canvases/sec "
+              f"(superbatch {c5.get('superbatch', '?')})")
+        c3 = r.get("config3_multi_ratio_fused", {})
+        if c3:
+            print(f"  run_all config3 fused       : {json.dumps(c3)[:100]}")
+    else:
+        print("  run_all results             : NOT COPIED (failed/timed out)")
+
+    for log, tag in (("identity.log", "identity bench"),
+                     ("validate_hw.log", "hardware numerics"),
+                     ("example01.log", "example 01 on chip"),
+                     ("example02.log", "example 02 on chip")):
+        p = out / log
+        if p.exists():
+            tail = [ln for ln in p.read_text().splitlines() if ln.strip()]
+            print(f"  {tag:28s}: {tail[-1][:110] if tail else '(empty)'}")
+        else:
+            print(f"  {tag:28s}: MISSING")
+
+    sj = out / "serving_results.json"
+    if sj.exists():
+        s = json.loads(sj.read_text())
+        solid = s.get("render_solid", {})
+        stream = s.get("render_batch_3ratio_stream", {})
+        print(f"  serving render p50/p95      : "
+              f"{solid.get('p50_ms', '?')} / {solid.get('p95_ms', '?')} ms")
+        if stream:
+            print(f"  serving stream ttfb p50     : "
+                  f"{stream.get('ttfb', {}).get('p50_ms', '?')} ms "
+                  f"(buffered total {stream.get('buffered_total_p50_ms', '?')} ms)")
+    else:
+        print("  serving results             : MISSING")
+
+
+if __name__ == "__main__":
+    main()
