@@ -303,13 +303,18 @@ def main() -> None:
         # until a fallback tier actually latches), pre-planarized assets
         from image_transformation_tpu.ops.compose_pallas import planarize_objects
 
-        canvases_packed = canvases.view(np.uint32).reshape(B, H, W).astype(np.int32)
         _canvases_cell: list = []
 
         def canvases_thunk():
             if not _canvases_cell:
                 log("uploading packed canvas batch for the fallback tier ...")
-                _canvases_cell.append(jnp.asarray(canvases_packed))
+                # the astype copy (~3.5 GB at batch 448) is deferred here
+                # too: the happy path must not pay a second host canvas
+                # buffer that only the fallback tiers ever read
+                packed = (
+                    canvases.view(np.uint32).reshape(B, H, W).astype(np.int32)
+                )
+                _canvases_cell.append(jnp.asarray(packed))
             return _canvases_cell[0]
 
         # ONE shared planar copy: the kernel reads object row 0 for every
@@ -452,6 +457,10 @@ def main() -> None:
                 f"{pipelined:.1f} canvases/sec "
                 f"({dt_sb / sb_reps * 1e3:.1f} ms per {K}-batch dispatch)"
             )
+            # drop the scan's retained plane (~4 GB at batch 448) before
+            # the PIL-baseline and sweep phases — same dead-HBM concern
+            # the headline path's step.release() addresses
+            plane = stats = sb_args = None
         except Exception as e:  # noqa: BLE001 - diagnostic path only
             log(f"superbatch path failed ({e!r}); skipping")
 

@@ -2971,11 +2971,24 @@ def _fused_v3_meta(obj_hw, boxes, canvas_hw, pad_hw, window_hw):
     """Clamped window meta [B, N, 10] shared by the v3 producers: the
     shared 6-column window meta plus per-object source and target sizes
     (the gen-3 kernel builds its coefficient tables in-kernel from these,
-    STATUS item 12)."""
+    STATUS item 12).
+
+    Target sizes are CLAMPED to the kernel's envelope (out_max, recovered
+    from the window extents — every caller passes
+    ``window_extents((mh_a, mw_a))`` with tile-aligned extents, whose
+    inverse is exact): the chunked resample stores ``ceil(out/128)``
+    128-wide chunks into scratch sized by the envelope, so an
+    out-of-envelope box (boxes are traced data — the VLM chooses them)
+    must degrade to a cropped-scale render like gen-2 did, not write past
+    VMEM scratch and silently corrupt neighbouring objects' tables."""
     hp, wp = pad_hw
     MH, MW = window_hw
-    w = jnp.maximum(1, boxes[..., 2] - boxes[..., 0])
-    h = jnp.maximum(1, boxes[..., 3] - boxes[..., 1])
+    w = jnp.minimum(
+        jnp.maximum(1, boxes[..., 2] - boxes[..., 0]), MW - 128
+    )
+    h = jnp.minimum(
+        jnp.maximum(1, boxes[..., 3] - boxes[..., 1]), MH - 8
+    )
     same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
     meta6 = _window_meta6(
         boxes, canvas_hw, origin_cap=(hp - MH, wp - MW), same=same

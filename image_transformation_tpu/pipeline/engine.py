@@ -207,6 +207,12 @@ class ComposeEngine:
                 if not getattr(self, "_fused_validated", False):
                     _FUSED_DISABLED[0] = True
                 self._cache_clear()
+                # the fused path's device tensors are unreachable once
+                # _use_fused is False — drop them or they pin HBM (the
+                # planar copy plus up to 16 gathered perm entries) for
+                # the engine's whole lifetime
+                self._objs_planar = None
+                self._perm_cache.clear()
         cached = self._cache_get(signature)
         if cached is not None:
             return composite_canvas_tables_indexed(

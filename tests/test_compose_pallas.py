@@ -421,6 +421,44 @@ def test_fused_v2_matches_exact_xla_path(bundle_name, exact_traced_resample):
     assert np.array_equal(packed_to_u8_np(packed), ref)
 
 
+def test_fused_v3_out_of_envelope_box_degrades_gracefully():
+    """A box larger than out_max must not corrupt other objects: boxes
+    are traced VLM data, and the chunked resample stores ceil(out/128)
+    chunks into envelope-sized VMEM scratch — the meta clamps target
+    sizes to the envelope (a cropped-scale render, like gen-2's graceful
+    crop) instead of writing past the scratch."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        composite_batch_fused_v3,
+    )
+
+    H, W, B, n = 256, 384, 1, 2
+    pad_h, pad_w = 16, 24
+    rng = np.random.default_rng(7)
+    objs = np.zeros((B, n, pad_h, pad_w, 4), np.uint8)
+    objs[..., :3] = rng.integers(0, 256, (B, n, pad_h, pad_w, 3))
+    objs[..., 3] = 255
+    hw = np.full((B, n, 2), (pad_h, pad_w), np.int32)
+    boxes = np.zeros((B, n, 4), np.int32)
+    boxes[0, 0] = [0, 0, 200, 200]  # upscale FAR beyond the envelope
+    boxes[0, 1] = [300, 200, 300 + pad_w, 200 + pad_h]  # identity, disjoint
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., 3] = 255
+
+    dev = tuple(jnp.asarray(x) for x in (canvases, objs, hw, boxes))
+    out = np.asarray(composite_batch_fused_v3(*dev, interpret=True))
+
+    # the in-envelope identity object renders exactly (opaque alpha)
+    assert np.array_equal(out[0, 200:200 + pad_h, 300:300 + pad_w], objs[0, 1])
+    # the oversized box renders SOMETHING at its origin (clamped scale)...
+    assert (out[0, :16, :24, :3] != 0).any()
+    # ...but nothing beyond the envelope cap inside the requested box,
+    # and the rest of the canvas stays background
+    assert (out[0, 140:200, :200, :3] == 0).all()
+    assert (out[0, :, 340:, :3] == 0).all()
+
+
 @pytest.mark.parametrize("bundle_name", ["squarespace", "audio_book"])
 def test_fused_v3_in_kernel_tables(bundle_name, exact_traced_resample):
     """Gen-3 fused kernel (tables built in-kernel from per-object scalars):
