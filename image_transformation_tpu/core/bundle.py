@@ -89,6 +89,17 @@ class Bundle:
             pad_w = max((m.width for m in self.meta.values()), default=1)
         else:
             pad_h, pad_w = pad_hw
+        if pad_h * pad_w > (1 << 28):
+            # the padded envelope is the CROSS product of per-object max
+            # height and max width, so two extreme-aspect cutouts (1xN and
+            # Nx1) can each pass the per-image pixel cap yet demand an
+            # astronomically large batch tensor — fail with the cause
+            # instead of an opaque MemoryError/OOM-kill mid-allocation
+            raise ValueError(
+                f"padded object envelope {pad_h}x{pad_w} exceeds the "
+                f"2^28-pixel cap; bundle objects' aspect ratios are too "
+                f"extreme to batch into one padded tensor"
+            )
         objs = np.zeros((n, pad_h, pad_w, 4), np.uint8)
         hw = np.zeros((n, 2), np.int32)
         oids = np.full((n,), -1, np.int32)

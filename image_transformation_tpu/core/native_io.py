@@ -166,6 +166,14 @@ def batch_decode_into_padded(
     n = len(paths)
     if n > n_slots:
         raise ValueError(f"{n} paths > {n_slots} slots")
+    if pad_h * pad_w > (1 << 28):
+        # same envelope cap as Bundle.to_arrays: per-image probes can each
+        # pass the 2^28-pixel check while their (max_h x max_w) cross
+        # product demands an unbounded batch tensor
+        raise ValueError(
+            f"padded object envelope {pad_h}x{pad_w} exceeds the "
+            f"2^28-pixel cap"
+        )
     tensor = np.zeros((n_slots, pad_h, pad_w, 4), np.uint8)
     out_hw = np.zeros((n_slots, 2), np.int32)
     arr = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])

@@ -45,8 +45,19 @@ def _unique_stems(bundle_dirs: Sequence[Path]) -> Dict[Path, str]:
     basename (clientA/promo, clientB/promo) get parent-qualified stems so
     their artifact trees and result keys never collide — under the full
     loop a collision is destructive (run_macro_only PURGES its tree at
-    start, so one thread would delete the other's in-flight run)."""
-    dirs = [Path(d) for d in bundle_dirs]
+    start, so one thread would delete the other's in-flight run).
+
+    Exact duplicates of the SAME directory (any spelling) collapse to one
+    entry: rendering a bundle twice in one fleet is redundant, and under
+    the full loop two threads on one tree would purge each other. Callers
+    iterate the returned dict, so duplicates are skipped, not re-keyed."""
+    dirs: List[Path] = []
+    seen: set = set()
+    for d in map(Path, bundle_dirs):
+        key = d.resolve()
+        if key not in seen:
+            seen.add(key)
+            dirs.append(d)
     by_name: Dict[str, int] = {}
     for d in dirs:
         by_name[d.name] = by_name.get(d.name, 0) + 1
@@ -61,21 +72,61 @@ def _unique_stems(bundle_dirs: Sequence[Path]) -> Dict[Path, str]:
     return stems
 
 
+def _flex_object_ids(node) -> set:
+    """Every object_id mentioned anywhere in a flex dict (root included)."""
+    ids: set = set()
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if not isinstance(n, dict):
+            continue
+        if "object_id" in n:
+            try:
+                ids.add(int(n["object_id"]))
+            except (TypeError, ValueError):
+                pass
+        if "root" in n:
+            stack.append(n["root"])
+        children = n.get("children")
+        if isinstance(children, list):
+            stack.extend(children)
+    return ids
+
+
 def _layout_from_previous_run(
-    bundle_dir: Path, search_roots: Sequence[Path]
+    bundle_dir: Path,
+    search_roots: Sequence[Path],
+    stem: Optional[str] = None,
+    bundle_ids: Optional[set] = None,
 ) -> Optional[Dict]:
     from .artifacts import latest_iteration
 
+    name = bundle_dir.name
     for root in search_roots:
-        base = Path(root) / bundle_dir.name
-        if not base.exists():
-            continue
-        last = latest_iteration(base)
-        if last is None:
-            continue
-        for idx in range(last, -1, -1):
-            state = base / f"iteration_{idx:02d}" / "layout_json" / "loop_state.json"
-            if state.exists():
+        root = Path(root)
+        # Where a previous run of THIS bundle writes its tree: a
+        # colliding-basename full loop runs under <root>/<stem>/<name>
+        # (run_fleet_loops gives colliders their own output root); a
+        # non-colliding run under <root>/<name>. Never read <root>/<name>
+        # for a collider — that tree belongs to ANOTHER bundle with the
+        # same basename.
+        if stem and stem != name:
+            bases = [root / stem / name, root / stem]
+        else:
+            bases = [root / name]
+        for base in bases:
+            if not base.exists():
+                continue
+            last = latest_iteration(base)
+            if last is None:
+                continue
+            for idx in range(last, -1, -1):
+                state = (
+                    base / f"iteration_{idx:02d}" / "layout_json"
+                    / "loop_state.json"
+                )
+                if not state.exists():
+                    continue
                 try:
                     flex = json.loads(state.read_text()).get("flex_raw") or {}
                 except (json.JSONDecodeError, OSError):
@@ -83,8 +134,16 @@ def _layout_from_previous_run(
                     # abort the whole fleet — older iterations or the
                     # fallback layout still apply
                     continue
-                if "root" in flex:
-                    return flex
+                if "root" not in flex:
+                    continue
+                if bundle_ids is not None:
+                    found = _flex_object_ids(flex)
+                    if not found or not found <= set(bundle_ids):
+                        # a layout naming ids this bundle doesn't have is
+                        # some OTHER bundle's tree (basename reuse across
+                        # runs) — using it would render wrong or crash
+                        continue
+                return flex
     return None
 
 
@@ -93,11 +152,14 @@ def resolve_layout(
     items: List[dict],
     layout_json: Optional[Path],
     output_root: Optional[Path] = None,
+    stem: Optional[str] = None,
 ) -> Tuple[Dict, str]:
     """Pick the layout for one bundle; returns (flex dict, provenance tag).
 
     Previous-run search covers the fleet's own output root (where
-    ``--full-loop`` writes) and the default pipeline root.
+    ``--full-loop`` writes) and the default pipeline root, keyed by the
+    bundle's unique STEM (colliding basenames never read each other's
+    trees) and validated against the bundle's object ids.
     """
     if layout_json is not None:
         return json.loads(Path(layout_json).read_text()), f"file:{layout_json}"
@@ -105,7 +167,9 @@ def resolve_layout(
     if local.exists():
         return json.loads(local.read_text()), "bundle:fleet_layout.json"
     roots = [r for r in (output_root, Path.cwd() / "output_macro_placement") if r]
-    prev = _layout_from_previous_run(bundle_dir, roots)
+    ids = {int(it["object_id"]) for it in items if "object_id" in it}
+    prev = _layout_from_previous_run(bundle_dir, roots, stem=stem,
+                                     bundle_ids=ids)
     if prev is not None:
         return prev, "previous_run"
     return _fallback_layout(items), "fallback:column"
@@ -151,12 +215,12 @@ def run_fleet(
     t_start = time.perf_counter()
 
     stems = _unique_stems([Path(d) for d in bundle_dirs])
-    for bundle_dir in map(Path, bundle_dirs):
-        stem = stems[bundle_dir]
+    for bundle_dir, stem in stems.items():  # deduped, insertion order
         probe_warm = False  # set when the pallas probe already warmed the step
         bundle = load_bundle(bundle_dir)
         flex, layout_src = resolve_layout(
-            bundle_dir, bundle.items, layout_json, output_root=output_root
+            bundle_dir, bundle.items, layout_json, output_root=output_root,
+            stem=stem,
         )
         if "root" not in flex:
             raise ValueError(f"layout for {bundle_dir} has no 'root'")
@@ -183,6 +247,20 @@ def run_fleet(
 
             canvas_wh, valid = pad_ragged_variants(canvas_wh, n_dev)
 
+        # upload ONCE, before kernel selection: the pallas probe below
+        # reuses these device buffers (the object tensor is the largest
+        # host array in the loop — a second upload per bundle is pure
+        # ingest waste)
+        args = (
+            jnp.asarray(canvas_wh),
+            median.astype(jnp.uint8),
+            jnp.asarray(objs),
+            jnp.asarray(obj_wh),
+            jnp.asarray(known),
+        )
+        if valid is not None:
+            args = args + (jnp.asarray(valid),)
+
         if mesh is not None:
             step = make_sharded_fused_render(
                 mesh, prog, (h_max, w_max), obj_pad, method, masked=True
@@ -195,10 +273,7 @@ def run_fleet(
                     step = make_fused_render(
                         prog, (h_max, w_max), obj_pad, method, kernel="pallas"
                     )
-                    probe = step(
-                        jnp.asarray(canvas_wh), median.astype(jnp.uint8),
-                        jnp.asarray(objs), jnp.asarray(obj_wh), jnp.asarray(known),
-                    )
+                    probe = step(*args)
                     # dispatch is async: fence so a runtime kernel failure
                     # surfaces HERE and latches the fallback, not later
                     np.asarray(probe[-1])
@@ -211,16 +286,6 @@ def run_fleet(
                     step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
             else:
                 step = make_fused_render(prog, (h_max, w_max), obj_pad, method)
-
-        args = (
-            jnp.asarray(canvas_wh),
-            median.astype(jnp.uint8),
-            jnp.asarray(objs),
-            jnp.asarray(obj_wh),
-            jnp.asarray(known),
-        )
-        if valid is not None:
-            args = args + (jnp.asarray(valid),)
         if not probe_warm:
             result = step(*args)
             np.asarray(result[-1])  # execution fence (see bench.py)
@@ -321,8 +386,8 @@ def run_fleet_loops(
     from .run import run_macro_only
 
     results: Dict[str, Dict] = {}
-    dirs = [Path(d) for d in bundle_dirs]
-    stems = _unique_stems(dirs)
+    stems = _unique_stems([Path(d) for d in bundle_dirs])
+    dirs = list(stems)  # deduped: two threads must never share one tree
 
     def one(bundle_dir: Path) -> None:
         stem = stems[bundle_dir]

@@ -357,7 +357,20 @@ int png_batch_decode_into_padded(const char** paths, int32_t n,
   };
 
   std::vector<std::thread> pool;
-  for (unsigned i = 0; i < workers; ++i) pool.emplace_back(worker);
+  try {
+    pool.reserve(workers);
+    for (unsigned i = 0; i < workers; ++i) pool.emplace_back(worker);
+  } catch (...) {
+    // std::system_error from thread creation (resource exhaustion) must
+    // not unwind across the C ABI — and a partially-built pool of
+    // joinable threads would std::terminate in its destructor. The
+    // already-started workers drain the whole queue via the shared
+    // counter; with zero started, run the queue inline (worker() is
+    // nothrow by construction: decode_one catches everything).
+    if (pool.empty()) worker();
+    for (auto& t : pool) t.join();
+    return failures.load() == 0 ? 0 : -failures.load();
+  }
   for (auto& t : pool) t.join();
   return failures.load() == 0 ? 0 : -failures.load();
 }

@@ -177,3 +177,71 @@ def test_fleet_picks_up_previous_full_loop_layout(tmp_path):
 
     summary = run_fleet(BUNDLES[:1], ["1:1"], output_root=tmp_path)
     assert summary["bundles"]["squarespace"]["layout_source"] == "previous_run"
+
+
+def test_unique_stems_dedupes_same_dir_spellings():
+    """Two spellings of the SAME directory collapse to one fleet entry —
+    under --full-loop two threads on one tree would purge each other."""
+    from image_transformation_tpu.pipeline.fleet import _unique_stems
+
+    stems = _unique_stems([Path("data/squarespace"),
+                           Path("./data/squarespace"),
+                           Path("data/audio_book")])
+    assert len(stems) == 2
+    assert sorted(stems.values()) == ["audio_book", "squarespace"]
+
+
+def test_colliding_basenames_never_read_each_others_layouts(tmp_path):
+    """Two bundles sharing a basename resolve previous-run layouts by
+    their UNIQUE stem: bundle A must not pick up bundle B's saved layout
+    from <root>/<basename>, and A's own colliding-run tree under
+    <root>/<stemA>/<basename> must be found."""
+    import shutil
+
+    from image_transformation_tpu.pipeline.fleet import resolve_layout
+
+    a_dir = tmp_path / "clientA" / "promo"
+    b_dir = tmp_path / "clientB" / "promo"
+    shutil.copytree("data/squarespace", a_dir)
+    shutil.copytree("data/audio_book", b_dir)
+    out = tmp_path / "out"
+
+    def write_state(base: Path, ids):
+        layout_dir = base / "iteration_00" / "layout_json"
+        layout_dir.mkdir(parents=True)
+        flex = {"root": {"type": "flex", "direction": "column", "children": [
+            {"object_id": i, "name": f"o{i}"} for i in ids
+        ]}}
+        (layout_dir / "loop_state.json").write_text(
+            json.dumps({"flex_raw": flex})
+        )
+        return flex
+
+    items_a = json.loads((a_dir / "results.json").read_text())
+    items_b = json.loads((b_dir / "results.json").read_text())
+    ids_a = sorted(int(it["object_id"]) for it in items_a)
+    ids_b = sorted(int(it["object_id"]) for it in items_b)
+
+    # B's NON-colliding tree sits at out/promo (a past solo run of B)
+    write_state(out / "promo", ids_b)
+
+    # A (a collider: stem clientA__promo) must NOT read out/promo
+    flex, src = resolve_layout(a_dir, items_a, None, output_root=out,
+                               stem="clientA__promo")
+    assert src == "fallback:column"
+
+    # ... but finds its OWN colliding full-loop tree under out/<stem>/<name>
+    flex_a = write_state(out / "clientA__promo" / "promo", ids_a)
+    flex, src = resolve_layout(a_dir, items_a, None, output_root=out,
+                               stem="clientA__promo")
+    assert src == "previous_run" and flex == flex_a
+
+    # a NON-collider whose tree holds foreign object ids falls through
+    # (id validation): give out/promo ids that B doesn't have
+    import shutil as _sh
+
+    _sh.rmtree(out / "promo")
+    write_state(out / "promo", [max(ids_b) + 50])
+    flex, src = resolve_layout(b_dir, items_b, None, output_root=out,
+                               stem="promo")
+    assert src == "fallback:column"
