@@ -124,17 +124,41 @@ def make_solid_render_step(
     method: str = "lanczos",
     static_obj_hw: Optional[Tuple[Tuple[int, int], ...]] = None,
     reuse: bool = True,
+    stat: str = "luma",
+    fallback_mode: str = "generic",
 ):
     """ONE-program solid-background render step (the fastest path for
     workloads whose canvases are solid fills — the sweep and the bench):
-    background fill + gen-3 fused kernel + luma stat in a single dispatch.
+    background fill + gen-3 fused kernel + run stat in a single dispatch.
 
     Signature matches :func:`make_batched_compose` steps —
-    ``step(canvases, objs, obj_hw, boxes) -> (out, luma)`` — but the
-    canvases argument is ignored on the render path (the background is
+    ``step(canvases, objs, obj_hw, boxes) -> (out, stat)`` — but the
+    canvases argument is ignored on EVERY path (the background is
     synthesized on device; ``out`` is the padded packed-u32 plane whose
-    host bytes view-crop to RGBA). Latched loud fallback to the generic
-    pallas/XLA step (which does consume the canvases) on kernel failure.
+    host bytes view-crop to RGBA). ``objs`` may carry a leading dim of 1
+    against a B-batch ``boxes`` (the shared-object convention, STATUS
+    item 24); the fallback tiers broadcast it to per-canvas rows
+    themselves. Latched loud fallback on kernel failure.
+
+    This factory is the SINGLE owner of the solid-render step — bench.py
+    and the sweep both build from it (round-2 consolidation debt,
+    ROADMAP "Known consolidation debt"); their historical divergences
+    are the two mode parameters:
+
+    ``stat``
+        ``"luma"`` (sweep): per-canvas mean luminance of the crop —
+        the run-level reduction the sweep reports. ``"fence"`` (bench):
+        ``sum(out[:, 0, :128])`` — a 512-byte/canvas execution fence
+        that doesn't spend HBM bandwidth re-reading the whole crop just
+        to prove the kernel ran.
+    ``fallback_mode``
+        ``"generic"`` (sweep): latch :func:`make_batched_compose`
+        (kernel="pallas", its own tier chain) and fold its u8 output to
+        the packed plane convention. ``"tiered"`` (bench): explicit
+        gen-2 -> clamped -> XLA tiers, each with ``packed_out=True``
+        where supported, so a demoted benchmark still measures a
+        packed-output path rather than paying an unpack it would never
+        ship with.
 
     With ``reuse=True`` (default) consecutive calls reuse the previous
     output plane (framebuffer-reuse mode, compose_pallas STATUS item 20):
@@ -145,7 +169,15 @@ def make_solid_render_step(
     pass ``reuse=False`` (every call renders a fresh plane) or copy the
     plane off device before stepping again; ``step.release()`` drops the
     retained plane when the caller is done stepping. The sweep and bench
-    consume only the per-step luma stat, so they keep the default.
+    consume only the per-step stat, so they keep the default.
+
+    ``step.precompile(objs, obj_hw, boxes, on_phase=...)`` AOT-splits the
+    fast path's first dispatch into trace / compile stages (calling
+    ``on_phase("trace"|"compile")`` before each) and installs the
+    compiled executables, so a phase watchdog can tell a compile stall
+    from an allocation/execution hang (the round-2 batch-512 silent-loss
+    mode). Returns True on success; on failure the step simply compiles
+    lazily on first call as before.
     """
     from ..ops.compose_pallas import (
         _round_up,
@@ -157,11 +189,23 @@ def make_solid_render_step(
         render_solid_fused_v3_reuse_program,
     )
 
+    if stat not in ("luma", "fence"):
+        raise ValueError(f"stat must be 'luma' or 'fence', got {stat!r}")
+    if fallback_mode not in ("generic", "tiered"):
+        raise ValueError(
+            f"fallback_mode must be 'generic' or 'tiered', got {fallback_mode!r}"
+        )
+
     H, W = canvas_hw
     bg = pack_rgba_scalar(bg_rgba)
     hp, wp = fused_canvas_pad_hw(
         (H, W), (_round_up(out_max_hw[0], 8), _round_up(out_max_hw[1], 128))
     )
+
+    def run_stat(out_packed):
+        if stat == "fence":
+            return jnp.sum(out_packed[:, 0, :128], axis=1)
+        return packed_luma(out_packed[:, :H, :W])
 
     @jax.jit
     def render(objs, obj_hw, boxes):
@@ -170,7 +214,7 @@ def make_solid_render_step(
             objs_p, obj_hw, boxes, (H, W), bg, out_max_hw, method,
             static_obj_hw=static_obj_hw, pipelined=True,
         )
-        return out, packed_luma(out[:, :H, :W])
+        return out, run_stat(out)
 
     @partial(jax.jit, donate_argnums=(0,))
     def render_reuse(prev, objs, obj_hw, prev_boxes, boxes):
@@ -179,7 +223,7 @@ def make_solid_render_step(
             prev, prev_boxes, objs_p, obj_hw, boxes, (H, W), bg, out_max_hw,
             method, static_obj_hw=static_obj_hw, pipelined=True,
         )
-        return out, packed_luma(out[:, :H, :W])
+        return out, run_stat(out)
 
     @jax.jit
     def to_packed(out_u8):
@@ -189,48 +233,138 @@ def make_solid_render_step(
         plane = jax.lax.bitcast_convert_type(out_u8, jnp.int32)
         return jnp.pad(plane, ((0, 0), (0, hp - H), (0, wp - W)))
 
+    @jax.jit
+    def pad_plane(out_v):
+        # a demoted packed-out tier may pad to its own (smaller) envelope;
+        # grow it to this factory's plane so the output contract holds
+        return jnp.pad(
+            out_v,
+            ((0, 0), (0, hp - out_v.shape[1]), (0, wp - out_v.shape[2])),
+        )
+
+    @jax.jit
+    def packed_stat(out_v):
+        return run_stat(out_v)
+
+    def _demote(e, name, nxt):
+        import sys
+        import traceback
+
+        print(
+            f"[sweep] {name} failed; latching {nxt}: {e!r}",
+            file=sys.stderr,
+        )
+        traceback.print_exc(limit=3, file=sys.stderr)
+
+    # fallback tier: None = fast path; "gen2"/"clamped"/"xla" (tiered) or
+    # a make_batched_compose step (generic)
     fallback = [None]
     reuse_state = [None]  # (prev_plane, prev_boxes) between calls
+    aot = {"render": None, "reuse": None}
+
+    def precompile(objs, obj_hw, boxes, on_phase=None):
+        note = on_phase or (lambda name: None)
+        try:
+            specs = tuple(
+                jax.ShapeDtypeStruct(a.shape, a.dtype)
+                for a in (objs, obj_hw, boxes)
+            )
+            plane = jax.ShapeDtypeStruct((boxes.shape[0], hp, wp), jnp.int32)
+            note("trace")
+            low_r = render.lower(*specs)
+            low_rr = render_reuse.lower(plane, *specs[:2], specs[2], specs[2])
+            note("compile")
+            aot["render"] = low_r.compile()
+            aot["reuse"] = low_rr.compile()
+            return True
+        except Exception as e:  # noqa: BLE001 - lazily compile instead
+            _demote(e, "solid render precompile", "lazy first-call compile")
+            aot["render"] = aot["reuse"] = None
+            return False
+
+    def fallback_args(objs, obj_hw, boxes):
+        # u8 NHWC objects, per-canvas rows, device-synthesized bg canvases
+        # (every path composites over the SAME solid background, so the
+        # caller's canvases are never consulted)
+        B = boxes.shape[0]
+        objs_u8 = (
+            objs if objs.shape[4] == 4 else jnp.transpose(objs, (0, 1, 3, 4, 2))
+        )
+        if objs_u8.shape[0] == 1 and B > 1:
+            objs_u8 = jnp.broadcast_to(objs_u8, (B, *objs_u8.shape[1:]))
+            obj_hw = jnp.broadcast_to(obj_hw, (B, *obj_hw.shape[1:]))
+        rgba = jnp.array(bg_rgba, jnp.uint8)
+        bg_canvases = jnp.broadcast_to(rgba, (B, H, W, 4))
+        return bg_canvases, objs_u8, obj_hw, boxes
+
+    xla_terminal = [None]  # latched XLA step for the tiered chain's end
+
+    def tiered_fallback(objs, obj_hw, boxes):
+        from ..ops.compose_pallas import (
+            composite_batch_fused_v2,
+            composite_batch_hybrid_packed,
+        )
+
+        cu8, ou8, hw_, b = fallback_args(objs, obj_hw, boxes)
+        if fallback[0] == "gen2":
+            try:
+                out_v = pad_plane(composite_batch_fused_v2(
+                    cu8, ou8, hw_, b, out_max_hw, method, packed_out=True
+                ))
+                return out_v, packed_stat(out_v)
+            except Exception as e:  # noqa: BLE001
+                fallback[0] = "clamped"
+                _demote(e, "fused_v2", "the clamped path")
+        if fallback[0] == "clamped":
+            try:
+                out_v = pad_plane(composite_batch_hybrid_packed(
+                    cu8, ou8, hw_, b, out_max_hw, method, clamped=True,
+                    packed_out=True,
+                ))
+                return out_v, packed_stat(out_v)
+            except Exception as e:  # noqa: BLE001
+                fallback[0] = "xla"
+                _demote(e, "clamped packed", "the XLA path")
+        if xla_terminal[0] is None:
+            xla_terminal[0] = make_batched_compose(out_max_hw, method=method)
+        out, _ = xla_terminal[0](cu8, ou8, hw_, b)
+        out_v = to_packed(out)
+        return out_v, packed_stat(out_v)
 
     def step(canvases, objs, obj_hw, boxes):
         del canvases  # background comes from bg_rgba on EVERY path
         if fallback[0] is None:
             try:
+                r = aot["render"] or render
+                rr = aot["reuse"] or render_reuse
                 if reuse_state[0] is None:
-                    out, luma = render(objs, obj_hw, boxes)
+                    out, st = r(objs, obj_hw, boxes)
                 else:
                     prev, pb = reuse_state[0]
-                    out, luma = render_reuse(prev, objs, obj_hw, pb, boxes)
+                    out, st = rr(prev, objs, obj_hw, pb, boxes)
                 if reuse:
                     reuse_state[0] = (out, boxes)
-                return out, luma
+                return out, st
             except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
-                import sys
-                import traceback
-
-                print(
-                    f"[sweep] solid render path failed; latching the "
-                    f"generic step: {e!r}",
-                    file=sys.stderr,
-                )
-                traceback.print_exc(limit=3, file=sys.stderr)
                 reuse_state[0] = None
-                fallback[0] = make_batched_compose(
-                    out_max_hw, method=method, kernel="pallas",
-                    static_obj_hw=static_obj_hw,
-                )
-        objs_u8 = (
-            objs if objs.shape[4] == 4 else jnp.transpose(objs, (0, 1, 3, 4, 2))
-        )
-        # synthesize the same bg canvases the fast path fills, so both
-        # paths return identical pixels regardless of what callers pass
-        rgba = jnp.array(bg_rgba, jnp.uint8)
-        bg_canvases = jnp.broadcast_to(rgba, (objs.shape[0], H, W, 4))
-        out, luma = fallback[0](bg_canvases, objs_u8, obj_hw, boxes)
-        return to_packed(out), luma
+                if fallback_mode == "tiered":
+                    fallback[0] = "gen2"
+                    _demote(e, "solid render path", "fused_v2")
+                else:
+                    _demote(e, "solid render path", "the generic step")
+                    fallback[0] = make_batched_compose(
+                        out_max_hw, method=method, kernel="pallas",
+                        static_obj_hw=static_obj_hw,
+                    )
+        if callable(fallback[0]):
+            out, st = fallback[0](*fallback_args(objs, obj_hw, boxes))
+            out_v = to_packed(out)
+            return out_v, (packed_stat(out_v) if stat == "fence" else st)
+        return tiered_fallback(objs, obj_hw, boxes)
 
     step.fallback = fallback  # introspectable for tests
     step.release = lambda: reuse_state.__setitem__(0, None)
+    step.precompile = precompile
     return step
 
 
@@ -290,8 +424,6 @@ def make_sharded_solid_render(
     step(objs_p [B,N,4,ph_a,pw_a], obj_hw [B,N,2], boxes [B,N,4])
       -> (padded packed planes [B,hp,wp] sharded over data, global luma [1])
     """
-    from jax.experimental.shard_map import shard_map
-
     from ..ops.compose_pallas import (
         pack_rgba_scalar,
         packed_luma,
@@ -312,14 +444,14 @@ def make_sharded_solid_render(
         return out, jax.lax.pmean(jnp.mean(luma, keepdims=True), "data")
 
     return jax.jit(
-        shard_map(
+        jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(data_spec, data_spec, data_spec),
             out_specs=(data_spec, P()),
             # pallas_call cannot declare varying-mesh-axes metadata on its
-            # out_shape; skip the replication checker for this body
-            check_rep=False,
+            # out_shape; skip the varying-manual-axes checker for this body
+            check_vma=False,
         )
     )
 
