@@ -187,23 +187,29 @@ def config2_margin_conflict_relayout() -> dict:
     import jax.numpy as jnp
 
     from image_transformation_tpu.layout.solve import FlexProgram
-    from image_transformation_tpu.layout.validate_vec import validate_program
+    from image_transformation_tpu.layout.validate_vec import (
+        inner_extents,
+        validate_program_extents,
+    )
 
     prog = FlexProgram.from_dsl(root_for("row"))
     obj_wh = jnp.asarray(np.asarray(dims, np.int32))
     required = jnp.asarray(ids)
     W, H = compute_canvas_size(bundle.background.size, "16:9", verbose=False)
+    # margin quantization host-side (bit-exact f64 contract); the device
+    # program is integer-only and vmaps over the extents table
+    extents = inner_extents((W, H), np.asarray(margins, np.float64))
 
     @jax.jit
-    def device_sweep(ms):
+    def device_sweep(ext):
         return jax.vmap(
-            lambda m: validate_program(prog, obj_wh, (W, H), m, required)
-        )(ms)
+            lambda e: validate_program_extents(prog, obj_wh, e, required)
+        )(ext)
 
-    res = device_sweep(jnp.asarray(np.asarray(margins, np.float32)))
+    res = device_sweep(jnp.asarray(extents))
     fence(res["n_row_violations"])
     t = time.perf_counter()
-    res = device_sweep(jnp.asarray(np.asarray(margins, np.float32)))
+    res = device_sweep(jnp.asarray(extents))
     fence(res["n_row_violations"])
     device_sweep_ms = (time.perf_counter() - t) * 1e3
 

@@ -12,9 +12,14 @@ layout/solve.solve_program which vmaps the same FlexProgram).
 
 Layout structure is static per program, so the pair topology (which
 container direction governs each leaf pair) is precomputed once on host
-(`pair_structure`), while canvas size, margin, and object sizes stay
-traced (`conflict_masks`, `validate_program`) — one compiled validator
-re-checks a layout for any variant, and a margin sweep is one vmap.
+(`pair_structure`); object sizes stay traced. The margin->inner-extent
+quantization is BIT-EXACT vs the host validator by construction: the
+host computes it in Python float64 with trailing `int()` truncation
+(validate.py:346-349), so :func:`inner_extents` replicates exactly that
+in host numpy f64 — sweep margins are concrete host values anyway — and
+the device side (:func:`conflict_masks_from_extents`) is pure int32
+arithmetic with no float rounding to diverge. A margin sweep
+precomputes its extents table once and vmaps the int program over it.
 """
 
 from __future__ import annotations
@@ -28,46 +33,55 @@ import jax.numpy as jnp
 from .solve import DIR_ROW, FlexProgram
 
 
-def conflict_masks(
+def inner_extents(canvas_wh, margin_pct) -> np.ndarray:
+    """Margin-inset extents `[inner_w, inner_h, min_gap]`, int32 — the
+    EXACT host quantization of validate.compute_nesting_conflicts
+    (reference macro_placement_test.py:587-634): IEEE-double products with
+    trailing truncation toward zero, so device masks built from these are
+    bit-identical to the host validator's, boundary cases included.
+
+    Host-side numpy (requires concrete values). Broadcasts: pass a margin
+    array of shape [K] to get a [K, 3] table for a sweep, then vmap
+    :func:`conflict_masks_from_extents` / :func:`validate_program_extents`
+    over its rows.
+    """
+    try:
+        w = np.asarray(canvas_wh[0], np.float64)
+        h = np.asarray(canvas_wh[1], np.float64)
+        m = np.asarray(margin_pct, np.float64)
+    except Exception as e:  # jax tracers refuse np conversion
+        raise TypeError(
+            "inner_extents needs concrete canvas/margin values (the "
+            "quantization contract is host float64); for traced sweeps "
+            "precompute the extents table host-side and vmap "
+            "conflict_masks_from_extents / validate_program_extents over it"
+        ) from e
+    inner_w = np.maximum(1, (w - 2.0 * (m * w)).astype(np.int64))
+    inner_h = np.maximum(1, (h - 2.0 * (m * h)).astype(np.int64))
+    min_gap = np.maximum(8, (np.minimum(w, h) * 0.01).astype(np.int64))
+    return np.stack(
+        np.broadcast_arrays(inner_w, inner_h, min_gap), axis=-1
+    ).astype(np.int32)
+
+
+def conflict_masks_from_extents(
     obj_wh: jnp.ndarray,
-    canvas_wh,
-    margin_pct,
+    extents: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pairwise nesting-conflict masks from sizes (traced).
+    """Pairwise nesting-conflict masks from sizes + precomputed extents
+    (traced, pure int32 — bit-exact vs the host validator).
 
-    Device replica of validate.compute_nesting_conflicts
-    (reference macro_placement_test.py:587-634): pair (i, j) cannot share a
-    row when either width fills the margin-inset canvas or their sum plus
-    the minimum gap overflows it; heights dual for columns.
+    Pair (i, j) cannot share a row when either width fills the
+    margin-inset canvas or their sum plus the minimum gap overflows it;
+    heights dual for columns (reference macro_placement_test.py:587-634).
 
-    obj_wh: int32 [N, 2] (w, h); canvas_wh: (W, H) traced ints;
-    margin_pct: traced float. Returns (row_bad, col_bad) bool [N, N]
+    obj_wh: int32 [N, 2] (w, h); extents: int32 [3] from
+    :func:`inner_extents` (traced or concrete — the arithmetic is
+    integer-only either way). Returns (row_bad, col_bad) bool [N, N]
     (symmetric, diagonal False).
     """
-    # Precision note: the host computes margin*w and 0.01*min(w,h) in
-    # float64; this traced replica uses float32 (x64 stays off on TPU).
-    # When the true product lies within ~1e-5 of an integer the trailing
-    # truncation can land one pixel apart between the two (and the host's
-    # own f64 representation of decimals like 0.07 already truncates
-    # "intended" integers down) — so the inner extents carry a documented
-    # <=1px boundary envelope vs compute_nesting_conflicts. Away from
-    # exact boundaries the masks are identical (pinned by tests).
-    W = jnp.asarray(canvas_wh[0], jnp.int32)
-    H = jnp.asarray(canvas_wh[1], jnp.int32)
-    m = jnp.asarray(margin_pct, jnp.float32)
-    inner_w = jnp.maximum(
-        1, (W.astype(jnp.float32) - 2.0 * (m * W.astype(jnp.float32)))
-        .astype(jnp.int32)
-    )
-    inner_h = jnp.maximum(
-        1, (H.astype(jnp.float32) - 2.0 * (m * H.astype(jnp.float32)))
-        .astype(jnp.int32)
-    )
-    min_gap = jnp.maximum(
-        8,
-        (jnp.minimum(W, H).astype(jnp.float32) * 0.01).astype(jnp.int32),
-    )
-
+    extents = jnp.asarray(extents, jnp.int32)
+    inner_w, inner_h, min_gap = extents[0], extents[1], extents[2]
     w = obj_wh[:, 0].astype(jnp.int32)
     h = obj_wh[:, 1].astype(jnp.int32)
 
@@ -79,6 +93,21 @@ def conflict_masks(
         return bad & ~jnp.eye(n, dtype=bool)
 
     return axis_bad(w, inner_w), axis_bad(h, inner_h)
+
+
+def conflict_masks(
+    obj_wh: jnp.ndarray,
+    canvas_wh,
+    margin_pct,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience wrapper: host-exact extents + the traced int masks.
+
+    canvas_wh / margin_pct must be concrete (see :func:`inner_extents`);
+    obj_wh may be traced.
+    """
+    return conflict_masks_from_extents(
+        obj_wh, inner_extents(canvas_wh, margin_pct)
+    )
 
 
 def pair_structure(prog: FlexProgram) -> Tuple[np.ndarray, np.ndarray]:
@@ -146,11 +175,10 @@ def coverage_check(
     }
 
 
-def validate_program(
+def validate_program_extents(
     prog: FlexProgram,
     obj_wh: jnp.ndarray,
-    canvas_wh,
-    margin_pct,
+    extents: jnp.ndarray,
     required_ids: jnp.ndarray,
 ) -> Dict[str, jnp.ndarray]:
     """Full device-side validation of one program variant (traced).
@@ -159,10 +187,11 @@ def validate_program(
     topology and the coverage bitset. Returns scalar device values:
     ``ok``, ``covered``, ``n_row_violations``, ``n_col_violations`` (each
     unordered violating pair counted once, as the host validator reports
-    them). vmap over (canvas_wh, margin_pct) for sweep validation, or over
-    obj_wh for size variants.
+    them). vmap over extents rows for canvas/margin sweeps, or over
+    obj_wh for size variants — bit-exact vs the host validator either way
+    (the masks are integer-only; see :func:`inner_extents`).
     """
-    row_bad, col_bad = conflict_masks(obj_wh, canvas_wh, margin_pct)
+    row_bad, col_bad = conflict_masks_from_extents(obj_wh, extents)
     gov_is_row, checked = pair_structure(prog)
     gov_is_row = jnp.asarray(gov_is_row)
     upper = jnp.asarray(np.triu(checked, k=1))
@@ -184,3 +213,18 @@ def validate_program(
         "n_row_violations": n_row,
         "n_col_violations": n_col,
     }
+
+
+def validate_program(
+    prog: FlexProgram,
+    obj_wh: jnp.ndarray,
+    canvas_wh,
+    margin_pct,
+    required_ids: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Convenience wrapper of :func:`validate_program_extents` for one
+    concrete canvas/margin (the quantization happens host-side; see
+    :func:`inner_extents` for the traced-sweep form)."""
+    return validate_program_extents(
+        prog, obj_wh, inner_extents(canvas_wh, margin_pct), required_ids
+    )

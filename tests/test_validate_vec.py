@@ -20,8 +20,10 @@ from image_transformation_tpu.layout.validate import (
 from image_transformation_tpu.layout.validate_vec import (
     conflict_masks,
     coverage_check,
+    inner_extents,
     pair_structure,
     validate_program,
+    validate_program_extents,
 )
 from image_transformation_tpu.layout.flex import FlexError
 
@@ -66,6 +68,59 @@ def test_conflict_masks_match_host_on_bundles_and_random():
                     labels, canvas, margin)
                 assert np.array_equal(np.asarray(dev_col), host_col), (
                     labels, canvas, margin)
+
+
+def test_conflict_masks_bit_exact_campaign():
+    """Strict mask equality vs the host validator across 220 random
+    canvas/margin/size draws INCLUDING engineered truncation boundaries
+    (VERDICT r2 item 4: the old f32 path carried a <=1px envelope; the
+    host-f64-extents + int32-mask split must carry none)."""
+    rng = np.random.default_rng(7)
+    trials = 0
+    while trials < 220:
+        n = int(rng.integers(2, 8))
+        labels = [f"o{i}" for i in range(n)]
+        canvas = (int(rng.integers(50, 4000)), int(rng.integers(50, 4000)))
+        kind = trials % 3
+        if kind == 0:
+            margin = float(rng.uniform(0, 0.45))
+        elif kind == 1:
+            # decimal margins whose f64 products sit near integers
+            margin = float(rng.choice([0.01, 0.05, 0.07, 0.1, 0.125, 0.2]))
+        else:
+            # engineered boundary: margin*W exactly representable-ish so
+            # int() truncation direction is the whole story
+            k = int(rng.integers(1, 20))
+            margin = k / (2.0 * canvas[0])
+        inner = inner_extents(canvas, margin)
+        # half the draws sit sizes ON the single/pair-sum thresholds
+        sizes = []
+        for i in range(n):
+            if rng.random() < 0.5:
+                base = int(inner[0 if rng.random() < 0.5 else 1])
+                sizes.append((
+                    max(1, base + int(rng.integers(-1, 2))),
+                    max(1, base // 2 + int(rng.integers(-1, 2))),
+                ))
+            else:
+                sizes.append((int(rng.integers(1, 2000)),
+                              int(rng.integers(1, 2000))))
+        host_row, host_col = _host_masks(labels, sizes, canvas, margin)
+        dev_row, dev_col = conflict_masks(
+            jnp.asarray(np.asarray(sizes, np.int32)), canvas, margin
+        )
+        assert np.array_equal(np.asarray(dev_row), host_row), (
+            sizes, canvas, margin)
+        assert np.array_equal(np.asarray(dev_col), host_col), (
+            sizes, canvas, margin)
+        trials += 1
+
+
+def test_inner_extents_requires_concrete_values():
+    """Traced canvas/margin must fail loudly with the sweep guidance, not
+    silently re-quantize in f32."""
+    with pytest.raises(TypeError, match="concrete"):
+        jax.jit(lambda m: inner_extents((100, 100), m))(0.05)
 
 
 def test_pair_structure_governing_directions():
@@ -166,13 +221,16 @@ def test_validate_program_vmaps_over_margin_sweep():
     margins = np.asarray([0.0, 0.05, 0.1, 0.2, 0.3], np.float32)
     required = jnp.asarray(ids)
 
-    @jax.jit
-    def sweep(ms):
-        return jax.vmap(
-            lambda m: validate_program(prog, obj_wh, canvas, m, required)
-        )(ms)
+    # quantization host-side (exact f64), int program vmapped over the table
+    extents = inner_extents(canvas, margins)
 
-    res = sweep(jnp.asarray(margins))
+    @jax.jit
+    def sweep(ext):
+        return jax.vmap(
+            lambda e: validate_program_extents(prog, obj_wh, e, required)
+        )(ext)
+
+    res = sweep(jnp.asarray(extents))
     assert res["n_row_violations"].shape == (len(margins),)
     for k, margin in enumerate(margins):
         host_row, _ = _host_masks(labels, sizes, canvas, float(margin))
