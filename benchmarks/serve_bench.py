@@ -56,7 +56,7 @@ def main() -> None:
     base = f"http://127.0.0.1:{port}"
     log(f"daemon on {base}")
 
-    def post(path, payload, timeout=600):
+    def post(path, payload, timeout=600, timings_into=None):
         req = urllib.request.Request(
             base + path, data=json.dumps(payload).encode(), method="POST",
             headers={"Content-Type": "application/json"},
@@ -64,7 +64,21 @@ def main() -> None:
         t0 = time.perf_counter()
         with urllib.request.urlopen(req, timeout=timeout) as r:
             body = r.read()
+            if timings_into is not None:
+                header = r.headers.get("X-Render-Timings")
+                if header:
+                    timings_into.append(json.loads(header))
         return time.perf_counter() - t0, body
+
+    def phase_split(timings):
+        """Fold per-request X-Render-Timings dicts into per-phase p50s."""
+        out = {}
+        for phase in ("solve_ms", "queue_ms", "device_ms", "readback_ms",
+                      "encode_ms"):
+            vals = sorted(t[phase] for t in timings if phase in t)
+            if vals:
+                out[phase.replace("_ms", "_p50_ms")] = vals[len(vals) // 2]
+        return out
 
     results = {}
     try:
@@ -87,8 +101,17 @@ def main() -> None:
             ("boxes_only", {"bundle": "squarespace", "ratio": "9:16",
                             "boxes_only": True}),
         ):
-            samples = [post("/v1/render", payload)[0] for _ in range(20)]
+            timings: list = []
+            samples = [
+                post("/v1/render", payload, timings_into=timings)[0]
+                for _ in range(20)
+            ]
             results[name] = percentiles(samples)
+            # per-phase attribution (VERDICT r2 item 7): device compose vs
+            # readback vs PNG encode vs solve/queue, from the response
+            # headers (boxes_only carries none — no render happens)
+            if timings:
+                results[name]["phase_split"] = phase_split(timings)
             log(f"{name}: {results[name]}")
 
         # ---- concurrent render load (coalescing) ----
@@ -152,6 +175,11 @@ def main() -> None:
             "buffered_total_p50_ms": results["render_batch_3ratio"]["p50_ms"],
         }
         log(f"render_batch_3ratio_stream: {results['render_batch_3ratio_stream']}")
+
+        # ---- daemon-side rolling latency split (/v1/stats) ----
+        with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+            results["stats_latency_ms"] = json.loads(r.read())["latency_ms"]
+        log(f"stats latency_ms: {results['stats_latency_ms']}")
     finally:
         server.shutdown()
         thread.join(timeout=5)
@@ -162,6 +190,7 @@ def main() -> None:
         "metric": "serving /v1/render p50 latency",
         "value": results["render_solid"]["p50_ms"],
         "unit": "ms",
+        "phase_split": results["render_solid"].get("phase_split"),
         "concurrent_rps": results["concurrent_render"]["requests_per_sec"],
         "dispatch_merge": (
             results["concurrent_render"]["coalescer_dispatches"],

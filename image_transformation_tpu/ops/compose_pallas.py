@@ -562,12 +562,12 @@ def _pallas_compose_planar(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # canvas stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # objects: DMA'd per use
-            pl.BlockSpec(memory_space=pltpu.ANY),  # kh tables
-            pl.BlockSpec(memory_space=pltpu.ANY),  # kv tables
+            pl.BlockSpec(memory_space=pl.ANY),  # canvas stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # objects: DMA'd per use
+            pl.BlockSpec(memory_space=pl.ANY),  # kh tables
+            pl.BlockSpec(memory_space=pl.ANY),  # kv tables
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((4, MH, MW), jnp.uint8),
             pltpu.VMEM((4, MH + 8, MW), jnp.uint8),
@@ -715,10 +715,10 @@ def _pallas_blend_planar(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((4, MH, wp), jnp.uint8),  # full-width row band
             pltpu.VMEM((4, mh_a, mw_a), jnp.uint8),
@@ -981,10 +981,10 @@ def _pallas_blend_aligned(
         num_scalar_prefetch=1,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, MH, MW), jnp.int32),
             pltpu.VMEM((2, MH, MW), jnp.int32),
@@ -1136,10 +1136,10 @@ def _pallas_blend_packed_pipelined(
         num_scalar_prefetch=1,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, MH, MW), jnp.int32),
             pltpu.VMEM((2, mh_a, mw_a), jnp.int32),
@@ -1308,10 +1308,10 @@ def _pallas_blend_clamped_batchsrc(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((N, mh_a, mw_a), jnp.int32),
@@ -1402,10 +1402,10 @@ def _pallas_blend_resident(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((hp, wp), jnp.int32),  # resident canvas
             pltpu.VMEM((N, mh_a, mw_a), jnp.int32),
@@ -1492,10 +1492,10 @@ def _pallas_blend_band(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, wp), jnp.int32),  # full-width row band
             pltpu.VMEM((mh_a, mw_a), jnp.int32),
@@ -1583,10 +1583,10 @@ def _pallas_blend_clamped_pipelined(
         num_scalar_prefetch=1,
         grid=(N,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, MH, MW), jnp.int32),
             pltpu.VMEM((2, mh_a, mw_a), jnp.int32),
@@ -1619,10 +1619,10 @@ def _pallas_blend_packed_clamped(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((mh_a, mw_a), jnp.int32),
@@ -1817,10 +1817,10 @@ def _pallas_blend_rowbaked(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((mh_src, mw_a), jnp.int32),
@@ -1948,10 +1948,10 @@ def _pallas_blend_packed(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((mh_a, mw_a), jnp.int32),
@@ -2190,12 +2190,12 @@ def _pallas_fused_v2_impl(
         num_scalar_prefetch=1,
         grid=(B, N),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((MH, MW), jnp.int32),
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
@@ -2900,10 +2900,10 @@ def _pallas_fused_v3_impl(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch,
     )
     out_v = pl.pallas_call(
@@ -3339,8 +3339,8 @@ def _pallas_restore_windows(canvas_v, meta, out_max_hw, bg_packed: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             scratch,
             pltpu.SemaphoreType.DMA((2,)),

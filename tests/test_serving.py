@@ -408,6 +408,33 @@ def test_stats_endpoint(server):
     assert stats["requests"] >= stats["dispatches"]
 
 
+def test_render_latency_split(server):
+    """Each /v1/render response attributes its latency across phases
+    (X-Render-Timings header), and /v1/stats aggregates rolling
+    percentiles per phase — how an operator tells device compose from
+    readback from PNG encode on a production host."""
+    req = urllib.request.Request(
+        server + "/v1/render",
+        data=json.dumps({"bundle": "squarespace", "ratio": "9:16"}).encode(),
+        method="POST", headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        timings = json.loads(r.headers["X-Render-Timings"])
+        r.read()
+    for phase in ("solve_ms", "queue_ms", "device_ms", "readback_ms",
+                  "encode_ms"):
+        assert phase in timings, phase
+        assert timings[phase] >= 0
+    assert timings["merged"] >= 1
+
+    with urllib.request.urlopen(server + "/v1/stats") as r:
+        latency = json.loads(r.read())["latency_ms"]
+    for phase in ("solve", "queue", "device", "readback", "encode"):
+        assert latency[phase]["count"] >= 1, phase
+        assert latency[phase]["p95_ms"] >= latency[phase]["p50_ms"] >= 0
+
+
 def test_render_batch_user_errors_do_not_latch():
     """A malformed request (bad ratio / bad layout) must raise during
     validation WITHOUT latching the kernel fallback — only backend/kernel
