@@ -488,4 +488,16 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 - driver contract: 1 JSON line
+        # the batch-512 probe taught this: a RESOURCE_EXHAUSTED that
+        # escapes every fallback tier must still land as one honest JSON
+        # line (the full demotion chain is on stderr), not a bare
+        # traceback the driver can't parse
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        emit_error_line(f"{type(e).__name__}: {str(e)[:500]}", code=1)

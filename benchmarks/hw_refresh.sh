@@ -26,10 +26,14 @@ timeout 600 python bench.py > "$OUT/bench_448_a.json" 2> "$OUT/bench_448_a.log"
 timeout 600 python bench.py > "$OUT/bench_448_b.json" 2> "$OUT/bench_448_b.log"
 
 # 2. the old resource wall: shared objects removed ~3.7 GB of duplicated
-#    HBM, so 512 may now fit (and 640 beyond it). Bounded: a hang here is
-#    the wall, not a reason to lose the rest of the batch.
-timeout 420 python bench.py --batch 512 > "$OUT/bench_512.json" 2> "$OUT/bench_512.log"
-timeout 420 python bench.py --batch 640 > "$OUT/bench_640.json" 2> "$OUT/bench_640.log"
+#    HBM, so 512 may now fit (and 640 beyond it). The phase watchdog
+#    inside bench.py (240 s per device phase) fires FIRST and writes one
+#    JSON line naming the stalled phase + the expected live-HBM model;
+#    the outer timeout is only the belt over that.
+ITPU_BENCH_DEADLINE_SCALE=0.6 timeout 1500 \
+  python bench.py --batch 512 > "$OUT/bench_512.json" 2> "$OUT/bench_512.log"
+ITPU_BENCH_DEADLINE_SCALE=0.6 timeout 1500 \
+  python bench.py --batch 640 > "$OUT/bench_640.json" 2> "$OUT/bench_640.log"
 
 probe  # 512/640 may wedge the tunnel; stop cleanly if so
 

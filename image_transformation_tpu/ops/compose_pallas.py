@@ -416,6 +416,14 @@ def _window_meta6(boxes, canvas_hw, origin_cap=None, same=None):
     window, see _legacy_canvas_pad_hw). ``same``: optional [B, N] bool
     identity-size flags (kernels with an identity fast path); zeros when
     absent.
+
+    SMEM layout note: every pallas_call site transposes the table to
+    scalar-major ``(S, N, B)`` before prefetch and kernels read
+    ``meta_ref[scalar, k, b]``. Mosaic pads the LAST smem dim to 128
+    lanes, so the batch-major ``[B, N, S]`` layout cost B*N*128*4 bytes
+    of the 1 MiB smem — the measured batch-512 compile wall
+    (B*N = 2048 -> exactly 1.00 MiB + spills, RESOURCE_EXHAUSTED).
+    Scalar-major puts the large batch dim last: dense, ~21x headroom.
     """
     h_c, w_c = canvas_hw
     x1 = boxes[..., 0]
@@ -447,15 +455,15 @@ def _make_kernel(n_obj: int, out_hw: Tuple[int, int]):
         b = pl.program_id(0)
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _():
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
-                same = meta_ref[b, k, 4] > 0
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
+                same = meta_ref[4, k, b] > 0
 
                 # Objects/tables live in HBM (VMEM cannot hold N pipelined
                 # copies); DMA just this object's slices.
@@ -587,7 +595,7 @@ def _pallas_compose_planar(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},  # canvas (first tensor input) -> output
         interpret=interpret,
-    )(meta, canvas_p, objs_p, kh, kv_t)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_p, objs_p, kh, kv_t)
 
 
 def composite_batch_pallas(
@@ -653,14 +661,14 @@ def _make_blend_kernel(n_obj: int, out_hw: Tuple[int, int]):
         b = pl.program_id(0)
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _():
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
 
                 band_slice = out_ref.at[b, :, pl.ds(ws_y, MH), :]
                 dma_in = pltpu.make_async_copy(band_slice, band_ref, sem_in)
@@ -734,7 +742,7 @@ def _pallas_blend_planar(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_p, src_p)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_p, src_p)
 
 
 def composite_batch_hybrid(
@@ -829,14 +837,14 @@ def _make_blend_kernel_packed(n_obj: int, src_hw: Tuple[int, int]):
         b = pl.program_id(0)
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _():
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
 
                 window_slice = out_ref.at[
                     b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)
@@ -943,8 +951,8 @@ def _make_blend_kernel_aligned(n_batch: int):
         MH, MW = win_ref.shape[1], win_ref.shape[2]
 
         def window_dma(b, slot, to_vmem):
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
             window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
             if to_vmem:
                 return pltpu.make_async_copy(
@@ -960,7 +968,7 @@ def _make_blend_kernel_aligned(n_batch: int):
             )
 
         def compute(b, s: int):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
             src = jnp.where(valid, src_vmem[s], 0)
             win_ref[s] = _alpha_over_packed(win_ref[s], src)
 
@@ -999,7 +1007,7 @@ def _pallas_blend_aligned(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
@@ -1081,8 +1089,8 @@ def _make_blend_kernel_packed_pipelined(n_batch: int, src_hw: Tuple[int, int]):
         k = pl.program_id(0)
 
         def window_dma(b, slot, to_vmem):
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
             window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
             if to_vmem:
                 return pltpu.make_async_copy(
@@ -1098,9 +1106,9 @@ def _make_blend_kernel_packed_pipelined(n_batch: int, src_hw: Tuple[int, int]):
             )
 
         def compute(b, s: int):
-            dx = meta_ref[b, k, 2]
-            dy = meta_ref[b, k, 3]
-            valid = meta_ref[b, k, 5] > 0
+            dx = meta_ref[2, k, b]
+            dy = meta_ref[3, k, b]
+            valid = meta_ref[5, k, b] > 0
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
             src_shift[8 : 8 + mh_a, :] = src_vmem[s]
             rows = jax.lax.switch(
@@ -1155,7 +1163,7 @@ def _pallas_blend_packed_pipelined(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 
@@ -1216,14 +1224,14 @@ def _make_blend_kernel_packed_clamped(n_obj: int, src_hw: Tuple[int, int]):
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _():
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
 
                 window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
                 dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
@@ -1270,14 +1278,14 @@ def _make_blend_kernel_clamped_batchsrc(n_obj: int, src_hw: Tuple[int, int]):
         dma_src.wait()
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _(k=k):
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
 
                 window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
                 dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
@@ -1327,7 +1335,7 @@ def _pallas_blend_clamped_batchsrc(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 def _make_blend_kernel_resident(n_obj: int, src_hw: Tuple[int, int]):
@@ -1360,14 +1368,14 @@ def _make_blend_kernel_resident(n_obj: int, src_hw: Tuple[int, int]):
         dma_in.wait()
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _(k=k):
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
                 src = _shift_roll_mask(src_shift, src_vmem[k], dy, dx, MH, MW)
                 dst = canvas_vmem[pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
                 canvas_vmem[pl.ds(ws_y, MH), pl.ds(ws_x, MW)] = (
@@ -1421,7 +1429,7 @@ def _pallas_blend_resident(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int]):
@@ -1447,14 +1455,14 @@ def _make_blend_kernel_band(n_obj: int, src_hw: Tuple[int, int]):
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _():
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
-                dy = meta_ref[b, k, 3]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
+                dy = meta_ref[3, k, b]
 
                 band_slice = out_ref.at[b, pl.ds(ws_y, MH), :]
                 dma_in = pltpu.make_async_copy(band_slice, band_ref, sem_in)
@@ -1511,7 +1519,7 @@ def _pallas_blend_band(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
@@ -1536,8 +1544,8 @@ def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
 
         def window_dma(b, slot, to_vmem):
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
             window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
             if to_vmem:
                 return pltpu.make_async_copy(
@@ -1553,9 +1561,9 @@ def _make_blend_kernel_clamped_pipelined(n_batch: int, src_hw: Tuple[int, int]):
             )
 
         def compute(b, s: int):
-            dx = meta_ref[b, k, 2]
-            dy = meta_ref[b, k, 3]
-            valid = meta_ref[b, k, 5] > 0
+            dx = meta_ref[2, k, b]
+            dy = meta_ref[3, k, b]
+            valid = meta_ref[5, k, b] > 0
             # compute is unguarded here (result masked by `valid`), so
             # clamp the dropped-object dy == MH case inside the helper
             src = _shift_roll_mask(
@@ -1602,7 +1610,7 @@ def _pallas_blend_clamped_pipelined(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1638,7 +1646,7 @@ def _pallas_blend_packed_clamped(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 def _blend_clamped_finish_impl(canvas_v, src_v, meta, out_hw, interpret, packed):
@@ -1765,13 +1773,13 @@ def _make_blend_kernel_rowbaked(n_obj: int, src_hw: Tuple[int, int]):
         b = pl.program_id(0)
 
         for k in range(n_obj):
-            valid = meta_ref[b, k, 5] > 0
+            valid = meta_ref[5, k, b] > 0
 
             @pl.when(valid)
             def _():
-                ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-                ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-                dx = meta_ref[b, k, 2]
+                ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+                ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+                dx = meta_ref[2, k, b]
 
                 window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
                 dma_in = pltpu.make_async_copy(window_slice, band_ref, sem_in)
@@ -1835,7 +1843,7 @@ def _pallas_blend_rowbaked(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 @functools.partial(jax.jit, static_argnames=("out_max_hw", "method"))
@@ -1967,7 +1975,7 @@ def _pallas_blend_packed(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, src_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, src_v)
 
 
 def _hybrid_producer(canvases, objs, obj_hw, boxes, out_max_hw, method):
@@ -2091,15 +2099,15 @@ def _make_fused_kernel_v2(
         def _():
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
 
-        valid = meta_ref[b, k, 5] > 0
+        valid = meta_ref[5, k, b] > 0
 
         @pl.when(valid)
         def _():
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-            dx = meta_ref[b, k, 2]
-            dy = meta_ref[b, k, 3]
-            same = meta_ref[b, k, 4] > 0
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+            dx = meta_ref[2, k, b]
+            dy = meta_ref[3, k, b]
+            same = meta_ref[4, k, b] > 0
 
             d_obj = pltpu.make_async_copy(objs_ref.at[b, k], obj_vmem, sem_obj)
             d_kh = pltpu.make_async_copy(kh_ref.at[b, k], kh_vmem, sem_kh)
@@ -2215,7 +2223,7 @@ def _pallas_fused_v2_impl(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, objs_p, kh, kv_t)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, objs_p, kh, kv_t)
     h_c, w_c = out_hw
     return out_v[:, :h_c, :w_c]
 
@@ -2625,19 +2633,19 @@ def _make_fused_kernel_v3(
         def _():
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
 
-        valid = meta_ref[b, k, 5] > 0
+        valid = meta_ref[5, k, b] > 0
 
         @pl.when(valid)
         def _():
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
-            dx = meta_ref[b, k, 2]
-            dy = meta_ref[b, k, 3]
-            same = meta_ref[b, k, 4] > 0
-            in_h = meta_ref[b, k, 6]
-            in_w = meta_ref[b, k, 7]
-            out_h = meta_ref[b, k, 8]
-            out_w = meta_ref[b, k, 9]
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
+            dx = meta_ref[2, k, b]
+            dy = meta_ref[3, k, b]
+            same = meta_ref[4, k, b] > 0
+            in_h = meta_ref[6, k, b]
+            in_w = meta_ref[7, k, b]
+            out_h = meta_ref[8, k, b]
+            out_w = meta_ref[9, k, b]
 
             # shared_objs: every canvas composites the same assets — read
             # object row 0 of a [1, N, ...] tensor instead of row b
@@ -2732,8 +2740,8 @@ def _make_fused_kernel_v3_pipelined(
             src_shift[...] = jnp.zeros(src_shift.shape, src_shift.dtype)
 
         def window_dma(b, slot, to_vmem):
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
             window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
             if to_vmem:
                 return pltpu.make_async_copy(
@@ -2763,8 +2771,8 @@ def _make_fused_kernel_v3_pipelined(
             d0.wait()
 
         def identity_into_pk(b, s: int):
-            same = meta_ref[b, k, 4] > 0
-            valid = meta_ref[b, k, 5] > 0
+            same = meta_ref[4, k, b] > 0
+            valid = meta_ref[5, k, b] > 0
             obj_s = 0 if shared_objs else s
 
             @pl.when(valid & same)
@@ -2775,12 +2783,12 @@ def _make_fused_kernel_v3_pipelined(
                 )
 
         def resample_branches(b, s: int):
-            same = meta_ref[b, k, 4] > 0
-            valid = meta_ref[b, k, 5] > 0
-            in_h = meta_ref[b, k, 6]
-            in_w = meta_ref[b, k, 7]
-            out_h = meta_ref[b, k, 8]
-            out_w = meta_ref[b, k, 9]
+            same = meta_ref[4, k, b] > 0
+            valid = meta_ref[5, k, b] > 0
+            in_h = meta_ref[6, k, b]
+            in_w = meta_ref[7, k, b]
+            out_h = meta_ref[8, k, b]
+            out_w = meta_ref[9, k, b]
 
             obj_s = 0 if shared_objs else s
 
@@ -2802,11 +2810,11 @@ def _make_fused_kernel_v3_pipelined(
             )
 
         def blend_window(b, s: int):
-            dx = meta_ref[b, k, 2]
-            dy = meta_ref[b, k, 3]
-            valid = meta_ref[b, k, 5] > 0
-            out_h = meta_ref[b, k, 8]
-            out_w = meta_ref[b, k, 9]
+            dx = meta_ref[2, k, b]
+            dy = meta_ref[3, k, b]
+            valid = meta_ref[5, k, b] > 0
+            out_h = meta_ref[8, k, b]
+            out_w = meta_ref[9, k, b]
 
             @pl.when(valid)
             def _():
@@ -2912,7 +2920,7 @@ def _pallas_fused_v3_impl(
         grid_spec=grid_spec,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v, objs_p)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v, objs_p)
     h_c, w_c = out_hw
     return out_v[:, :h_c, :w_c]
 
@@ -3203,8 +3211,8 @@ def _make_restore_kernel(out_hw: Tuple[int, int], bg_packed: int,
         # semaphore and size (all copies are window-sized); the
         # descriptor's addresses are this step's.
         def dma(slot):
-            ws_x = pl.multiple_of(meta_ref[b, k, 0], 128)
-            ws_y = pl.multiple_of(meta_ref[b, k, 1], 8)
+            ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
+            ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
             return pltpu.make_async_copy(
                 win_ref,
                 out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)],
@@ -3271,9 +3279,9 @@ def _make_restore_kernel_static(
             # larger) extents stays in bounds
             wh, ww = static_win[i]
             rs_x = pl.multiple_of(
-                jnp.minimum(meta_ref[b, k, 0], wp - ww), 128
+                jnp.minimum(meta_ref[0, k, b], wp - ww), 128
             )
-            rs_y = pl.multiple_of(jnp.minimum(meta_ref[b, k, 1], hp - wh), 8)
+            rs_y = pl.multiple_of(jnp.minimum(meta_ref[1, k, b], hp - wh), 8)
             return pltpu.make_async_copy(
                 win_ref.at[:wh, :ww],
                 out_ref.at[b, pl.ds(rs_y, wh), pl.ds(rs_x, ww)],
@@ -3353,7 +3361,7 @@ def _pallas_restore_windows(canvas_v, meta, out_max_hw, bg_packed: int,
         # index 0 is the scalar-prefetch meta; the canvas plane is 1
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(meta, canvas_v)
+    )(jnp.transpose(meta, (2, 1, 0)), canvas_v)
 
 
 def render_solid_fused_v3_reuse_program(
