@@ -478,7 +478,29 @@ def main() -> None:
     enable_compile_cache()
     import tempfile
 
-    results = {}
+    # Run conditions up front (advisor r2): config3/4 host-side figures
+    # regressed 2-4x between refresh batches while device throughput rose
+    # in the same run — host/tunnel contention, not code. Recording the
+    # conditions makes regression-vs-noise answerable from history.
+    import datetime
+    import os
+
+    import jax
+
+    results = {
+        "run_conditions": {
+            "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "loadavg": [round(v, 2) for v in os.getloadavg()],
+            "device": str(jax.devices()[0]),
+            "note": (
+                "host-side figures (host_roundtrip_ms, seconds_per_"
+                "iteration) are sensitive to host/tunnel load; compare "
+                "them only across runs with similar loadavg"
+            ),
+        }
+    }
     with tempfile.TemporaryDirectory() as tmp:
         for name, fn in [
             ("config1_single_compose", config1_single_compose),
