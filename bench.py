@@ -114,10 +114,13 @@ def pil_baseline_canvases_per_sec(
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    # Batch sweep on v5e with the framebuffer-reuse pipelined kernel
-    # (round-2 continuation): 26.1k @ 256 -> 27,993 @ 384 -> 28,402 @ 448
-    # canvases/sec; the 512 probe is what the phase watchdog exists for.
-    parser.add_argument("--batch", type=int, default=448)
+    # Batch sweep on v5e with the framebuffer-reuse pipelined kernel.
+    # Round 2 plateaued at 448 (28.4k) because batch 512 hit the smem
+    # meta-table wall; the scalar-major layout (round 3) removed it:
+    # 29,491 @ 512 -> 29,688 @ 640 -> 30,163 @ 768 -> 30,170 @ 896.
+    # 768 adopted: the 896 gain is noise and its two reuse planes cost
+    # ~2.5 GB more HBM.
+    parser.add_argument("--batch", type=int, default=768)
     parser.add_argument("--reps", type=int, default=20)
     parser.add_argument("--pil-canvases", type=int, default=8)
     parser.add_argument("--pil-rounds", type=int, default=5)

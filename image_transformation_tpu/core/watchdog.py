@@ -131,6 +131,8 @@ class PhaseWatchdog:
         # outside the lock: emit may do arbitrary I/O
         try:
             self._emit(payload)
+        except BaseException:  # noqa: BLE001
+            pass  # a broken reporter must not resurrect the silent hang
         finally:
             self._exit(self._exit_code)
 
