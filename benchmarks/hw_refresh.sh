@@ -22,8 +22,8 @@ probe() {
 probe
 
 # 1. headline at the default batch, twice (stability check)
-timeout 600 python bench.py > "$OUT/bench_448_a.json" 2> "$OUT/bench_448_a.log"
-timeout 600 python bench.py > "$OUT/bench_448_b.json" 2> "$OUT/bench_448_b.log"
+timeout 600 python bench.py > "$OUT/bench_default_a.json" 2> "$OUT/bench_default_a.log"
+timeout 600 python bench.py > "$OUT/bench_default_b.json" 2> "$OUT/bench_default_b.log"
 
 # 2. the old resource wall: shared objects removed ~3.7 GB of duplicated
 #    HBM, so 512 may now fit (and 640 beyond it). The phase watchdog

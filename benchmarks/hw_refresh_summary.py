@@ -34,20 +34,37 @@ def main() -> None:
 
     print(f"== hw_refresh summary: {out} ==")
 
-    for name, label in (
-        ("bench_448_a.json", "headline batch 448 (run A)"),
-        ("bench_448_b.json", "headline batch 448 (run B)"),
+    headline_names = (
+        ("bench_default_a.json", "headline default batch (A)"),
+        ("bench_default_b.json", "headline default batch (B)"),
+        # pre-round-3 batches carried the batch number in the filename
+        ("bench_448_a.json", "headline default batch (A)"),
+        ("bench_448_b.json", "headline default batch (B)"),
         ("bench_512.json", "batch 512 probe"),
         ("bench_640.json", "batch 640 probe"),
-    ):
+    )
+    seen_labels = set()
+    for name, label in headline_names:
+        if label in seen_labels:
+            continue
         rec = _bench_line(out / name)
         if rec is None:
-            print(f"  {label:28s}: MISSING")
-        elif rec.get("error"):
+            if not name.startswith("bench_default"):
+                print(f"  {label:28s}: MISSING")
+                seen_labels.add(label)
+            continue
+        seen_labels.add(label)
+        if rec.get("error"):
             print(f"  {label:28s}: ERROR {rec['error']!r}")
         else:
+            roof = rec.get("roofline") or {}
+            util = roof.get("hbm_utilization")
+            extra = (
+                f", {roof.get('achieved_gbps')} GB/s"
+                f" = {util * 100:.1f}% HBM peak" if util else ""
+            )
             print(f"  {label:28s}: {rec['value']:.0f} {rec['unit']}"
-                  f" ({rec.get('vs_baseline', '?')}x baseline)")
+                  f" ({rec.get('vs_baseline', '?')}x baseline{extra})")
 
     results = out / "results.json"
     if results.exists():
