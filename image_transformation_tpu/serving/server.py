@@ -146,26 +146,46 @@ class _Coalescer:
         try:
             # split device compute from readback: the device stream is
             # in-order, so a one-pixel readback fences execution and the
-            # full np.asarray after it is pure host transfer (the same
+            # full np.asarray is pure transfer past that point (the same
             # fencing convention bench.py uses — block_until_ready is
-            # unreliable over the tunneled platform)
+            # unreliable over the tunneled platform). The probe runs in a
+            # PARALLEL thread, not before the full readback: serializing
+            # fence-then-transfer added one tunnel round-trip per dispatch
+            # and cost ~17 ms single-render p50 / 25% of concurrent
+            # throughput when it landed (serving_results.json round-3
+            # refresh, 63 -> 80 ms). Both reads block until execution
+            # ends; the one-pixel probe then finishes immediately while
+            # the full transfer continues, so t1 - t0 is device compute
+            # and t2 - t1 is transfer — with no extra serialized trip.
             t0 = time.perf_counter()
             if len(sets) == 1:
                 dev = self.engine.compose(sets[0])
-                np.asarray(dev[0, 0, 0])
-                t1 = time.perf_counter()
-                results = [np.asarray(dev)]
+                probe = dev[0, 0, 0]
             else:
                 # pad to the next power of two so merge sizes share a
                 # handful of compile keys; extra legs repeat request 0
                 full = 1 << (len(sets) - 1).bit_length()
                 padded = sets + [sets[0]] * (full - len(sets))
                 dev = self.engine.compose_many(padded)
-                np.asarray(dev[0, 0, 0, 0])
-                t1 = time.perf_counter()
-                stacked = np.asarray(dev)
-                results = [stacked[i] for i in range(len(sets))]
+                probe = dev[0, 0, 0, 0]
+            fence_done: List[float] = []
+
+            def _fence() -> None:
+                try:
+                    np.asarray(probe)
+                finally:
+                    fence_done.append(time.perf_counter())
+
+            fencer = threading.Thread(target=_fence, daemon=True)
+            fencer.start()
+            stacked = np.asarray(dev)
+            fencer.join()
             t2 = time.perf_counter()
+            t1 = min(fence_done[0], t2) if fence_done else t2
+            if len(sets) == 1:
+                results = [stacked]
+            else:
+                results = [stacked[i] for i in range(len(sets))]
             self.dispatches += 1
             timings = {
                 "device_ms": round((t1 - t0) * 1e3, 2),
