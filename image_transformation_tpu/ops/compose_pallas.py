@@ -284,6 +284,24 @@ benchmarks/bisect_resize.py --clamped):
    single planar copy instead of broadcast_to. Hardware effect to be
    re-measured when the dev tunnel returns — the duplicated object
    tensor was a prime suspect for the batch-512 resource wall.
+25. PREMULTIPLY HOIST + V-PASS COLUMN BOUNDING (2026-08-19): a round-3
+   trace profile (benchmarks/analyze_trace.py) put the render kernel at
+   95% of device time, 7.45 us/object-step at batch 768 — two per-step
+   compute cuts inside _resample_chunked_into, both bit-identical by
+   construction: (a) for shared objects the bf16 premultiplied
+   channel-stack depends only on the object pixels, so the pipelined
+   kernel computes it ONCE per grid step into a prem VMEM scratch
+   (shared_fetch) instead of n_batch times — the per-step load is a
+   plain VMEM slice read; (b) the V pass (dot + unpremultiply epilogue +
+   packed write) used to run the full batch-max width per row chunk — it
+   now walks only the ceil(out_w/128) column tiles the object actually
+   produces (the same bound the H pass already had; mean tile work on
+   the bench workload drops to 0.60x). Columns >= out_w keep whatever
+   was in pk_ref — the blend's masked src_shift write zeroes them, the
+   same contract never-built H chunks already relied on. Measured v5e
+   1080p/768: 30,350/30,126 -> 33,526/33,629 canvases/sec (+11%);
+   validate_hw.py unchanged (exact 0, fused3 <= 2/255); 42 interpret
+   kernel parity tests green.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -2411,34 +2429,44 @@ def _identity_pack_into(pk_ref, obj, obj_pad_hw, out_hw):
     )
 
 
+def _premultiply2d(obj_i32, ph_k: int, pw_k: int):
+    """[4, ph_k, pw_k] int32 straight-alpha object -> [4*ph_k, pw_k] bf16
+    premultiplied channel-stack (PIL's fixed-point premultiply:
+    (x*a + 128) followed by the >>8-twice rounding trick)."""
+    alpha = obj_i32[3]
+    tmp_p = obj_i32[:3] * alpha[None] + 128
+    prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
+    prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
+    return prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
+
+
 def _resample_chunked_into(
-    pk_ref, tmp_ref, load_obj, in_h, in_w, out_h, out_w,
+    pk_ref, tmp_ref, load_prem2d, in_h, in_w, out_h, out_w,
     ph_k: int, pw_k: int, method: str,
 ):
     """Chunked in-kernel-table resample (STATUS item 17): both passes walk
     only the 128-wide output chunks the object actually produces
-    (ceil(out_w/128) H chunks, ceil(out_h/128) V chunks); each chunk builds
-    its slice of the coeff table in-kernel (o_offset) while the object DMA
-    is in flight. Chunks beyond the box are never built — the caller's
-    masked src_shift write zeroes whatever garbage they leave in the
-    scratches, so the blend stays correct. (ph_k, pw_k) are the static
-    object extents this branch contracts over — the batch-max pad by
-    default, the object's own padded size under static_in_hw (item 19).
+    (ceil(out_w/128) H chunks, ceil(out_h/128) x ceil(out_w/128) V tiles —
+    STATUS item 25 bounded the V pass by columns too; it used to run the
+    full batch-max width); each chunk builds its slice of the coeff table
+    in-kernel (o_offset) while the object DMA is in flight. Chunks beyond
+    the box are never built or written — the caller's masked src_shift
+    write zeroes whatever garbage they leave in the scratches, so the
+    blend stays correct. (ph_k, pw_k) are the static object extents this
+    branch contracts over — the batch-max pad by default, the object's
+    own padded size under static_in_hw (item 19).
 
-    ``load_obj`` is a thunk returning the [4, ph_k, pw_k] int32 planar
-    object; it runs AFTER the chunk counts are computed so the kernels'
-    DMA waits sit at exactly the same trace position as before this
-    helper existed (the non-pipelined kernel waits its object DMA inside
-    the thunk)."""
+    ``load_prem2d`` is a thunk returning the PREMULTIPLIED [4*ph_k, pw_k]
+    bf16 channel-stack (see :func:`_premultiply2d`); it runs AFTER the
+    chunk counts are computed so the kernels' DMA waits sit at exactly
+    the same trace position as before this helper existed (the
+    non-pipelined kernel waits its object DMA inside the thunk; the
+    pipelined shared-object path reads a per-grid-step hoisted scratch —
+    STATUS item 25)."""
     ch_w = jax.lax.div(out_w + 127, 128)
     ch_h = jax.lax.div(out_h + 127, 128)
 
-    obj = load_obj()
-    alpha = obj[3]
-    tmp_p = obj[:3] * alpha[None] + 128
-    prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
-    prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
-    prem2d = prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
+    prem2d = load_prem2d()
 
     def h_chunk(c, _):
         lc = pl.multiple_of(c * 128, 128)
@@ -2458,28 +2486,34 @@ def _resample_chunked_into(
         kv_c = _coeff_table_in_kernel(
             in_h, out_h, 128, ph_k, method, True, o_offset=rc
         )
-        chans = []
-        for c4 in range(4):
-            t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, :]
-            ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
-            chans.append(_clip8(ss_v))
-        # premultiplied [4, 128, mw_a] chunk
-        resized_p = jnp.stack(chans, axis=0)
 
-        ra = resized_p[3]
-        rgb = jnp.minimum(
-            255,
-            _exact_div_i32(
-                255 * resized_p[:3], jnp.maximum(ra, 1)[None]
-            ),
-        )
-        rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
-        pk_ref[pl.ds(rc, 128), :] = (
-            rgb[0]
-            | (rgb[1] << 8)
-            | (rgb[2] << 16)
-            | (ra << 24)
-        )
+        def v_tile(c, _):
+            lc = pl.multiple_of(c * 128, 128)
+            chans = []
+            for c4 in range(4):
+                t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, pl.ds(lc, 128)]
+                ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
+                chans.append(_clip8(ss_v))
+            # premultiplied [4, 128, 128] tile
+            resized_p = jnp.stack(chans, axis=0)
+
+            ra = resized_p[3]
+            rgb = jnp.minimum(
+                255,
+                _exact_div_i32(
+                    255 * resized_p[:3], jnp.maximum(ra, 1)[None]
+                ),
+            )
+            rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
+            pk_ref[pl.ds(rc, 128), pl.ds(lc, 128)] = (
+                rgb[0]
+                | (rgb[1] << 8)
+                | (rgb[2] << 16)
+                | (ra << 24)
+            )
+            return ()
+
+        jax.lax.fori_loop(0, ch_w, v_tile, (), unroll=False)
         return ()
 
     jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
@@ -2672,12 +2706,15 @@ def _make_fused_kernel_v3(
                 )
 
             def resample_into_pk(ph_k: int, pw_k: int):
-                def load_obj():
+                def load_prem2d():
                     d_obj.wait()
-                    return obj_vmem[:, :ph_k, :pw_k].astype(jnp.int32)
+                    return _premultiply2d(
+                        obj_vmem[:, :ph_k, :pw_k].astype(jnp.int32),
+                        ph_k, pw_k,
+                    )
 
                 _resample_chunked_into(
-                    pk_ref, tmp_ref, load_obj, in_h, in_w, out_h, out_w,
+                    pk_ref, tmp_ref, load_prem2d, in_h, in_w, out_h, out_w,
                     ph_k, pw_k, method,
                 )
 
@@ -2724,6 +2761,12 @@ def _make_fused_kernel_v3_pipelined(
     kernel exposes (its next step may read an overlapping window on the
     SAME canvas, so it must wait; here consecutive steps touch different
     canvases).
+
+    With ``shared_objs`` the premultiply is HOISTED (STATUS item 25): the
+    bf16 premultiplied channel-stack depends only on the object pixels,
+    so it is computed ONCE per grid step into a dedicated VMEM scratch
+    (``prem_vmem``) instead of being recomputed by every one of the
+    n_batch resample steps that follow.
     """
     ph_a, pw_a = obj_pad_hw
     mh_a, mw_a = out_hw
@@ -2731,7 +2774,12 @@ def _make_fused_kernel_v3_pipelined(
 
     def kernel(meta_ref, canvas_ref, objs_ref, out_ref,
                win_ref, src_shift, pk_ref, tmp_ref, obj_vmem,
-               sem_in, sem_out, sem_obj):
+               *rest):
+        if shared_objs:
+            prem_vmem, sem_in, sem_out, sem_obj = rest
+        else:
+            prem_vmem = None
+            sem_in, sem_out, sem_obj = rest
         del canvas_ref
         k = pl.program_id(0)
 
@@ -2769,6 +2817,12 @@ def _make_fused_kernel_v3_pipelined(
             d0 = obj_dma(0, 0)
             d0.start()
             d0.wait()
+            # premultiply hoist (STATUS item 25): prem depends only on the
+            # object pixels, so it is identical for every canvas of this
+            # grid step — compute it once here instead of n_batch times
+            prem_vmem[...] = _premultiply2d(
+                obj_vmem[0].astype(jnp.int32), ph_a, pw_a
+            )
 
         def identity_into_pk(b, s: int):
             same = meta_ref[4, k, b] > 0
@@ -2796,10 +2850,31 @@ def _make_fused_kernel_v3_pipelined(
                 # chunked resample over this branch's static extents
                 # (STATUS items 17/19); tables use the traced sizes. The
                 # object DMA was waited in body() (or once per grid step
-                # when shared), so load_obj is a plain VMEM slot read.
+                # when shared), so loading is a plain VMEM read: the
+                # hoisted prem scratch when shared (STATUS item 25), else
+                # premultiply this step's object slot.
+                if shared_objs:
+                    def load_prem2d(ph_k=ph_k, pw_k=pw_k):
+                        return jnp.concatenate(
+                            [
+                                prem_vmem[
+                                    c4 * ph_a : c4 * ph_a + ph_k, :pw_k
+                                ]
+                                for c4 in range(4)
+                            ],
+                            axis=0,
+                        )
+                else:
+                    def load_prem2d(ph_k=ph_k, pw_k=pw_k):
+                        return _premultiply2d(
+                            obj_vmem[obj_s, :, :ph_k, :pw_k].astype(
+                                jnp.int32
+                            ),
+                            ph_k, pw_k,
+                        )
+
                 _resample_chunked_into(
-                    pk_ref, tmp_ref,
-                    lambda: obj_vmem[obj_s, :, :ph_k, :pw_k].astype(jnp.int32),
+                    pk_ref, tmp_ref, load_prem2d,
                     in_h, in_w, out_h, out_w, ph_k, pw_k, method,
                 )
 
@@ -2882,6 +2957,11 @@ def _pallas_fused_v3_impl(
             pltpu.VMEM((4 * ph_a, mw_a), jnp.bfloat16),
             # shared objects use only slot 0 — halve the object VMEM
             pltpu.VMEM((1 if shared_objs else 2, 4, ph_a, pw_a), jnp.uint8),
+        ]
+        if shared_objs:
+            # hoisted premultiply, once per grid step (STATUS item 25)
+            scratch.append(pltpu.VMEM((4 * ph_a, pw_a), jnp.bfloat16))
+        scratch += [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
