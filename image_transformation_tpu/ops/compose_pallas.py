@@ -302,6 +302,25 @@ benchmarks/bisect_resize.py --clamped):
    1080p/768: 30,350/30,126 -> 33,526/33,629 canvases/sec (+11%);
    validate_hw.py unchanged (exact 0, fused3 <= 2/255); 42 interpret
    kernel parity tests green.
+26. COMPONENT-SHARE EXPERIMENTS + SMALL CUTS (2026-08-19): stubbing one
+   component at a time on hardware split the 23.1 ms batch-768 wall:
+   coeff tables 6.4 ms (Horner eval only 1.6 — the iota/window/normalize
+   scaffold is the rest), MXU limb dots ~6.3, packed alpha_over 2.3,
+   unpremultiply epilogue 1.9, restore 1.1, remainder ~5 (DMAs, packs,
+   src write, loop). Three follow-up cuts each measured ~+1% (kept —
+   parity-green, no added state): (a) the o-only table chain (center/
+   window bounds/tail mask) now computes on an n_out vector and
+   broadcasts (bitwise-identical f32); (b) shared_fetch writes the prem
+   scratch PACKED per branch extents so the per-step load is one
+   contiguous slice (no channel concat); (c) the blend walks only the
+   128-lane tiles intersecting [dx, dx+out_w) as static pl.when tiles —
+   dynamic value slices don't lower on Mosaic and a scratch-staged
+   dynamic fori ate the win; the static-tile form measured best.
+   Net 22.7 ms / 33,899 canvases/sec. The remaining wall is split
+   roughly evenly between table scaffold, dots, and blend/epilogue —
+   each further cut bounded at ~1-4% (span-bounded tables/dots were
+   sized at ~3.6% for this workload's small objects and high geometry
+   variance; not taken).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -2391,8 +2410,15 @@ def _coeff_table_in_kernel(
 
     shape = (n_in, n_out) if transposed else (n_out, n_in)
     o_axis = 1 if transposed else 0
+    # Everything that depends only on the output position o (center,
+    # window bounds, tail mask) is computed on a length-n_out vector and
+    # BROADCAST into the 2D grid — f32 elementwise ops give bitwise the
+    # same values either way, but the o-only chain (~10 ops) drops from
+    # n_out*n_in to n_out lanes (measured: the table scaffold, not the
+    # Horner filter eval, dominated the build — STATUS item 26).
     # Mosaic's iota is integer-only; widen to f32 after.
-    o = jax.lax.broadcasted_iota(jnp.int32, shape, o_axis)
+    shape_o = (1, n_out) if transposed else (n_out, 1)
+    o = jax.lax.broadcasted_iota(jnp.int32, shape_o, o_axis)
     if o_offset is not None:
         o = o + o_offset
     o = o.astype(jnp.float32)
@@ -2564,10 +2590,11 @@ def _blend_window_rows(
     pk_ref by never-built resample chunks and stale rows/cols from a
     previous (larger) object.
 
-    ``win_get(rc, n)`` / ``win_set(rc, n, rows)`` access the window VMEM
-    (slot-indexed in the pipelined kernel); ``wait_window`` runs at the
-    point the non-pipelined kernel waits its inbound window DMA (a no-op
-    thunk in the pipelined kernel, whose body waits before compute)."""
+    ``win_get(rc, n, tc)`` / ``win_set(rc, n, tc, rows)`` access a
+    [n, 128] column tile of the window VMEM (slot-indexed in the
+    pipelined kernel); ``wait_window`` runs at the point the
+    non-pipelined kernel waits its inbound window DMA (a no-op thunk in
+    the pipelined kernel, whose body waits before compute)."""
     mh_a, mw_a = out_hw
     MH, MW = window_hw
     C = _BLEND_CHUNK_ROWS
@@ -2601,8 +2628,22 @@ def _blend_window_rows(
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
         src_c = jnp.where(lane >= dx, rolled, 0)
-        win_rows = win_get(rc, n_rows)
-        win_set(rc, n_rows, _alpha_over_packed(win_rows, src_c))
+        # Column-bounded blend (STATUS item 26): the object occupies
+        # window columns [dx, dx + out_w) — src_c is zero outside, and
+        # the unbounded path already relied on alpha_over(dst, 0) == dst
+        # there, so only the 128-lane tiles intersecting the occupied
+        # band need the unpack/blend/repack at all. Static tiles with a
+        # pl.when guard each (Mosaic lowers static value slices and
+        # predicated regions cheaply; dynamic value slices and a dynamic
+        # fori both measured the win away).
+        for t in range(MW // 128):
+            @pl.when((t * 128 < dx + out_w) & (t * 128 + 128 > dx))
+            def _(t=t):
+                src_t = src_c[:, t * 128 : (t + 1) * 128]
+                win_t = win_get(rc, n_rows, t * 128)
+                win_set(
+                    rc, n_rows, t * 128, _alpha_over_packed(win_t, src_t)
+                )
 
     def blend_chunk(c, _):
         blend_rows(pl.multiple_of(c * C, 8), C)
@@ -2725,9 +2766,9 @@ def _make_fused_kernel_v3(
 
             _blend_window_rows(
                 pk_ref, src_shift,
-                lambda rc, n: win_ref[pl.ds(rc, n), :],
-                lambda rc, n, rows: win_ref.__setitem__(
-                    (pl.ds(rc, n), slice(None)), rows
+                lambda rc, n, tc: win_ref[pl.ds(rc, n), pl.ds(tc, 128)],
+                lambda rc, n, tc, rows: win_ref.__setitem__(
+                    (pl.ds(rc, n), pl.ds(tc, 128)), rows
                 ),
                 dma_in.wait,
                 dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
@@ -2817,12 +2858,30 @@ def _make_fused_kernel_v3_pipelined(
             d0 = obj_dma(0, 0)
             d0.start()
             d0.wait()
+
             # premultiply hoist (STATUS item 25): prem depends only on the
             # object pixels, so it is identical for every canvas of this
-            # grid step — compute it once here instead of n_batch times
-            prem_vmem[...] = _premultiply2d(
-                obj_vmem[0].astype(jnp.int32), ph_a, pw_a
-            )
+            # grid step — compute it once here instead of n_batch times.
+            # The scratch is written PACKED for this grid step's static
+            # branch extents (channel c at rows [c*ph_k, (c+1)*ph_k)), so
+            # the per-step load is ONE contiguous [4*ph_k, :pw_k] slice —
+            # no per-step channel-concatenate copy.
+            def write_prem(ph_k: int, pw_k: int):
+                prem_vmem[: 4 * ph_k, :pw_k] = _premultiply2d(
+                    obj_vmem[0, :, :ph_k, :pw_k].astype(jnp.int32),
+                    ph_k, pw_k,
+                )
+
+            if static_in_hw is None:
+                write_prem(ph_a, pw_a)
+            else:
+                for i, (h_i, w_i) in enumerate(static_in_hw):
+                    @pl.when(k == i)
+                    def _(h_i=int(h_i), w_i=int(w_i)):
+                        write_prem(
+                            min(_round_up(max(h_i, 1), 8), ph_a),
+                            min(_round_up(max(w_i, 1), 128), pw_a),
+                        )
 
         def identity_into_pk(b, s: int):
             same = meta_ref[4, k, b] > 0
@@ -2855,15 +2914,8 @@ def _make_fused_kernel_v3_pipelined(
                 # premultiply this step's object slot.
                 if shared_objs:
                     def load_prem2d(ph_k=ph_k, pw_k=pw_k):
-                        return jnp.concatenate(
-                            [
-                                prem_vmem[
-                                    c4 * ph_a : c4 * ph_a + ph_k, :pw_k
-                                ]
-                                for c4 in range(4)
-                            ],
-                            axis=0,
-                        )
+                        # packed by shared_fetch for exactly these extents
+                        return prem_vmem[: 4 * ph_k, :pw_k]
                 else:
                     def load_prem2d(ph_k=ph_k, pw_k=pw_k):
                         return _premultiply2d(
@@ -2895,9 +2947,11 @@ def _make_fused_kernel_v3_pipelined(
             def _():
                 _blend_window_rows(
                     pk_ref, src_shift,
-                    lambda rc, n: win_ref[s, pl.ds(rc, n), :],
-                    lambda rc, n, rows: win_ref.__setitem__(
-                        (s, pl.ds(rc, n), slice(None)), rows
+                    lambda rc, n, tc: win_ref[
+                        s, pl.ds(rc, n), pl.ds(tc, 128)
+                    ],
+                    lambda rc, n, tc, rows: win_ref.__setitem__(
+                        (s, pl.ds(rc, n), pl.ds(tc, 128)), rows
                     ),
                     lambda: None,  # window DMA waited in the walk body
                     dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
