@@ -863,8 +863,14 @@ def make_handler(service: ComposeService):
                 if self.path == "/v1/stats":
                     return self._json(service.stats())
                 return self._json({"error": "not found"}, 404)
+            except (BrokenPipeError, ConnectionResetError):
+                # the client vanished mid-reply — there is nobody left to
+                # send an error to; drop the connection quietly instead of
+                # a handler-thread traceback (observed when a slow first
+                # compile outlived the client's timeout)
+                self.close_connection = True
             except Exception as e:  # noqa: BLE001
-                return self._json({"error": str(e)}, 500)
+                return self._error_reply(str(e), 500)
 
         def do_POST(self):  # noqa: N802
             try:
@@ -910,12 +916,26 @@ def make_handler(service: ComposeService):
                     200, png, "image/png",
                     extra_headers={"X-Render-Timings": json.dumps(timings)},
                 )
+            except (BrokenPipeError, ConnectionResetError):
+                # client vanished mid-reply (e.g. its timeout beat a slow
+                # first compile) — quiet drop, not a handler traceback
+                self.close_connection = True
             except KeyError as e:
-                return self._json({"error": f"missing field {e}"}, 400)
+                return self._error_reply(f"missing field {e}", 400)
             except FileNotFoundError as e:
-                return self._json({"error": str(e)}, 404)
+                return self._error_reply(str(e), 404)
             except Exception as e:  # noqa: BLE001
-                return self._json({"error": str(e)}, 500)
+                return self._error_reply(str(e), 500)
+
+        def _error_reply(self, message: str, code: int):
+            """JSON error reply that tolerates an already-dead client: the
+            error path must never die on the SECOND broken-pipe while
+            reporting the first failure (observed as handler-thread
+            tracebacks during the round-3 tunnel outage)."""
+            try:
+                return self._json({"error": message}, code)
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
 
         def _render_batch(self):
             """POST /v1/render_batch: all ratio variants in one device pass.

@@ -683,3 +683,44 @@ def test_serving_fuzz_requests(server):
     s1 = _post(server, "/v1/render", {"bundle": "squarespace", "ratio": "1:1"})
     s2 = _post(server, "/v1/render", {"bundle": "squarespace", "ratio": "1:1"})
     assert s1[0] == 200 and s1[1] == s2[1]
+
+
+def test_client_disconnect_mid_render_stays_quiet(server, capfd):
+    """A client that RSTs its connection before the reply must not kill
+    the handler thread with a BrokenPipe traceback (the error reply has
+    nobody to go to — the daemon drops the connection and moves on)."""
+    import socket
+    import time as _time
+
+    host, port_s = server.replace("http://", "").split(":")
+    body = json.dumps({"bundle": "squarespace", "ratio": "7:5"}).encode()
+    s = socket.socket()
+    s.connect((host, int(port_s)))
+    s.sendall(
+        b"POST /v1/render HTTP/1.1\r\nHost: t\r\n"
+        b"Content-Type: application/json\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(body) + body
+    )
+    # full shutdown + close: the kernel RSTs the multi-segment PNG reply,
+    # so the server's write path sees a dead peer
+    s.shutdown(socket.SHUT_RDWR)
+    s.close()
+
+    # the render (fresh 7:5 geometry -> compile) finishes after the RST;
+    # give the handler time to attempt its reply, then prove the daemon
+    # is healthy and its stderr carried no handler traceback
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        status, data, _ = _post(
+            server, "/v1/render", {"bundle": "squarespace", "ratio": "7:5"}
+        )
+        if status == 200:
+            break
+        _time.sleep(0.5)
+    assert status == 200 and data[:4] == b"\x89PNG"
+    # let the RST'd handler finish its own render + reply attempt before
+    # the test (and eventually the process) exits — a daemon thread still
+    # inside device compute at interpreter exit aborts the C++ runtime
+    _time.sleep(3.0)
+    err = capfd.readouterr().err
+    assert "Traceback" not in err, err
