@@ -75,13 +75,63 @@ def main() -> None:
               f"(superbatch {c5.get('superbatch', '?')})")
         c3 = r.get("config3_multi_ratio_fused", {})
         if c3:
-            print(f"  run_all config3 fused       : {json.dumps(c3)[:100]}")
+            dev = c3.get("device_ms_per_4variant_pass") or c3.get(
+                "device_ms"
+            )
+            vps = c3.get("variants_per_sec_device")
+            if dev is not None:
+                print(f"  run_all config3 fused       : {dev} ms / "
+                      f"4-variant pass"
+                      + (f" ({vps:.0f} variants/sec device)" if vps else ""))
+            else:
+                print(f"  run_all config3 fused       : {json.dumps(c3)[:100]}")
     else:
         print("  run_all results             : NOT COPIED (failed/timed out)")
 
-    for log, tag in (("identity.log", "identity bench"),
-                     ("validate_hw.log", "hardware numerics"),
-                     ("example01.log", "example 01 on chip"),
+    ident = out / "identity.log"
+    if ident.exists():
+        rows = {}
+        for ln in ident.read_text().splitlines():
+            for tag in ("scaled", "identity"):
+                if ln.startswith(tag + " {"):
+                    try:
+                        rows[tag] = json.loads(ln[len(tag) + 1:])
+                    except json.JSONDecodeError:
+                        pass
+        if rows:
+            print("  identity bench              : " + ", ".join(
+                f"{tag} {rec.get('canvases_per_sec', 0):.0f}"
+                for tag, rec in rows.items()
+            ) + " canvases/sec")
+        else:
+            tail = [ln for ln in ident.read_text().splitlines() if ln.strip()]
+            print(f"  identity bench              : "
+                  f"{tail[-1][:110] if tail else '(empty)'}")
+    else:
+        print("  identity bench              : MISSING")
+
+    vh = out / "validate_hw.log"
+    if vh.exists():
+        rec = _bench_line(vh)  # first JSON-looking line... take the LAST
+        last = None
+        for ln in vh.read_text().splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                try:
+                    last = json.loads(ln)
+                except json.JSONDecodeError:
+                    pass
+        rec = last or rec
+        if rec:
+            print(f"  hardware numerics           : exact {rec.get('worst_exact', '?')}, "
+                  f"traced <= {rec.get('worst_traced', '?')}/255, "
+                  f"random fused3 <= {rec.get('worst_random_fused3', '?')}/255")
+        else:
+            print("  hardware numerics           : (no JSON summary line)")
+    else:
+        print("  hardware numerics           : MISSING")
+
+    for log, tag in (("example01.log", "example 01 on chip"),
                      ("example02.log", "example 02 on chip")):
         p = out / log
         if p.exists():
@@ -95,8 +145,15 @@ def main() -> None:
         s = json.loads(sj.read_text())
         solid = s.get("render_solid", {})
         stream = s.get("render_batch_3ratio_stream", {})
+        split = solid.get("phase_split") or {}
+        split_s = (
+            f" (phase split: device {split.get('device_p50_ms')}, "
+            f"readback {split.get('readback_p50_ms')}, "
+            f"encode {split.get('encode_p50_ms')})" if split else ""
+        )
         print(f"  serving render p50/p95      : "
-              f"{solid.get('p50_ms', '?')} / {solid.get('p95_ms', '?')} ms")
+              f"{solid.get('p50_ms', '?')} / {solid.get('p95_ms', '?')} ms"
+              + split_s)
         if stream:
             print(f"  serving stream ttfb p50     : "
                   f"{stream.get('ttfb', {}).get('p50_ms', '?')} ms "

@@ -303,24 +303,30 @@ benchmarks/bisect_resize.py --clamped):
    validate_hw.py unchanged (exact 0, fused3 <= 2/255); 42 interpret
    kernel parity tests green.
 26. COMPONENT-SHARE EXPERIMENTS + SMALL CUTS (2026-08-19): stubbing one
-   component at a time on hardware split the 23.1 ms batch-768 wall:
-   coeff tables 6.4 ms (Horner eval only 1.6 — the iota/window/normalize
-   scaffold is the rest), MXU limb dots ~6.3, packed alpha_over 2.3,
-   unpremultiply epilogue 1.9, restore 1.1, remainder ~5 (DMAs, packs,
-   src write, loop). Three follow-up cuts each measured ~+1% (kept —
-   parity-green, no added state): (a) the o-only table chain (center/
-   window bounds/tail mask) now computes on an n_out vector and
+   component at a time on hardware (benchmarks/component_shares.py)
+   split the 23.1 ms batch-768 wall: coeff tables 6.4 ms (Horner eval
+   only 1.6 — the iota/window/normalize scaffold is the rest), MXU limb
+   dots ~6.3, packed alpha_over 2.3, unpremultiply epilogue 1.9,
+   restore 1.1, remainder ~5 (DMAs, packs, src write, loop). Kept (each
+   ~+1%, parity-green, no added state): (a) the o-only table chain
+   (center/window bounds/tail mask) computes on an n_out vector and
    broadcasts (bitwise-identical f32); (b) shared_fetch writes the prem
    scratch PACKED per branch extents so the per-step load is one
-   contiguous slice (no channel concat); (c) the blend walks only the
-   128-lane tiles intersecting [dx, dx+out_w) as static pl.when tiles —
-   dynamic value slices don't lower on Mosaic and a scratch-staged
-   dynamic fori ate the win; the static-tile form measured best.
-   Net 22.7 ms / 33,899 canvases/sec. The remaining wall is split
-   roughly evenly between table scaffold, dots, and blend/epilogue —
-   each further cut bounded at ~1-4% (span-bounded tables/dots were
-   sized at ~3.6% for this workload's small objects and high geometry
-   variance; not taken).
+   contiguous slice (no channel concat). Measured and REVERTED:
+   (c) column-tiled blend (static pl.when tiles over [dx, dx+out_w)) —
+   ~+1.5% on the small-object headline but -10% on the identity/
+   no-scaling workload (full-cover blends paid 4 guarded part-ops per
+   row chunk; identity_bench 64: 17,490 tiled vs 20,701 full-width);
+   (d) fully unrolling the H/V chunk walks into pl.when-guarded
+   straight-line code — 5x SLOWER (120 ms/batch; register/scheduling
+   blowup), the dynamic fori_loops stay. Also rejected on lowering:
+   dynamic value slices (Mosaic TC has no dynamic_slice primitive) and
+   a scratch-staged dynamic blend fori (staging ate the win).
+   Net 23.0 ms / 33,328-33,922 canvases/sec headline and 20,701
+   identity (1080p/64). The remaining wall splits roughly evenly across
+   table scaffold, dots, and blend/epilogue — each further cut bounded
+   at ~1-4% (span-bounded tables/dots sized at ~3.6% for this
+   workload's small objects and high geometry variance; not taken).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -2590,11 +2596,10 @@ def _blend_window_rows(
     pk_ref by never-built resample chunks and stale rows/cols from a
     previous (larger) object.
 
-    ``win_get(rc, n, tc)`` / ``win_set(rc, n, tc, rows)`` access a
-    [n, 128] column tile of the window VMEM (slot-indexed in the
-    pipelined kernel); ``wait_window`` runs at the point the
-    non-pipelined kernel waits its inbound window DMA (a no-op thunk in
-    the pipelined kernel, whose body waits before compute)."""
+    ``win_get(rc, n)`` / ``win_set(rc, n, rows)`` access the window VMEM
+    (slot-indexed in the pipelined kernel); ``wait_window`` runs at the
+    point the non-pipelined kernel waits its inbound window DMA (a no-op
+    thunk in the pipelined kernel, whose body waits before compute)."""
     mh_a, mw_a = out_hw
     MH, MW = window_hw
     C = _BLEND_CHUNK_ROWS
@@ -2628,22 +2633,13 @@ def _blend_window_rows(
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, MW), 1)
         src_c = jnp.where(lane >= dx, rolled, 0)
-        # Column-bounded blend (STATUS item 26): the object occupies
-        # window columns [dx, dx + out_w) — src_c is zero outside, and
-        # the unbounded path already relied on alpha_over(dst, 0) == dst
-        # there, so only the 128-lane tiles intersecting the occupied
-        # band need the unpack/blend/repack at all. Static tiles with a
-        # pl.when guard each (Mosaic lowers static value slices and
-        # predicated regions cheaply; dynamic value slices and a dynamic
-        # fori both measured the win away).
-        for t in range(MW // 128):
-            @pl.when((t * 128 < dx + out_w) & (t * 128 + 128 > dx))
-            def _(t=t):
-                src_t = src_c[:, t * 128 : (t + 1) * 128]
-                win_t = win_get(rc, n_rows, t * 128)
-                win_set(
-                    rc, n_rows, t * 128, _alpha_over_packed(win_t, src_t)
-                )
+        # Full-width blend on purpose: a column-tiled variant (static
+        # pl.when tiles over [dx, dx + out_w)) measured only ~+1% on the
+        # small-object headline but -10% on the identity/no-scaling
+        # workload, whose full-cover blends paid 4 guarded part-ops per
+        # row chunk (STATUS item 26c).
+        win_rows = win_get(rc, n_rows)
+        win_set(rc, n_rows, _alpha_over_packed(win_rows, src_c))
 
     def blend_chunk(c, _):
         blend_rows(pl.multiple_of(c * C, 8), C)
@@ -2766,9 +2762,9 @@ def _make_fused_kernel_v3(
 
             _blend_window_rows(
                 pk_ref, src_shift,
-                lambda rc, n, tc: win_ref[pl.ds(rc, n), pl.ds(tc, 128)],
-                lambda rc, n, tc, rows: win_ref.__setitem__(
-                    (pl.ds(rc, n), pl.ds(tc, 128)), rows
+                lambda rc, n: win_ref[pl.ds(rc, n), :],
+                lambda rc, n, rows: win_ref.__setitem__(
+                    (pl.ds(rc, n), slice(None)), rows
                 ),
                 dma_in.wait,
                 dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
@@ -2947,11 +2943,9 @@ def _make_fused_kernel_v3_pipelined(
             def _():
                 _blend_window_rows(
                     pk_ref, src_shift,
-                    lambda rc, n, tc: win_ref[
-                        s, pl.ds(rc, n), pl.ds(tc, 128)
-                    ],
-                    lambda rc, n, tc, rows: win_ref.__setitem__(
-                        (s, pl.ds(rc, n), pl.ds(tc, 128)), rows
+                    lambda rc, n: win_ref[s, pl.ds(rc, n), :],
+                    lambda rc, n, rows: win_ref.__setitem__(
+                        (s, pl.ds(rc, n), slice(None)), rows
                     ),
                     lambda: None,  # window DMA waited in the walk body
                     dx, dy, out_h, out_w, (mh_a, mw_a), (MH, MW),
