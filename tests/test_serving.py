@@ -519,6 +519,27 @@ def test_render_batch_ratio_order_shares_cache():
         assert np.array_equal(a[ratio][2], c[ratio][2])
 
 
+def test_render_batch_iter_semantics():
+    """render_batch_iter: yields in REQUEST order (duplicates share one
+    entry object), each exact crop equals the dict API's, and bad input
+    raises at CALL time — before any line could have been streamed."""
+    svc = ComposeService("data")
+    ratios = ["9:16", "1:1", "9:16"]
+    entries = list(svc.render_batch_iter("squarespace", ratios))
+    assert [r for r, _ in entries] == ratios
+    assert entries[0][1] is entries[2][1]  # one readback per unique ratio
+    buffered = svc.render_batch("squarespace", ["1:1", "9:16"])
+    for r, ((w, h), boxes, img) in entries:
+        assert img.shape == (h, w, 4)
+        assert buffered[r][0] == (w, h) and buffered[r][1] == boxes
+        assert np.array_equal(img, buffered[r][2])
+    # eager validation/dispatch: the CALL raises, not the first next()
+    with pytest.raises(Exception):
+        svc.render_batch_iter("squarespace", ["not-a-ratio"])
+    with pytest.raises(FileNotFoundError):
+        svc.render_batch_iter("no-such-bundle", ["1:1"])
+
+
 def test_engine_compose_many_matches_sequential():
     """The coalescer's vmapped batch compose is bit-exact vs sequential
     compose, including ragged placement counts (no-op padding)."""
