@@ -327,6 +327,26 @@ benchmarks/bisect_resize.py --clamped):
    table scaffold, dots, and blend/epilogue — each further cut bounded
    at ~1-4% (span-bounded tables/dots sized at ~3.6% for this
    workload's small objects and high geometry variance; not taken).
+27. INT8 MXU LIMB DOTS (2026-08-19): a standalone Mosaic probe showed
+   s8 x s8 -> s32 dot_general lowers on v5e at ~1.7x the bf16 dot rate,
+   so the ROADMAP "u8 lhs doesn't fit s8 — needs a split" lever was
+   built: _limb_dot_i8 re-centers both the byte limbs of the 23-bit
+   fixed-point coefficients (mid/lo in [0,255] -> -128..127 s8) and the
+   pixels (p-128), and restores the exact sums with integer correction
+   terms (limb rowsums + a shared image colsum + a static 128^2.K
+   constant; intermediates may wrap mod 2^32 — the combined value
+   < 2^30 is exact, the same argument the bf16 (hi<<16)+(mid<<8)+lo
+   combine relies on). The prem stack is re-centered once per object
+   step and its colsum is shared across all H chunks; V tiles re-center
+   per tile. Bit-exact: 120-case randomized unit parity (PIL-mass
+   tables, both operand orders, vs bf16 AND an i64 oracle) + full
+   fused-kernel interpret parity incl. identity-size and edge-hanging
+   boxes (tests/test_compose_pallas.py); validate_hw envelope unchanged
+   on the chip. Measured (interleaved A/B, batch 768 1080p): headline
+   bf16 32,996/33,206 -> s8 34,091 canvases/sec (+2.7-3.3%); the
+   dot-heavy scaled identity_bench leg 19,502 -> 20,488 (+5.1%);
+   all-identity workload unchanged (34,126 vs 34,215 — that branch
+   never resamples). DEFAULT ON (ITPU_INT8_DOTS=0 restores bf16).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -335,6 +355,7 @@ between dispatches, pipelined kernel).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -346,6 +367,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .resize import PRECISION_BITS
 
 _HALF = 1 << (PRECISION_BITS - 1)
+
+# STATUS item 27: route the gen-3 chunked resample's exact limb dots
+# through the MXU's s8 path (see _limb_dot_i8) instead of bf16 — DEFAULT
+# ON after the measured hardware A/B (+2.7-3.3% headline, +5.1% on the
+# dot-heavy scaled workload, identity unchanged, validate_hw envelope
+# unchanged). ITPU_INT8_DOTS=0 restores the bf16 dots; tests flip the
+# module attribute directly. Bit-exact either way (interpret parity
+# pinned in tests/test_compose_pallas.py).
+INT8_DOTS = os.environ.get("ITPU_INT8_DOTS", "1") == "1"
 
 
 def _split_limbs_bf16(k_i32):
@@ -373,6 +403,75 @@ def _limb_dot(img_bf16, k_i32, contract_img: int, contract_k: int, k_first: bool
         ).astype(jnp.int32)
 
     return (dot(hi) << 16) + (dot(mid) << 8) + dot(lo)
+
+
+def _center_img_s8(img_u8_range):
+    """Image values in [0, 255] (any int/float dtype holding them
+    exactly) -> re-centered p' = p - 128 as int8, plus the int32 colsum
+    of p' over NO axis (callers reduce the axis they contract)."""
+    return (img_u8_range.astype(jnp.int32) - 128).astype(jnp.int8)
+
+
+def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
+                 k_first: bool, img_colsum=None):
+    """Exact integer matmul via three s8 MXU dots (s32 accumulation).
+
+    Drop-in for :func:`_limb_dot` with the image side RE-CENTERED
+    (p' = p - 128 as int8 via :func:`_center_img_s8`, p in [0, 255]).
+    The MXU's s8 path measured ~1.7x the bf16 dot rate on v5e (Mosaic
+    lowers s8 x s8 -> s32 dot_general), but neither the byte limbs of
+    the 23-bit fixed-point coefficients (mid/lo in [0, 255]) nor the
+    pixels fit s8 directly — so both are re-centered by 128 and the
+    exact integer identities restore the true sums:
+
+        sum L.P  = sum L'.P' + 128.rowsum(L') + 128.colsum(P') + 128^2.K
+        sum hi.P = sum hi.P' + 128.rowsum(hi)          (hi already s8)
+
+    with K the static contraction length, rowsum contracting the limb,
+    colsum contracting the image (shared by the mid and lo limbs; pass
+    ``img_colsum`` to reuse it across chunks sharing one image).
+    Intermediates may wrap mod 2^32; the combined value is the true
+    sum (< 2^30 for normalized tables), so the wrap is harmless —
+    the same argument the bf16 path's (hi<<16)+(mid<<8)+lo relies on.
+    """
+    hi = k_i32 >> 16
+    rem = k_i32 - (hi << 16)
+    mid = rem >> 8
+    lo = rem - (mid << 8)
+    hi8 = hi.astype(jnp.int8)
+    mid8 = (mid - 128).astype(jnp.int8)
+    lo8 = (lo - 128).astype(jnp.int8)
+
+    def dot(limb8):
+        if k_first:
+            lhs, rhs = limb8, img_i8
+            dims = (((contract_k,), (contract_img,)), ((), ()))
+        else:
+            lhs, rhs = img_i8, limb8
+            dims = (((contract_img,), (contract_k,)), ((), ()))
+        return jax.lax.dot_general(
+            lhs, rhs, dimension_numbers=dims,
+            preferred_element_type=jnp.int32,
+        )
+
+    k_len = k_i32.shape[contract_k]
+    rs_hi = jnp.sum(hi8.astype(jnp.int32), axis=contract_k)
+    rs_mid = jnp.sum(mid8.astype(jnp.int32), axis=contract_k)
+    rs_lo = jnp.sum(lo8.astype(jnp.int32), axis=contract_k)
+    if img_colsum is None:
+        img_colsum = jnp.sum(img_i8.astype(jnp.int32), axis=contract_img)
+    if k_first:  # out axes: (k_other, img_other)
+        rs = lambda v: v[:, None]
+        cs = img_colsum[None, :]
+    else:  # out axes: (img_other, k_other)
+        rs = lambda v: v[None, :]
+        cs = img_colsum[:, None]
+    lp_fix = (cs << 7) + (16384 * k_len)  # 128.colsum(P') + 128^2.K
+    return (
+        ((dot(hi8) + (rs(rs_hi) << 7)) << 16)
+        + ((dot(mid8) + (rs(rs_mid) << 7) + lp_fix) << 8)
+        + (dot(lo8) + (rs(rs_lo) << 7) + lp_fix)
+    )
 
 
 def _clip8(ss):
@@ -2499,13 +2598,23 @@ def _resample_chunked_into(
     ch_h = jax.lax.div(out_h + 127, 128)
 
     prem2d = load_prem2d()
+    if INT8_DOTS:
+        # s8 MXU path (STATUS item 27): re-center the premultiplied
+        # stack once per object-step; its colsum over the contracted
+        # in_w axis is shared by every H chunk (only the table varies)
+        prem_i8 = _center_img_s8(prem2d)
+        prem_cs = jnp.sum(prem_i8.astype(jnp.int32), axis=1)
 
     def h_chunk(c, _):
         lc = pl.multiple_of(c * 128, 128)
         kh_c = _coeff_table_in_kernel(
             in_w, out_w, 128, pw_k, method, False, o_offset=lc
         )
-        ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
+        if INT8_DOTS:
+            ss = _limb_dot_i8(prem_i8, kh_c, 1, 1, k_first=False,
+                              img_colsum=prem_cs) + _HALF
+        else:
+            ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
         tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
             _clip8(ss).astype(jnp.bfloat16)
         )
@@ -2524,7 +2633,12 @@ def _resample_chunked_into(
             chans = []
             for c4 in range(4):
                 t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, pl.ds(lc, 128)]
-                ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
+                if INT8_DOTS:
+                    ss_v = _limb_dot_i8(
+                        _center_img_s8(t), kv_c, 0, 0, k_first=True
+                    ) + _HALF
+                else:
+                    ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
                 chans.append(_clip8(ss_v))
             # premultiplied [4, 128, 128] tile
             resized_p = jnp.stack(chans, axis=0)

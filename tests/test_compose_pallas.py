@@ -942,3 +942,81 @@ def test_fused_v3_framebuffer_reuse():
             static_obj_hw=s, pipelined=True,
         )
         assert np.array_equal(np.asarray(back_p), np.asarray(first_s))
+
+
+def test_limb_dot_i8_exact_vs_bf16():
+    """STATUS item 27: the s8 MXU limb dot (re-centered limbs/pixels +
+    integer correction terms) is bit-equal to the bf16 3-limb dot and an
+    int64 oracle on PIL-mass tables (per-row L1 ~ 2^22), both operand
+    orders."""
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops.compose_pallas import (
+        _center_img_s8,
+        _limb_dot,
+        _limb_dot_i8,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        M = int(rng.integers(1, 200))
+        K = int(rng.integers(2, 256))
+        N = int(rng.integers(1, 160))
+        k = rng.integers(-(1 << 22), 1 << 22, (N, K)).astype(np.float64)
+        k[rng.random((N, K)) < 0.5] = 0
+        l1 = np.abs(k).sum(axis=1, keepdims=True)
+        l1[l1 == 0] = 1
+        k = np.round(k / l1 * (1 << 22)).astype(np.int64)
+        img = rng.integers(0, 256, (K, M))
+        k_j = jnp.asarray(k, jnp.int32)
+        img_bf = jnp.asarray(img, jnp.bfloat16)
+        img_i8 = _center_img_s8(jnp.asarray(img, jnp.int32))
+        for k_first in (True, False):
+            ref = np.asarray(_limb_dot(img_bf, k_j, 0, 1, k_first=k_first))
+            got = np.asarray(_limb_dot_i8(img_i8, k_j, 0, 1, k_first=k_first))
+            oracle = (k @ img.astype(np.int64) if k_first
+                      else img.astype(np.int64).T @ k.T)
+            assert np.array_equal(ref.astype(np.int64), oracle)
+            assert np.array_equal(got, ref)
+
+
+def test_fused_v3_int8_dots_bit_exact(monkeypatch, exact_traced_resample):
+    """The INT8_DOTS switch routes the gen-3 chunked resample through s8
+    MXU dots; renders must be bitwise identical to the bf16 path across
+    scaled, identity, and edge-hanging geometries (pipelined included)."""
+    import jax.numpy as jnp
+
+    import image_transformation_tpu.ops.compose_pallas as cp
+
+    bundle = load_bundle("data/squarespace")
+    arrays = bundle.to_arrays()
+    H, W, B = 600, 1024, 2
+    rng = np.random.default_rng(23)
+    canvases = np.zeros((B, H, W, 4), np.uint8)
+    canvases[..., :3] = 90
+    canvases[..., 3] = 255
+    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
+    boxes = np.stack(
+        [random_downscale_boxes(rng, arrays.obj_hw, (H, W)) for _ in range(B)]
+    )
+    oh0, ow0 = int(arrays.obj_hw[0, 0]), int(arrays.obj_hw[0, 1])
+    boxes[0, 0] = [W - ow0, H - oh0, W, H]  # identity-size at the corner
+    boxes[1, 0] = [W - ow0 // 2, H - 5, W + ow0 // 2, H - 5 + oh0]  # hangs
+    dev = tuple(
+        jnp.asarray(x)
+        for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
+    )
+    monkeypatch.setattr(cp, "INT8_DOTS", False)  # bf16 reference path
+    ref = np.asarray(cp.composite_batch_fused_v3(*dev, interpret=True))
+    ref_pipe = np.asarray(
+        cp.composite_batch_fused_v3(*dev, interpret=True, pipelined=True)
+    )
+    assert np.array_equal(ref_pipe, ref)
+    monkeypatch.setattr(cp, "INT8_DOTS", True)  # s8 path (the default)
+    got = np.asarray(cp.composite_batch_fused_v3(*dev, interpret=True))
+    got_pipe = np.asarray(
+        cp.composite_batch_fused_v3(*dev, interpret=True, pipelined=True)
+    )
+    assert np.array_equal(got, ref)
+    assert np.array_equal(got_pipe, ref)
