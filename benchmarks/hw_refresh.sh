@@ -14,9 +14,15 @@ cd "$(dirname "$0")/.."
 export ITPU_BACKEND_INIT_TIMEOUT_S=${ITPU_BACKEND_INIT_TIMEOUT_S:-300}
 
 probe() {
-  # cold-process backend warmup alone has measured 151 s — give it room
-  timeout 300 python -c "import jax, jax.numpy as jnp; print('tpu:', jax.jit(lambda v: (v*2).sum())(jnp.arange(8.0)))" || {
-    echo "TPU unreachable; aborting refresh"; exit 1; }
+  # cold-process backend warmup alone has measured 151 s, and the
+  # tunnel's sluggish-evening mode pushed one past 300 s (it recovered;
+  # a single-shot 300 s probe aborted a half-finished batch that day) —
+  # so: one generous attempt, one retry, then give up.
+  for bound in 420 420; do
+    timeout "$bound" python -c "import jax, jax.numpy as jnp; print('tpu:', jax.jit(lambda v: (v*2).sum())(jnp.arange(8.0)))" && return 0
+    echo "probe attempt timed out after ${bound}s; retrying" >&2
+  done
+  echo "TPU unreachable; aborting refresh"; exit 1
 }
 
 probe
