@@ -15,7 +15,10 @@ for each object the kernel:
    accumulators pass 2^24 — a >43x lanczos downscale; the ENGINE routes
    such placements to ops.compose's chunked-exact wide path, see
    resize.needs_wide_accumulation, and the traced-table kernels are
-   inside their documented +-2/255 envelope regardless);
+   inside their documented +-2/255 envelope regardless). The default
+   s8 dot path (STATUS item 27) accumulates in s32, which has no
+   mantissa bound — its worst-case exact range extends far past the
+   f32 path's 2^24/43x line (the conservative engine routing is kept);
 4. unpremultiplies (floor(255*c/a), alpha==0 passthrough) and applies the
    PIL identity-size shortcut;
 5. alpha-blends (Pillow fixed-point, PRECISION_BITS=7) and DMAs the
