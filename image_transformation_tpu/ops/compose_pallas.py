@@ -350,6 +350,20 @@ benchmarks/bisect_resize.py --clamped):
    dot-heavy scaled identity_bench leg 19,502 -> 20,488 (+5.1%);
    all-identity workload unchanged (34,126 vs 34,215 — that branch
    never resamples). DEFAULT ON (ITPU_INT8_DOTS=0 restores bf16).
+28. CENTERED-S8 PREM SCRATCH (2026-08-19): the s8 re-centering of the
+   premultiplied stack ran once per OBJECT-STEP inside the chunked
+   resample; the pipelined kernel's shared-object scratch now stores
+   the stack already centered as int8 (_premultiply2d(centered_s8=
+   True), written once per grid step by shared_fetch) — the per-step
+   prologue drops the [4ph, pw] sub/cast and the scratch load halves
+   (bf16 -> s8 bytes). Mosaic lowers the s8 VMEM scratch fine at the
+   8-multiple ph_k extents. Bitwise identical (the interpret flag-flip
+   test pins the shared pipelined path s8-scratch == bf16-scratch;
+   validate_hw envelope unchanged). Measured (batch 768 1080p):
+   34,091/34,294/34,455/34,519 (item 27) -> **34,954/35,020**
+   canvases/sec (+1.4%); identity_bench legs unchanged within noise
+   (scaled 20,523, identity 34,370 — that bench's objects are not
+   shared). Non-shared paths still re-center per step.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -2563,15 +2577,25 @@ def _identity_pack_into(pk_ref, obj, obj_pad_hw, out_hw):
     )
 
 
-def _premultiply2d(obj_i32, ph_k: int, pw_k: int):
-    """[4, ph_k, pw_k] int32 straight-alpha object -> [4*ph_k, pw_k] bf16
+def _premultiply2d(obj_i32, ph_k: int, pw_k: int, centered_s8: bool = False):
+    """[4, ph_k, pw_k] int32 straight-alpha object -> [4*ph_k, pw_k]
     premultiplied channel-stack (PIL's fixed-point premultiply:
-    (x*a + 128) followed by the >>8-twice rounding trick)."""
+    (x*a + 128) followed by the >>8-twice rounding trick).
+
+    ``centered_s8`` returns the stack already re-centered for the s8 dot
+    path (p - 128 as int8, see :func:`_limb_dot_i8`) — the pipelined
+    kernel's shared-object scratch stores this form so the re-centering
+    runs once per grid step instead of once per object-step (and the
+    per-step scratch load halves). Default is the bf16 form the bf16
+    limb dots consume."""
     alpha = obj_i32[3]
     tmp_p = obj_i32[:3] * alpha[None] + 128
     prem_rgb = ((tmp_p >> 8) + tmp_p) >> 8
     prem = jnp.concatenate([prem_rgb, alpha[None]], axis=0)
-    return prem.reshape(4 * ph_k, pw_k).astype(jnp.bfloat16)
+    prem = prem.reshape(4 * ph_k, pw_k)
+    if centered_s8:
+        return (prem - 128).astype(jnp.int8)
+    return prem.astype(jnp.bfloat16)
 
 
 def _resample_chunked_into(
@@ -2602,10 +2626,13 @@ def _resample_chunked_into(
 
     prem2d = load_prem2d()
     if INT8_DOTS:
-        # s8 MXU path (STATUS item 27): re-center the premultiplied
-        # stack once per object-step; its colsum over the contracted
-        # in_w axis is shared by every H chunk (only the table varies)
-        prem_i8 = _center_img_s8(prem2d)
+        # s8 MXU path (STATUS item 27): the premultiplied stack arrives
+        # already re-centered s8 from the shared-object scratch (hoisted
+        # once per grid step — item 28); the per-step fallback re-centers
+        # here. The colsum over the contracted in_w axis is shared by
+        # every H chunk (only the table varies).
+        prem_i8 = (prem2d if prem2d.dtype == jnp.int8
+                   else _center_img_s8(prem2d))
         prem_cs = jnp.sum(prem_i8.astype(jnp.int32), axis=1)
 
     def h_chunk(c, _):
@@ -2982,7 +3009,7 @@ def _make_fused_kernel_v3_pipelined(
             def write_prem(ph_k: int, pw_k: int):
                 prem_vmem[: 4 * ph_k, :pw_k] = _premultiply2d(
                     obj_vmem[0, :, :ph_k, :pw_k].astype(jnp.int32),
-                    ph_k, pw_k,
+                    ph_k, pw_k, centered_s8=INT8_DOTS,
                 )
 
             if static_in_hw is None:
@@ -3124,8 +3151,13 @@ def _pallas_fused_v3_impl(
             pltpu.VMEM((1 if shared_objs else 2, 4, ph_a, pw_a), jnp.uint8),
         ]
         if shared_objs:
-            # hoisted premultiply, once per grid step (STATUS item 25)
-            scratch.append(pltpu.VMEM((4 * ph_a, pw_a), jnp.bfloat16))
+            # hoisted premultiply, once per grid step (STATUS item 25);
+            # the s8 dot path stores it already re-centered as int8
+            # (STATUS item 28) — halves the scratch and the per-step load
+            scratch.append(pltpu.VMEM(
+                (4 * ph_a, pw_a),
+                jnp.int8 if INT8_DOTS else jnp.bfloat16,
+            ))
         scratch += [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

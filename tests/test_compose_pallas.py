@@ -1020,3 +1020,17 @@ def test_fused_v3_int8_dots_bit_exact(monkeypatch, exact_traced_resample):
     )
     assert np.array_equal(got, ref)
     assert np.array_equal(got_pipe, ref)
+
+    # SHARED-OBJECT pipelined path: the hoisted premultiply scratch is
+    # stored centered-s8 under the flag (STATUS item 28) — must stay
+    # bitwise identical to the bf16-scratch form across the flag flip
+    op1 = cp.planarize_objects(dev[1])[:1]
+    hw1 = dev[2]
+    bg = cp.pack_rgba_scalar((50, 60, 70, 255))
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(cp, "INT8_DOTS", flag)
+        outs[flag] = np.asarray(cp.render_solid_fused_v3_program(
+            op1, hw1, dev[3], (H, W), bg, interpret=True, pipelined=True,
+        ))
+    assert np.array_equal(outs[True], outs[False])
