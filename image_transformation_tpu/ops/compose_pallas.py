@@ -424,8 +424,8 @@ def _limb_dot(img_bf16, k_i32, contract_img: int, contract_k: int, k_first: bool
 
 def _center_img_s8(img_u8_range):
     """Image values in [0, 255] (any int/float dtype holding them
-    exactly) -> re-centered p' = p - 128 as int8, plus the int32 colsum
-    of p' over NO axis (callers reduce the axis they contract)."""
+    exactly) -> re-centered p' = p - 128 as int8 (callers that need the
+    colsum correction term reduce it themselves, see _limb_dot_i8)."""
     return (img_u8_range.astype(jnp.int32) - 128).astype(jnp.int8)
 
 
@@ -1831,9 +1831,13 @@ def _blend_clamped_finish_impl(canvas_v, src_v, meta, out_hw, interpret, packed)
     return jax.lax.bitcast_convert_type(out_v, jnp.uint8)
 
 
-# Donation of canvas_v is only USABLE when the crop is an identity (the
-# output reuses the buffer); a cropped output cannot alias it and XLA
-# warns per compile. Pick the right jitted variant statically.
+# Donation of canvas_v is only USABLE when the crop is an identity AND
+# the output stays packed i32 (the output then reuses the buffer); a
+# cropped output cannot alias it, and neither can the u8-bitcast output
+# (same bytes, but XLA's donation matching pairs buffers by dtype+dims,
+# so the i32 plane never aliases a u8[..., 4] result — the donate hint
+# just warned per compile while the defensive copy stayed). Pick the
+# right jitted variant statically.
 _STATICS = ("out_hw", "interpret", "packed")
 _blend_finish_donated = functools.partial(
     jax.jit, static_argnames=_STATICS, donate_argnums=(0,)
@@ -1846,7 +1850,7 @@ _blend_finish_plain = functools.partial(
 def _pallas_blend_clamped_finish(canvas_v, src_v, meta, out_hw, interpret=False,
                                  packed=False):
     identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
-    fn = _blend_finish_donated if identity_crop else _blend_finish_plain
+    fn = _blend_finish_donated if (identity_crop and packed) else _blend_finish_plain
     return fn(canvas_v, src_v, meta, tuple(out_hw), interpret, packed)
 
 

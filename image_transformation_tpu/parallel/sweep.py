@@ -347,6 +347,23 @@ def make_solid_render_step(
                 return out, st
             except Exception as e:  # noqa: BLE001 - no Mosaic on this backend
                 reuse_state[0] = None
+                if aot["render"] is not None or aot["reuse"] is not None:
+                    # AOT executables are specialized to precompile()'s
+                    # input shapes; a later call with different shapes
+                    # raises INSIDE the executable. That is a stale-AOT
+                    # problem, not a backend one — drop the executables
+                    # and retrace via jit once before latching any
+                    # permanent fallback tier (ADVICE r3).
+                    aot["render"] = aot["reuse"] = None
+                    _demote(e, "AOT executable (input shapes changed?)",
+                            "retracing jit")
+                    try:
+                        out, st = render(objs, obj_hw, boxes)
+                        if reuse:
+                            reuse_state[0] = (out, boxes)
+                        return out, st
+                    except Exception as e2:  # noqa: BLE001 - fall through
+                        e = e2
                 if fallback_mode == "tiered":
                     fallback[0] = "gen2"
                     _demote(e, "solid render path", "fused_v2")

@@ -593,15 +593,13 @@ class ComposeService:
                 pass  # fallback arrays without async copy transfer below
 
         def _entries():
-            host = {}
-            for r in ratios:
-                if r not in host:
-                    i = index[r]
-                    w, h = canon_sizes[i]
-                    host[r] = (
-                        (w, h), boxes_np[i].tolist(), np.asarray(crops[r])
-                    )
-                yield r, host[r]
+            # dedupe duplicate requested ratios here too: the buffered
+            # JSON path folds them via dict(...), so stream mode must
+            # emit the same one-line-per-unique-ratio (ADVICE r3)
+            for r in dict.fromkeys(ratios):
+                i = index[r]
+                w, h = canon_sizes[i]
+                yield r, ((w, h), boxes_np[i].tolist(), np.asarray(crops[r]))
 
         return _entries()
 

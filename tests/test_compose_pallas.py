@@ -979,6 +979,34 @@ def test_limb_dot_i8_exact_vs_bf16():
             assert np.array_equal(ref.astype(np.int64), oracle)
             assert np.array_equal(got, ref)
 
+    # Large-K contractions (ADVICE r3): the kernels contract PADDED object
+    # extents (pw_k >= 1024), where the mod-2^32 wrap argument for the s8
+    # correction terms (128*colsum + 128^2*K over the FULL padded axis)
+    # carries the most weight. Real coeff rows are window-sparse (a
+    # Lanczos window touches <= ~64 columns), so pin K in 1024-2048 with
+    # windowed rows directly against the i64 oracle.
+    for K in (1024, 1361, 2048):
+        M = int(rng.integers(32, 160))
+        N = int(rng.integers(16, 128))
+        k = np.zeros((N, K), np.float64)
+        for row in range(N):
+            width = int(rng.integers(1, 64))
+            start = int(rng.integers(0, K - width))
+            k[row, start : start + width] = rng.integers(
+                -(1 << 22), 1 << 22, width
+            )
+        l1 = np.abs(k).sum(axis=1, keepdims=True)
+        l1[l1 == 0] = 1
+        k = np.round(k / l1 * (1 << 22)).astype(np.int64)
+        img = rng.integers(0, 256, (K, M))
+        k_j = jnp.asarray(k, jnp.int32)
+        img_i8 = _center_img_s8(jnp.asarray(img, jnp.int32))
+        for k_first in (True, False):
+            got = np.asarray(_limb_dot_i8(img_i8, k_j, 0, 1, k_first=k_first))
+            oracle = (k @ img.astype(np.int64) if k_first
+                      else img.astype(np.int64).T @ k.T)
+            assert np.array_equal(got.astype(np.int64), oracle), K
+
 
 def test_fused_v3_int8_dots_bit_exact(monkeypatch, exact_traced_resample):
     """The INT8_DOTS switch routes the gen-3 chunked resample through s8
