@@ -358,6 +358,7 @@ def main() -> None:
     # fast path actually served the loop — a latched fallback moves
     # different bytes and must not borrow the model.
     roof = None
+    compute_roof = None
     if fast_path_held:
         bytes_model = roofline.solid_render_bytes_per_batch(
             B, N, (H, W), (pad_h, pad_w), static_obj_hw=static_hw,
@@ -372,6 +373,37 @@ def main() -> None:
                 else f" (unknown peak for {device_kind!r})"
             )
         )
+        # Compute-side roofline (VERDICT r3 item 2): model MXU MACs and
+        # VPU ops from the kernel's own stage functions over the REALIZED
+        # boxes, and report each unit's speed-of-light time against the
+        # measured wall — the falsifiable compute floor next to the HBM
+        # line. Model failure must not cost the headline JSON.
+        try:
+            from image_transformation_tpu.ops import (
+                compose_pallas,
+                roofline_compute,
+            )
+
+            work = roofline_compute.solid_render_compute_per_batch(
+                arrays.obj_hw, boxes, (H, W), (pad_h, pad_w),
+                static_obj_hw=static_hw,
+            )
+            compute_roof = roofline_compute.summarize_compute(
+                work, args.reps / dt, device_kind,
+                int8=compose_pallas.INT8_DOTS,
+                hbm_bytes_per_batch=bytes_model["total_bytes"],
+            )
+            log(
+                "compute roofline: "
+                f"mxu {compute_roof['mxu_sol_ms']} ms SOL "
+                f"({compute_roof['mxu_utilization']}), "
+                f"vpu {compute_roof['vpu_sol_ms']} ms SOL "
+                f"({compute_roof['vpu_utilization']}), "
+                f"binding={compute_roof.get('binding_unit')}, "
+                f"sol_fraction={compute_roof.get('compute_sol_fraction')}"
+            )
+        except Exception as e:  # noqa: BLE001 - diagnostics only
+            log(f"compute roofline model unavailable: {e!r}")
 
     # Drop the retained framebuffer-reuse plane (~4 GB at batch 448) before
     # the superbatch/sweep phases allocate their own planes — otherwise it
@@ -455,10 +487,31 @@ def main() -> None:
 
     log("measuring PIL reference baseline ...")
     phase("pil_baseline")
-    pil, pil_protocol = pil_baseline_canvases_per_sec(
-        bundle, boxes, (H, W),
-        n_canvases=args.pil_canvases, rounds=args.pil_rounds,
-    )
+    # Contention gate (VERDICT r3 item 4): a noisy/loaded host deflates
+    # the PIL baseline and inflates vs_baseline (r3 shipped 188x off a
+    # loadavg-2.31 baseline; quiet-host truth was ~120-135x). Retry a
+    # few times for a protocol-clean round; if the gates still trip,
+    # FLAG the multiplier as contended in the JSON instead of publishing
+    # it as clean.
+    contended = True
+    for attempt in range(3):
+        pil, pil_protocol = pil_baseline_canvases_per_sec(
+            bundle, boxes, (H, W),
+            n_canvases=args.pil_canvases, rounds=args.pil_rounds,
+        )
+        contended = (
+            pil_protocol["spread_vs_median"] > 0.15
+            or pil_protocol["loadavg_1m"] > 0.5
+        )
+        if not contended:
+            break
+        log(
+            f"pil baseline contended (spread "
+            f"{pil_protocol['spread_vs_median']}, loadavg "
+            f"{pil_protocol['loadavg_1m']}); retry {attempt + 1}/2"
+        )
+        time.sleep(5)
+    pil_protocol["contended"] = contended
     log(f"pil reference: {pil:.2f} canvases/sec (protocol {pil_protocol})")
 
     if args.sweep:
@@ -482,8 +535,14 @@ def main() -> None:
         "baseline_protocol": pil_protocol,
         "phase_seconds": wd.history(),
     }
+    if contended:
+        # the multiplier's denominator failed its own protocol gates —
+        # publish it only with the caveat attached (VERDICT r3 item 4)
+        payload["vs_baseline_contended"] = True
     if roof is not None:
         payload["roofline"] = roof
+    if compute_roof is not None:
+        payload["roofline_compute"] = compute_roof
     if pipelined:
         payload["pipelined_canvases_per_sec"] = round(pipelined, 2)
         payload["pipelined_vs_baseline"] = round(pipelined / pil, 2)
