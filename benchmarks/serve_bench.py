@@ -70,14 +70,18 @@ def main() -> None:
                     timings_into.append(json.loads(header))
         return time.perf_counter() - t0, body
 
-    def phase_split(timings):
-        """Fold per-request X-Render-Timings dicts into per-phase p50s."""
+    def phase_split(timings, ps=(50,)):
+        """Fold per-request X-Render-Timings dicts into per-phase
+        percentiles (dispatch_ms is the calibrated transport floor the
+        server subtracts out of device_ms — VERDICT r3 item 1)."""
         out = {}
-        for phase in ("solve_ms", "queue_ms", "device_ms", "readback_ms",
-                      "encode_ms"):
+        for phase in ("solve_ms", "queue_ms", "dispatch_ms", "device_ms",
+                      "readback_ms", "encode_ms"):
             vals = sorted(t[phase] for t in timings if phase in t)
-            if vals:
-                out[phase.replace("_ms", "_p50_ms")] = vals[len(vals) // 2]
+            for p in ps:
+                if vals:
+                    idx = min(len(vals) - 1, int(len(vals) * p / 100))
+                    out[phase.replace("_ms", f"_p{p}_ms")] = vals[idx]
         return out
 
     results = {}
@@ -118,10 +122,14 @@ def main() -> None:
         svc = server.service
         before = svc.coalescing_stats()
         payload = {"bundle": "squarespace", "ratio": "9:16"}
+        ctimings: list = []
         t0 = time.perf_counter()
         with concurrent.futures.ThreadPoolExecutor(args.workers) as pool:
             lat = list(pool.map(
-                lambda _: post("/v1/render", payload)[0], range(args.requests)
+                lambda _: post(
+                    "/v1/render", payload, timings_into=ctimings
+                )[0],
+                range(args.requests),
             ))
         wall = time.perf_counter() - t0
         after = svc.coalescing_stats()
@@ -133,6 +141,9 @@ def main() -> None:
             **percentiles(lat),
             "coalescer_requests": after["requests"] - before["requests"],
             "coalescer_dispatches": after["dispatches"] - before["dispatches"],
+            # under-load attribution (VERDICT r3 item 5): where the ~7x
+            # p50 inflation vs single-request actually goes
+            "phase_split": phase_split(ctimings, ps=(50, 95)),
         }
         log(f"concurrent_render: {results['concurrent_render']}")
 

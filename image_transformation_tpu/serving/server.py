@@ -32,9 +32,12 @@ API:
         across threads so device dispatches interleave with host
         solve/encode work. Per-bundle failures are isolated.
     GET  /v1/stats           -> cache/coalescing counters + latency_ms
-        (rolling p50/p95 per single-render phase: solve / queue / device
-        / readback / encode — /v1/render responses carry the same split
-        per-request in an X-Render-Timings header)
+        (rolling p50/p95 per single-render phase: solve / queue /
+        dispatch / device / readback / encode — /v1/render responses
+        carry the same split per-request in an X-Render-Timings header;
+        dispatch_ms is the calibrated per-process transport floor, so
+        device_ms approximates true device compute even over the dev
+        tunnel)
 
 Concurrency/caching design:
 - step/engine/input construction is serialized per cache key (one thread
@@ -59,6 +62,43 @@ from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Dispatch-floor calibration (VERDICT r3 item 1): over the dev tunnel a
+# dispatch + execution fence costs ~25 ms of pure round trips even for a
+# no-op program, and the old split booked all of it as "device_ms" — a
+# 369x657 render the engine measures at 1.4 ms warm-and-fenced reported
+# ~28 ms of "device" time. Calibrate the floor ONCE per process (min of
+# several no-op dispatch+fence round trips, same fencing convention as
+# the dispatch path) and subtract it, so device_ms approximates true
+# device compute and dispatch_ms carries the transport cost. On an
+# untunneled production host the floor collapses to ~0.1-0.3 ms and the
+# split degrades gracefully to the old one.
+
+_dispatch_floor_lock = threading.Lock()
+_dispatch_floor_ms: List[Optional[float]] = [None]
+
+
+def _tunnel_dispatch_floor_ms() -> float:
+    """Min wall time of a no-op jitted dispatch + one-element fence —
+    the per-dispatch transport floor everything device-side rides on."""
+    with _dispatch_floor_lock:
+        if _dispatch_floor_ms[0] is None:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            tiny = jnp.zeros((8, 128), jnp.int32)
+            f = jax.jit(lambda x: x + 1)
+            np.asarray(f(tiny)[0, 0])  # compile + first dispatch
+            best = float("inf")
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(f(tiny)[0, 0])
+                best = min(best, time.perf_counter() - t0)
+            _dispatch_floor_ms[0] = round(best * 1e3, 3)
+        return _dispatch_floor_ms[0]
 
 
 class _Coalescer:
@@ -87,10 +127,12 @@ class _Coalescer:
 
     def render_timed(self, placements):
         """Compose one placement set; returns (image, timings_ms) where
-        timings_ms splits queue wait / device compose / readback (the
-        63 ms single-render p50 was unattributable without it — VERDICT
-        r2 item 7). Device and readback times are per-dispatch: requests
-        merged into one dispatch share the same figures."""
+        timings_ms splits queue wait / dispatch transport / device
+        compose / readback (the 63 ms single-render p50 was
+        unattributable without it — VERDICT r2 item 7; r3 item 1 split
+        the calibrated transport floor out of the device term). Dispatch,
+        device and readback times are per-dispatch: requests merged into
+        one dispatch share the same figures."""
         ticket = {"event": threading.Event(), "enqueued": time.perf_counter()}
         with self._lock:
             self.requests += 1
@@ -187,8 +229,15 @@ class _Coalescer:
             else:
                 results = [stacked[i] for i in range(len(sets))]
             self.dispatches += 1
+            # split the fenced wall into transport floor vs device compute
+            # (the floor is cached after the first dispatch calibrates it;
+            # that one-time ~5-round-trip cost rides the first request,
+            # which already pays the first compile)
+            floor_ms = _tunnel_dispatch_floor_ms()
+            raw_ms = (t1 - t0) * 1e3
             timings = {
-                "device_ms": round((t1 - t0) * 1e3, 2),
+                "dispatch_ms": round(min(floor_ms, raw_ms), 2),
+                "device_ms": round(max(0.0, raw_ms - floor_ms), 2),
                 "readback_ms": round((t2 - t1) * 1e3, 2),
                 "merged": len(sets),
             }
@@ -230,7 +279,8 @@ class ComposeService:
         self._latency_lock = threading.Lock()
         self._latency: Dict[str, deque] = {
             k: deque(maxlen=512)
-            for k in ("solve", "queue", "device", "readback", "encode")
+            for k in ("solve", "queue", "dispatch", "device", "readback",
+                      "encode")
         }
         env_manifest = os.environ.get("ITPU_SERVING_MANIFEST")
         self.manifest_path = Path(
@@ -417,6 +467,7 @@ class ComposeService:
         self.record_latency(
             solve=solve_ms,
             queue=timings.get("queue_ms"),
+            dispatch=timings.get("dispatch_ms"),
             device=timings.get("device_ms"),
             readback=timings.get("readback_ms"),
         )

@@ -422,15 +422,19 @@ def test_render_latency_split(server):
         assert r.status == 200
         timings = json.loads(r.headers["X-Render-Timings"])
         r.read()
-    for phase in ("solve_ms", "queue_ms", "device_ms", "readback_ms",
-                  "encode_ms"):
+    for phase in ("solve_ms", "queue_ms", "dispatch_ms", "device_ms",
+                  "readback_ms", "encode_ms"):
         assert phase in timings, phase
         assert timings[phase] >= 0
     assert timings["merged"] >= 1
+    # the calibrated transport floor is positive (a dispatch + fence is
+    # never free) and bounded by the raw fenced wall
+    assert timings["dispatch_ms"] > 0
 
     with urllib.request.urlopen(server + "/v1/stats") as r:
         latency = json.loads(r.read())["latency_ms"]
-    for phase in ("solve", "queue", "device", "readback", "encode"):
+    for phase in ("solve", "queue", "dispatch", "device", "readback",
+                  "encode"):
         assert latency[phase]["count"] >= 1, phase
         assert latency[phase]["p95_ms"] >= latency[phase]["p50_ms"] >= 0
 
@@ -520,14 +524,14 @@ def test_render_batch_ratio_order_shares_cache():
 
 
 def test_render_batch_iter_semantics():
-    """render_batch_iter: yields in REQUEST order (duplicates share one
-    entry object), each exact crop equals the dict API's, and bad input
+    """render_batch_iter: yields each UNIQUE ratio once in first-seen
+    request order (duplicates fold, matching the buffered dict API —
+    ADVICE r3), each exact crop equals the dict API's, and bad input
     raises at CALL time — before any line could have been streamed."""
     svc = ComposeService("data")
     ratios = ["9:16", "1:1", "9:16"]
     entries = list(svc.render_batch_iter("squarespace", ratios))
-    assert [r for r, _ in entries] == ratios
-    assert entries[0][1] is entries[2][1]  # one readback per unique ratio
+    assert [r for r, _ in entries] == ["9:16", "1:1"]
     buffered = svc.render_batch("squarespace", ["1:1", "9:16"])
     for r, ((w, h), boxes, img) in entries:
         assert img.shape == (h, w, 4)
