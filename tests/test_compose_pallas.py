@@ -1011,7 +1011,14 @@ def test_limb_dot_i8_exact_vs_bf16():
 def test_fused_v3_int8_dots_bit_exact(monkeypatch, exact_traced_resample):
     """The INT8_DOTS switch routes the gen-3 chunked resample through s8
     MXU dots; renders must be bitwise identical to the bf16 path across
-    scaled, identity, and edge-hanging geometries (pipelined included)."""
+    scaled, identity, and edge-hanging geometries (pipelined included).
+
+    CACHE DISCIPLINE: the flag is a module global the jitted wrappers
+    close over, NOT part of their cache key — flipping it after a
+    same-shape compile silently serves the STALE executable (verified:
+    zero retraces on the flip), which made the original form of this
+    test vacuous. Every flip must clear the jit caches."""
+    import jax
     import jax.numpy as jnp
 
     import image_transformation_tpu.ops.compose_pallas as cp
@@ -1036,12 +1043,14 @@ def test_fused_v3_int8_dots_bit_exact(monkeypatch, exact_traced_resample):
         for x in (canvases, objs, hw.astype(np.int32), boxes.astype(np.int32))
     )
     monkeypatch.setattr(cp, "INT8_DOTS", False)  # bf16 reference path
+    jax.clear_caches()
     ref = np.asarray(cp.composite_batch_fused_v3(*dev, interpret=True))
     ref_pipe = np.asarray(
         cp.composite_batch_fused_v3(*dev, interpret=True, pipelined=True)
     )
     assert np.array_equal(ref_pipe, ref)
     monkeypatch.setattr(cp, "INT8_DOTS", True)  # s8 path (the default)
+    jax.clear_caches()
     got = np.asarray(cp.composite_batch_fused_v3(*dev, interpret=True))
     got_pipe = np.asarray(
         cp.composite_batch_fused_v3(*dev, interpret=True, pipelined=True)
@@ -1058,6 +1067,7 @@ def test_fused_v3_int8_dots_bit_exact(monkeypatch, exact_traced_resample):
     outs = {}
     for flag in (False, True):
         monkeypatch.setattr(cp, "INT8_DOTS", flag)
+        jax.clear_caches()
         outs[flag] = np.asarray(cp.render_solid_fused_v3_program(
             op1, hw1, dev[3], (H, W), bg, interpret=True, pipelined=True,
         ))
