@@ -118,6 +118,19 @@ def main() -> None:
                 results[name]["phase_split"] = phase_split(timings)
             log(f"{name}: {results[name]}")
 
+        # warm the coalescer's pow2 merge sizes (2/4/8): compose_many
+        # compiles lazily per merge size, and an unwarmed size otherwise
+        # lands INSIDE the measured concurrent scenario (observed as a
+        # 1.7 s device_p95 outlier — r4). Two bursts hit the size ladder.
+        for _ in range(2):
+            with concurrent.futures.ThreadPoolExecutor(args.workers) as pool:
+                list(pool.map(
+                    lambda _: post("/v1/render", {
+                        "bundle": "squarespace", "ratio": "9:16",
+                    })[0],
+                    range(args.workers * 2),
+                ))
+
         # ---- concurrent render load (coalescing) ----
         svc = server.service
         before = svc.coalescing_stats()

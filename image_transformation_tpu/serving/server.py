@@ -148,27 +148,48 @@ class _Coalescer:
         return ticket["result"], ticket.get("timings", {})
 
     def _drain(self) -> None:
+        # ONE merge pipelined against the previous completion (VERDICT r3
+        # item 5): batch k+1's device compute is dispatched (async — jax
+        # returns handles immediately) BEFORE batch k's host readback, so
+        # under tunnel-bound load — where the readback is the wall — the
+        # device computes k+1 while the host drains k's bytes instead of
+        # idling between merges.
+        inflight = None
         while True:
             with self._lock:
                 batch = self._pending[: self.MAX_MERGE]
                 del self._pending[: len(batch)]
-                if not batch:
+                if not batch and inflight is None:
                     self._worker = None  # retire atomically with the check
                     return
-            try:
-                self._dispatch(batch)
-            except BaseException as e:  # noqa: BLE001 - never strand waiters
-                for _, ticket in batch:
-                    # only tickets _dispatch hadn't already settled — a
-                    # request whose render completed (or failed on its own)
-                    # must keep its real outcome
-                    if "result" not in ticket and "error" not in ticket:
-                        ticket["error"] = e
-                        ticket["event"].set()
+            nxt = None
+            if batch:
+                try:
+                    nxt = self._start(batch)
+                except BaseException as e:  # noqa: BLE001 - never strand
+                    self._settle_unsettled(batch, e)
+            if inflight is not None:
+                try:
+                    self._complete(inflight)
+                except BaseException as e:  # noqa: BLE001 - never strand
+                    self._settle_unsettled(inflight[0], e)
+            inflight = nxt
 
-    def _dispatch(self, batch: List[tuple]) -> None:
-        import numpy as np
+    @staticmethod
+    def _settle_unsettled(batch, err) -> None:
+        # only tickets not already settled — a request whose render
+        # completed (or failed on its own) must keep its real outcome
+        for _, ticket in batch:
+            if "result" not in ticket and "error" not in ticket:
+                ticket["error"] = err
+                ticket["event"].set()
 
+    def _start(self, batch: List[tuple]):
+        """Validate and dispatch one merged compose; returns the in-flight
+        state ``(tickets, rows, probe, t0)`` or None if nothing survived
+        validation. Row host-copies start here (async), so the transfer
+        overlaps both this batch's compute tail and any previous batch's
+        completion."""
         # per-request validation first (the engine's OWN check, so this
         # isolation pass can never drift from what compose enforces): one
         # malformed request must fail alone, not poison its batch-mates
@@ -180,36 +201,53 @@ class _Coalescer:
             except Exception as e:  # noqa: BLE001
                 ticket["error"] = e
                 ticket["event"].set()
-        batch = checked
-        if not batch:
-            return
+        if not checked:
+            return None
 
-        sets = [placements for placements, _ in batch]
+        sets = [placements for placements, _ in checked]
         try:
-            # split device compute from readback: the device stream is
-            # in-order, so a one-pixel readback fences execution and the
-            # full np.asarray is pure transfer past that point (the same
-            # fencing convention bench.py uses — block_until_ready is
-            # unreliable over the tunneled platform). The probe runs in a
-            # PARALLEL thread, not before the full readback: serializing
-            # fence-then-transfer added one tunnel round-trip per dispatch
-            # and cost ~17 ms single-render p50 / 25% of concurrent
-            # throughput when it landed (serving_results.json round-3
-            # refresh, 63 -> 80 ms). Both reads block until execution
-            # ends; the one-pixel probe then finishes immediately while
-            # the full transfer continues, so t1 - t0 is device compute
-            # and t2 - t1 is transfer — with no extra serialized trip.
             t0 = time.perf_counter()
             if len(sets) == 1:
                 dev = self.engine.compose(sets[0])
+                rows = [dev]
                 probe = dev[0, 0, 0]
             else:
                 # pad to the next power of two so merge sizes share a
-                # handful of compile keys; extra legs repeat request 0
+                # handful of compile keys; extra legs repeat request 0 —
+                # and are never read back (rows slices skip them)
                 full = 1 << (len(sets) - 1).bit_length()
                 padded = sets + [sets[0]] * (full - len(sets))
                 dev = self.engine.compose_many(padded)
+                rows = [dev[i] for i in range(len(sets))]
                 probe = dev[0, 0, 0, 0]
+            for r in rows:
+                try:
+                    r.copy_to_host_async()
+                except (AttributeError, RuntimeError):
+                    pass  # fallback arrays transfer synchronously below
+            return (checked, rows, probe, t0)
+        except Exception as e:  # noqa: BLE001 - propagate to every waiter
+            self._settle_unsettled(checked, e)
+            return None
+
+    def _complete(self, inflight) -> None:
+        import numpy as np
+
+        # Split device compute from readback: the device stream is
+        # in-order, so a one-pixel probe readback fences execution and
+        # the row transfers are pure transfer past that point (the same
+        # fencing convention bench.py uses — block_until_ready is
+        # unreliable over the tunneled platform). The probe runs in a
+        # PARALLEL thread, not before the row reads: serializing
+        # fence-then-transfer added one tunnel round-trip per dispatch
+        # and cost ~17 ms single-render p50 when it landed (round-3
+        # refresh). Tickets settle PER ROW as their transfers land, so
+        # in a merge of 8 the first request stops waiting after its own
+        # ~1 MB, not after all 8. Under pipelined load t1 - t0 also
+        # contains time queued behind the previous merge's compute (the
+        # device is busy by design); queue_ms stays pre-dispatch wait.
+        checked, rows, probe, t0 = inflight
+        try:
             fence_done: List[float] = []
 
             def _fence() -> None:
@@ -220,38 +258,33 @@ class _Coalescer:
 
             fencer = threading.Thread(target=_fence, daemon=True)
             fencer.start()
-            stacked = np.asarray(dev)
+            first = np.asarray(rows[0])
             fencer.join()
-            t2 = time.perf_counter()
-            t1 = min(fence_done[0], t2) if fence_done else t2
-            if len(sets) == 1:
-                results = [stacked]
-            else:
-                results = [stacked[i] for i in range(len(sets))]
+            t_first = time.perf_counter()
+            t1 = min(fence_done[0], t_first) if fence_done else t_first
             self.dispatches += 1
-            # split the fenced wall into transport floor vs device compute
-            # (the floor is cached after the first dispatch calibrates it;
-            # that one-time ~5-round-trip cost rides the first request,
-            # which already pays the first compile)
+            # transport floor vs device compute (floor cached after the
+            # first dispatch calibrates it; that one-time ~5-round-trip
+            # cost rides the first request, which already pays compile)
             floor_ms = _tunnel_dispatch_floor_ms()
             raw_ms = (t1 - t0) * 1e3
-            timings = {
+            base = {
                 "dispatch_ms": round(min(floor_ms, raw_ms), 2),
                 "device_ms": round(max(0.0, raw_ms - floor_ms), 2),
-                "readback_ms": round((t2 - t1) * 1e3, 2),
-                "merged": len(sets),
+                "merged": len(checked),
             }
-            for (_, ticket), img in zip(batch, results):
+            for i, (_, ticket) in enumerate(checked):
+                img = first if i == 0 else np.asarray(rows[i])
+                t_i = t_first if i == 0 else time.perf_counter()
                 ticket["result"] = img
                 ticket["timings"] = dict(
-                    timings,
+                    base,
+                    readback_ms=round((t_i - t1) * 1e3, 2),
                     queue_ms=round((t0 - ticket["enqueued"]) * 1e3, 2),
                 )
                 ticket["event"].set()
         except Exception as e:  # noqa: BLE001 - propagate to every waiter
-            for _, ticket in batch:
-                ticket["error"] = e
-                ticket["event"].set()
+            self._settle_unsettled(checked, e)
 
 
 class ComposeService:
