@@ -364,6 +364,19 @@ benchmarks/bisect_resize.py --clamped):
    canvases/sec (+1.4%); identity_bench legs unchanged within noise
    (scaled 20,523, identity 34,370 — that bench's objects are not
    shared). Non-shared paths still re-center per step.
+29. CENTERED-S8 H-PASS INTERMEDIATE (2026-08-20): on the s8 dot path
+   the H pass stored its intermediate as bf16 and every V tile
+   re-centered it per channel (_center_img_s8: 2 ops x [ph_k, 128] x 4
+   channels x ch_w tiles). The H pass now stores
+   (_clip8(ss) - 128).astype(int8) — one subtract per H chunk replacing
+   the bf16 cast — and V tiles consume it directly; the tmp scratch
+   halves (bf16 -> s8 bytes). Bitwise identical (_clip8 output in
+   [0, 255] centers exactly; 47 interpret parity tests green). Compute
+   model (ops/roofline_compute.py): VPU SOL 10.38 -> 10.21 ms/batch
+   (v_tile 4.05 -> 3.83). Measured (interleaved A/B, batch 768 1080p,
+   quiet host): base 35,566/35,576/35,653 -> item-29
+   35,381/35,687/35,809/35,823 canvases/sec (~+0.5%, matching the
+   model's ~+0.8% upper bound). Adopted: free, exact, less VMEM.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -2647,11 +2660,19 @@ def _resample_chunked_into(
         if INT8_DOTS:
             ss = _limb_dot_i8(prem_i8, kh_c, 1, 1, k_first=False,
                               img_colsum=prem_cs) + _HALF
+            # store the H intermediate ALREADY re-centered s8 (STATUS
+            # item 29): clip8 - 128 here costs the same one subtract the
+            # V pass used to pay per tile via _center_img_s8, but runs
+            # once per H chunk instead of once per (channel, V tile) —
+            # and halves the tmp scratch bytes
+            tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
+                (_clip8(ss) - 128).astype(jnp.int8)
+            )
         else:
             ss = _limb_dot(prem2d, kh_c, 1, 1, k_first=False) + _HALF
-        tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
-            _clip8(ss).astype(jnp.bfloat16)
-        )
+            tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
+                _clip8(ss).astype(jnp.bfloat16)
+            )
         return ()
 
     jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
@@ -2668,8 +2689,9 @@ def _resample_chunked_into(
             for c4 in range(4):
                 t = tmp_ref[c4 * ph_k : (c4 + 1) * ph_k, pl.ds(lc, 128)]
                 if INT8_DOTS:
+                    # t arrives centered s8 from the H pass (item 29)
                     ss_v = _limb_dot_i8(
-                        _center_img_s8(t), kv_c, 0, 0, k_first=True
+                        t, kv_c, 0, 0, k_first=True
                     ) + _HALF
                 else:
                     ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF
@@ -3149,8 +3171,10 @@ def _pallas_fused_v3_impl(
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
             # packed blend source (mh_128 tall: V chunks store 128 rows)
             pltpu.VMEM((_round_up(mh_a, 128), mw_a), jnp.int32),
-            # H-pass intermediate, channel-stacked (chunked resample)
-            pltpu.VMEM((4 * ph_a, mw_a), jnp.bfloat16),
+            # H-pass intermediate, channel-stacked (chunked resample);
+            # stored centered-s8 on the s8 dot path (STATUS item 29)
+            pltpu.VMEM((4 * ph_a, mw_a),
+                       jnp.int8 if INT8_DOTS else jnp.bfloat16),
             # shared objects use only slot 0 — halve the object VMEM
             pltpu.VMEM((1 if shared_objs else 2, 4, ph_a, pw_a), jnp.uint8),
         ]
@@ -3178,8 +3202,10 @@ def _pallas_fused_v3_impl(
             pltpu.VMEM((2 * MH, mw_a), jnp.int32),
             # packed blend source (mh_128 tall: V chunks store 128 rows)
             pltpu.VMEM((_round_up(mh_a, 128), mw_a), jnp.int32),
-            # H-pass intermediate, channel-stacked (chunked resample)
-            pltpu.VMEM((4 * ph_a, mw_a), jnp.bfloat16),
+            # H-pass intermediate, channel-stacked (chunked resample);
+            # stored centered-s8 on the s8 dot path (STATUS item 29)
+            pltpu.VMEM((4 * ph_a, mw_a),
+                       jnp.int8 if INT8_DOTS else jnp.bfloat16),
             pltpu.VMEM((4, ph_a, pw_a), jnp.uint8),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

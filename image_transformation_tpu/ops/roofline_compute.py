@@ -158,11 +158,14 @@ def _stage_counts(
 
     # H pass, one 128-wide output chunk (_resample_chunked_into.h_chunk):
     # in-kernel table over (128, pw_k) + 3 limb dots + quantize epilogue
+    # (the s8 path stores the intermediate already centered — item 29)
     def h_chunk(prem, cs, in_w, out_w, off):
         kh_c = cp._coeff_table_in_kernel(
             in_w, out_w, 128, pw_k, method, False, o_offset=off,
         )
         ss = dot(prem, kh_c, 1, 1, False, cs if int8 else None) + cp._HALF
+        if int8:
+            return (cp._clip8(ss) - 128).astype(jnp.int8)
         return cp._clip8(ss).astype(jnp.bfloat16)
 
     h = _trace_counts(
@@ -191,13 +194,13 @@ def _stage_counts(
 
     # V pass, one 128x128 tile: 4 channels x 3 limb dots + the
     # unpremultiply/pack epilogue — pure mirror of
-    # _resample_chunked_into.v_chunk.v_tile (compose_pallas.py:2661-2689)
+    # _resample_chunked_into.v_chunk.v_tile (the s8 intermediate arrives
+    # pre-centered from the H pass, item 29)
     def v_tile(tmp4, kv_c):
         chans = []
         for c4 in range(4):
             t = tmp4[c4]
-            img = cp._center_img_s8(t) if int8 else t
-            chans.append(cp._clip8(dot(img, kv_c, 0, 0, True) + cp._HALF))
+            chans.append(cp._clip8(dot(t, kv_c, 0, 0, True) + cp._HALF))
         resized_p = jnp.stack(chans, axis=0)
         ra = resized_p[3]
         rgb = jnp.minimum(
@@ -208,7 +211,7 @@ def _stage_counts(
         return rgb[0] | (rgb[1] << 8) | (rgb[2] << 16) | (ra << 24)
 
     vt = _trace_counts(
-        v_tile, s((4, ph_k, 128), jnp.bfloat16), s((ph_k, 128), i32)
+        v_tile, s((4, ph_k, 128), img_dt), s((ph_k, 128), i32)
     )
 
     # blend: masked source write over (mh_a, mw_a)
