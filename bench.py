@@ -360,9 +360,14 @@ def main() -> None:
     roof = None
     compute_roof = None
     if fast_path_held:
+        from image_transformation_tpu.ops import compose_pallas as _cp
+
         bytes_model = roofline.solid_render_bytes_per_batch(
             B, N, (H, W), (pad_h, pad_w), static_obj_hw=static_hw,
             shared_objs=True, reuse=True, stat="fence",
+            # mirror the kernel the loop actually ran: the render programs
+            # resolve static_windows=None to the module flag (STATUS 30)
+            static_windows=_cp.STATIC_WINDOWS,
         )
         roof = roofline.summarize(bytes_model, args.reps / dt, device_kind)
         log(
@@ -535,6 +540,13 @@ def main() -> None:
         "baseline_protocol": pil_protocol,
         "phase_seconds": wd.history(),
     }
+    if args.kernel == "pallas":
+        from image_transformation_tpu.ops import compose_pallas as _cp2
+
+        payload["kernel_flags"] = {
+            "int8_dots": _cp2.INT8_DOTS,
+            "static_windows": _cp2.STATIC_WINDOWS,
+        }
     if contended:
         # the multiplier's denominator failed its own protocol gates —
         # publish it only with the caveat attached (VERDICT r3 item 4)

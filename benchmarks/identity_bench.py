@@ -50,6 +50,14 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--reps", type=int, default=20)
     parser.add_argument("--trials", type=int, default=3)
+    parser.add_argument(
+        "--headline-config", action="store_true",
+        help="run the HEADLINE bench's kernel configuration (pipelined "
+        "walk + static_obj_hw + ONE shared object copy) instead of the "
+        "historical default program — for cross-workload A/Bs of "
+        "pipelined-kernel changes (e.g. ITPU_STATIC_WINDOWS) on the "
+        "identity/no-scaling distribution",
+    )
     args = parser.parse_args()
 
     import jax
@@ -72,17 +80,27 @@ def main() -> None:
     B = args.batch
     rng = np.random.default_rng(7)
 
-    objs = np.broadcast_to(arrays.objects, (B, *arrays.objects.shape)).copy()
+    n_obj_copies = 1 if args.headline_config else B
+    objs = np.broadcast_to(
+        arrays.objects, (n_obj_copies, *arrays.objects.shape)
+    ).copy()
     hw = np.broadcast_to(arrays.obj_hw, (B, *arrays.obj_hw.shape)).copy()
     objs_p = jnp.asarray(planarize_objects(jnp.asarray(objs)))
     hw_dev = jnp.asarray(hw)
     bg = pack_rgba_scalar((128, 128, 128, 255))
+    static_hw = (
+        tuple(tuple(int(v) for v in row) for row in arrays.obj_hw)
+        if args.headline_config else None
+    )
 
     import functools
 
     @functools.partial(jax.jit, static_argnames=("canvas_hw", "bg"))
     def render_step(o, h_, b, canvas_hw, bg):
-        out = render_solid_fused_v3_program(o, h_, b, canvas_hw, bg)
+        out = render_solid_fused_v3_program(
+            o, h_, b, canvas_hw, bg,
+            pipelined=args.headline_config, static_obj_hw=static_hw,
+        )
         return out, jnp.sum(out[:, 0, :128], axis=1)
 
     def measure(boxes_np):
@@ -115,10 +133,16 @@ def main() -> None:
         }
         print(name, json.dumps(results[name]))
 
-    out_path = REPO / "benchmarks" / "identity_bench_results.json"
     payload = {"batch": B, "reps": args.reps, "results": results}
-    out_path.write_text(json.dumps(payload, indent=2))
-    print(f"wrote {out_path}")
+    if args.headline_config:
+        # A/B mode: print only — don't clobber the historical
+        # default-program results file with a different configuration
+        payload["kernel_config"] = "headline"
+        print(json.dumps(payload))
+    else:
+        out_path = REPO / "benchmarks" / "identity_bench_results.json"
+        out_path.write_text(json.dumps(payload, indent=2))
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -377,6 +377,27 @@ benchmarks/bisect_resize.py --clamped):
    quiet host): base 35,566/35,576/35,653 -> item-29
    35,381/35,687/35,809/35,823 canvases/sec (~+0.5%, matching the
    model's ~+0.8% upper bound). Adopted: free, exact, less VMEM.
+30. PER-OBJECT STATIC RENDER WINDOWS (2026-08-20, VERDICT r3 item 3):
+   the pipelined kernel's window DMAs (plane -> VMEM and back) moved the
+   batch-max (MH, MW) window every (object, batch) step regardless of
+   the object's real size — 79% of the HBM roofline's modeled traffic,
+   and the descriptor count scales with window ROWS, so batch-max
+   windows also inflate the serialized DMA-issue work (the kernel's
+   original bottleneck, item 8). With static_obj_hw available, each
+   grid step's window copies are now sized to THAT object's extents
+   (_static_window_extents — the item-22 restore treatment applied to
+   the render window): _PerObjectCopy emits one pl.when(k == i) branch
+   per object around the sized descriptor (exactly one runs; waits
+   re-emit the size their start did), and _fused_v3_meta caps origins
+   per object (hp - WH_k) so every window stays in-plane at its own
+   size. Blend compute is untouched — it may still touch scratch beyond
+   object k's window, but those rows never copy back and the masked
+   source write keeps in-window overreach a no-op blend. Bitwise
+   parity: tests/test_compose_pallas.py::test_static_windows_parity
+   (downscale/identity/edge-clamp/off-canvas x fresh/reuse/producer
+   surfaces, interpret). Gated OFF by default (ITPU_STATIC_WINDOWS)
+   pending the hardware A/B (benchmarks/ab_static_windows.sh: headline
+   + identity cross-workload, the item-26c discipline).
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -406,6 +427,43 @@ _HALF = 1 << (PRECISION_BITS - 1)
 # module attribute directly. Bit-exact either way (interpret parity
 # pinned in tests/test_compose_pallas.py).
 INT8_DOTS = os.environ.get("ITPU_INT8_DOTS", "1") == "1"
+
+# STATUS item 30 (VERDICT r3 item 3): size the pipelined render kernel's
+# per-step window DMAs to EACH object's static extents instead of the
+# batch-max (MH, MW) — the item-22 treatment applied to the render
+# window, which the HBM roofline flagged as 79% of modeled traffic.
+# Default resolved by the fused-v3 programs when their ``static_windows``
+# argument is None; the hardware A/B flips this env var. Like INT8_DOTS,
+# jitted wrappers close over it — flip tests must jax.clear_caches().
+STATIC_WINDOWS = os.environ.get("ITPU_STATIC_WINDOWS", "0") == "1"
+
+
+class _PerObjectCopy:
+    """Start/wait shim for per-object-sized window DMAs (STATUS item 30).
+
+    The double-buffered walk calls ``.start()``/``.wait()`` on whatever
+    ``window_dma`` returns; with static per-object window extents the
+    descriptor's SIZE depends on the grid's object index ``k``, so each
+    call emits one ``pl.when(k == i)`` branch per object — exactly one
+    runs (k is this grid step's scalar), and a wait always re-emits the
+    same-sized descriptor its start did because both close over the same
+    ``k``.
+    """
+
+    def __init__(self, k, sizes, make):
+        self._k, self._sizes, self._make = k, sizes, make
+
+    def _emit(self, op):
+        for i, (wh, ww) in enumerate(self._sizes):
+            @pl.when(self._k == i)
+            def _(wh=int(wh), ww=int(ww)):
+                op(self._make(wh, ww))
+
+    def start(self):
+        self._emit(lambda d: d.start())
+
+    def wait(self):
+        self._emit(lambda d: d.wait())
 
 
 def _split_limbs_bf16(k_i32):
@@ -559,6 +617,25 @@ def window_extents(out_hw: Tuple[int, int]) -> Tuple[int, int]:
     """
     mh_out, mw_out = out_hw
     return _round_up(mh_out + 8, 8), _round_up(mw_out + 128, 128)
+
+
+def _static_window_extents(
+    static_obj_hw, out_max_hw: Tuple[int, int]
+) -> Tuple[Tuple[int, int], ...]:
+    """Per-object window extents from static asset sizes: each object's
+    window covers ITS padded extents (capped at the batch-max envelope)
+    plus the origin-quantization slack — a downscale-only render never
+    touches more (STATUS items 22/30). Shared by the static restore
+    kernel and the static-window render path so their DMA geometry (and
+    the roofline model mirroring it) can never drift apart."""
+    mh_a, mw_a = out_max_hw
+    return tuple(
+        window_extents((
+            min(_round_up(max(int(h), 1), 8), mh_a),
+            min(_round_up(max(int(w), 1), 128), mw_a),
+        ))
+        for h, w in static_obj_hw
+    )
 
 
 def _legacy_canvas_pad_hw(
@@ -2682,7 +2759,6 @@ def _resample_chunked_into(
         kv_c = _coeff_table_in_kernel(
             in_h, out_h, 128, ph_k, method, True, o_offset=rc
         )
-
         def v_tile(c, _):
             lc = pl.multiple_of(c * 128, 128)
             chans = []
@@ -2951,6 +3027,7 @@ def _make_fused_kernel_v3_pipelined(
     n_batch: int, obj_pad_hw: Tuple[int, int], out_hw: Tuple[int, int],
     method: str, static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
     shared_objs: bool = False,
+    static_win: Tuple[Tuple[int, int], ...] | None = None,
 ):
     """Gen-3 fused kernel with double-buffered window/object DMAs.
 
@@ -2974,6 +3051,19 @@ def _make_fused_kernel_v3_pipelined(
     so it is computed ONCE per grid step into a dedicated VMEM scratch
     (``prem_vmem``) instead of being recomputed by every one of the
     n_batch resample steps that follow.
+
+    ``static_win`` (STATUS item 30): per-object window extents — each
+    grid step's window DMAs (in and back) then move only object k's
+    ``(WH_k, WW_k)`` window instead of the batch-max ``(MH, MW)``
+    (descriptor count scales with window ROWS, so this also shrinks the
+    serialized DMA-issue work, not just bytes). Requires meta built with
+    the SAME ``static_win`` (per-object origin caps — _fused_v3_meta).
+    The step COMPUTE is untouched: the blend may still touch scratch
+    rows/cols beyond object k's window, but those never copy back (the
+    writeback is the sized descriptor), and the masked source write +
+    zero src_shift invariant already guarantee anything inside the
+    window beyond the object blends as a no-op. All waits re-emit the
+    same size their start did (both close over this grid step's k).
     """
     ph_a, pw_a = obj_pad_hw
     mh_a, mw_a = out_hw
@@ -2997,14 +3087,23 @@ def _make_fused_kernel_v3_pipelined(
         def window_dma(b, slot, to_vmem):
             ws_x = pl.multiple_of(meta_ref[0, k, b], 128)
             ws_y = pl.multiple_of(meta_ref[1, k, b], 8)
-            window_slice = out_ref.at[b, pl.ds(ws_y, MH), pl.ds(ws_x, MW)]
-            if to_vmem:
+
+            def make(wh: int, ww: int):
+                window_slice = out_ref.at[b, pl.ds(ws_y, wh), pl.ds(ws_x, ww)]
+                vmem = win_ref.at[slot, :wh, :ww]
+                if to_vmem:
+                    return pltpu.make_async_copy(
+                        window_slice, vmem, sem_in.at[slot]
+                    )
                 return pltpu.make_async_copy(
-                    window_slice, win_ref.at[slot], sem_in.at[slot]
+                    vmem, window_slice, sem_out.at[slot]
                 )
-            return pltpu.make_async_copy(
-                win_ref.at[slot], window_slice, sem_out.at[slot]
-            )
+
+            if static_win is None:
+                return make(MH, MW)
+            # per-object window extents (STATUS item 30): exactly one
+            # pl.when(k == i) branch emits the sized descriptor
+            return _PerObjectCopy(k, static_win, make)
 
         def obj_dma(b, slot):
             return pltpu.make_async_copy(
@@ -3141,6 +3240,7 @@ def _pallas_fused_v3_impl(
     interpret: bool = False,
     pipelined: bool = False,
     static_in_hw: Tuple[Tuple[int, int], ...] | None = None,
+    static_windows: bool = False,
 ) -> jnp.ndarray:
     B, N = canvas_v.shape[0], objs_p.shape[1]
     ph_a, pw_a = objs_p.shape[3], objs_p.shape[4]
@@ -3160,11 +3260,20 @@ def _pallas_fused_v3_impl(
         raise ValueError(
             f"static_in_hw has {len(static_in_hw)} entries for {N} objects"
         )
+    if static_windows and not (pipelined and static_in_hw is not None):
+        raise ValueError(
+            "static_windows requires pipelined=True and static_in_hw "
+            "(per-object window extents derive from the static asset sizes)"
+        )
     if pipelined:
         grid = (N,)
         kernel = _make_fused_kernel_v3_pipelined(
             B, (ph_a, pw_a), (mh_a, mw_a), method, static_in_hw,
             shared_objs=shared_objs,
+            static_win=(
+                _static_window_extents(static_in_hw, (mh_a, mw_a))
+                if static_windows else None
+            ),
         )
         scratch = [
             pltpu.VMEM((2, MH, MW), jnp.int32),
@@ -3233,7 +3342,8 @@ def _pallas_fused_v3_impl(
 
 
 _FUSED3_STATICS = (
-    "out_hw", "out_max_hw", "method", "interpret", "pipelined", "static_in_hw"
+    "out_hw", "out_max_hw", "method", "interpret", "pipelined",
+    "static_in_hw", "static_windows",
 )
 _fused_v3_donated = functools.partial(
     jax.jit, static_argnames=_FUSED3_STATICS, donate_argnums=(0,)
@@ -3244,11 +3354,12 @@ _fused_v3_plain = functools.partial(
 
 
 def _pallas_fused_v3(canvas_v, objs_p, meta, out_hw, out_max_hw, method,
-                     interpret=False, pipelined=False, static_in_hw=None):
+                     interpret=False, pipelined=False, static_in_hw=None,
+                     static_windows=False):
     identity_crop = (canvas_v.shape[1], canvas_v.shape[2]) == tuple(out_hw)
     fn = _fused_v3_donated if identity_crop else _fused_v3_plain
     return fn(canvas_v, objs_p, meta, tuple(out_hw), tuple(out_max_hw),
-              method, interpret, pipelined, static_in_hw)
+              method, interpret, pipelined, static_in_hw, static_windows)
 
 
 def fused_canvas_pad_hw(
@@ -3282,7 +3393,8 @@ def planarize_objects(objs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _fused_v3_meta(obj_hw, boxes, canvas_hw, pad_hw, window_hw):
+def _fused_v3_meta(obj_hw, boxes, canvas_hw, pad_hw, window_hw,
+                   static_win=None):
     """Clamped window meta [B, N, 10] shared by the v3 producers: the
     shared 6-column window meta plus per-object source and target sizes
     (the gen-3 kernel builds its coefficient tables in-kernel from these,
@@ -3295,25 +3407,41 @@ def _fused_v3_meta(obj_hw, boxes, canvas_hw, pad_hw, window_hw):
     128-wide chunks into scratch sized by the envelope, so an
     out-of-envelope box (boxes are traced data — the VLM chooses them)
     must degrade to a cropped-scale render like gen-2 did, not write past
-    VMEM scratch and silently corrupt neighbouring objects' tables."""
+    VMEM scratch and silently corrupt neighbouring objects' tables.
+
+    ``static_win`` (STATUS item 30): per-object window extents for the
+    static-window kernel. Origin caps and target-size clamps then apply
+    PER OBJECT (cap ``hp - WH_i`` instead of ``hp - MH``), so each
+    window stays inside the padded plane at its own size; the same
+    degrade-to-cropped-scale semantics hold at the tighter per-object
+    envelope (downscale-only workloads never hit either clamp)."""
     hp, wp = pad_hw
     MH, MW = window_hw
+    if static_win is None:
+        cap_h, cap_w = MH, MW
+    else:
+        # [N] per-object window extents; broadcast against the [B, N] boxes
+        cap_h = jnp.asarray([v[0] for v in static_win], jnp.int32)[None, :]
+        cap_w = jnp.asarray([v[1] for v in static_win], jnp.int32)[None, :]
     w = jnp.minimum(
-        jnp.maximum(1, boxes[..., 2] - boxes[..., 0]), MW - 128
+        jnp.maximum(1, boxes[..., 2] - boxes[..., 0]), cap_w - 128
     )
     h = jnp.minimum(
-        jnp.maximum(1, boxes[..., 3] - boxes[..., 1]), MH - 8
+        jnp.maximum(1, boxes[..., 3] - boxes[..., 1]), cap_h - 8
     )
     same = (w == obj_hw[..., 1]) & (h == obj_hw[..., 0])
     meta6 = _window_meta6(
-        boxes, canvas_hw, origin_cap=(hp - MH, wp - MW), same=same
+        boxes, canvas_hw, origin_cap=(hp - cap_h, wp - cap_w), same=same
     )
     sizes = jnp.stack([obj_hw[..., 0], obj_hw[..., 1], h, w], axis=-1)
     return jnp.concatenate([meta6, sizes.astype(jnp.int32)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("out_max_hw", "canvas_hw"))
-def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
+@functools.partial(
+    jax.jit, static_argnames=("out_max_hw", "canvas_hw", "static_win")
+)
+def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw,
+                       static_win=None):
     """Planar objects + clamped meta (with per-object sizes) for fused v3.
 
     No tables, no resample dots — only the object transpose to planar
@@ -3330,7 +3458,9 @@ def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
     hp, wp = fused_canvas_pad_hw(canvas_hw, out_max_hw)
 
     objs_p = objs if planar_in else planarize_objects(objs)
-    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    meta = _fused_v3_meta(
+        obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW), static_win=static_win
+    )
 
     if canvases.dtype == jnp.uint8:
         canvas_v = jax.lax.bitcast_convert_type(canvases, jnp.int32)
@@ -3341,10 +3471,14 @@ def _fused_v3_producer(canvases, objs, obj_hw, boxes, out_max_hw, canvas_hw):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_max_hw", "canvas_hw", "batch", "bg_packed")
+    jax.jit,
+    static_argnames=(
+        "out_max_hw", "canvas_hw", "batch", "bg_packed", "static_win"
+    ),
 )
 def _fused_v3_producer_fill(
-    objs, obj_hw, boxes, out_max_hw, canvas_hw, batch, bg_packed
+    objs, obj_hw, boxes, out_max_hw, canvas_hw, batch, bg_packed,
+    static_win=None,
 ):
     """Fill-background producer: synthesizes the padded packed canvas on
     device (one write-only fill — profile-attributed ~1.6 ms/batch cheaper
@@ -3355,7 +3489,9 @@ def _fused_v3_producer_fill(
     hp, wp = fused_canvas_pad_hw(canvas_hw, out_max_hw)
     planar_in = objs.shape[4] != 4
     objs_p = objs if planar_in else planarize_objects(objs)
-    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    meta = _fused_v3_meta(
+        obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW), static_win=static_win
+    )
     canvas_v = jnp.full((batch, hp, wp), jnp.int32(bg_packed), jnp.int32)
     return canvas_v, objs_p, meta
 
@@ -3374,6 +3510,7 @@ def composite_batch_fused_v3(
     canvas_hw: Tuple[int, int] | None = None,
     padded_out: bool = False,
     static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
+    static_windows: bool | None = None,
 ) -> jnp.ndarray:
     """Fused resample+blend gen-3: tables built in-kernel (see
     _make_fused_kernel_v3). Engine-style calling conventions, each one
@@ -3405,6 +3542,15 @@ def composite_batch_fused_v3(
         out_max_hw = (ph, pw)
     mh_a = _round_up(out_max_hw[0], 8)
     mw_a = _round_up(out_max_hw[1], 128)
+    if static_windows is None:
+        static_windows = STATIC_WINDOWS
+    use_sw = (
+        bool(static_windows) and pipelined and static_obj_hw is not None
+    )
+    static_win = (
+        _static_window_extents(static_obj_hw, (mh_a, mw_a))
+        if use_sw else None
+    )
     if canvases is None:
         bg_packed = pack_rgba_scalar(bg_rgba)
         # batch from BOXES, not objs: a shared [1, N, ...] object tensor
@@ -3412,18 +3558,19 @@ def composite_batch_fused_v3(
         # not silently drop boxes[1:] behind a 1-canvas plane
         canvas_v, objs_p, meta = _fused_v3_producer_fill(
             objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c), boxes.shape[0],
-            bg_packed,
+            bg_packed, static_win=static_win,
         )
     else:
         canvas_v, objs_p, meta = _fused_v3_producer(
-            canvases, objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c)
+            canvases, objs, obj_hw, boxes, (mh_a, mw_a), (h_c, w_c),
+            static_win=static_win,
         )
     out_hw = (
         (canvas_v.shape[1], canvas_v.shape[2]) if padded_out else (h_c, w_c)
     )
     out_v = _pallas_fused_v3(
         canvas_v, objs_p, meta, out_hw, (mh_a, mw_a), method, interpret,
-        pipelined, static_obj_hw,
+        pipelined, static_obj_hw, static_windows=use_sw,
     )
     if packed_out:
         return out_v
@@ -3448,6 +3595,7 @@ def render_solid_fused_v3_program(
     interpret: bool = False,
     pipelined: bool = False,
     static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
+    static_windows: bool | None = None,
 ) -> jnp.ndarray:
     """ONE-program solid-background batch renderer (traceable, not jitted):
     on-device background fill + the gen-3 fused kernel, returning the
@@ -3469,6 +3617,10 @@ def render_solid_fused_v3_program(
     every canvas then composites the SAME assets from one copy (STATUS
     item 24 — the bench/multi-ratio workloads save B x the object tensor
     in HBM); bitwise-identical to passing B copies.
+
+    ``static_windows`` (STATUS item 30): per-object window DMA extents
+    (requires ``pipelined`` + ``static_obj_hw``); None resolves to the
+    module default ``STATIC_WINDOWS``. Bitwise-identical output.
     """
     if out_max_hw is None:
         out_max_hw = (objs_p.shape[3], objs_p.shape[4])
@@ -3476,13 +3628,22 @@ def render_solid_fused_v3_program(
     mw_a = _round_up(out_max_hw[1], 128)
     MH, MW = window_extents((mh_a, mw_a))
     hp, wp = fused_canvas_pad_hw(canvas_hw, (mh_a, mw_a))
-    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    if static_windows is None:
+        static_windows = STATIC_WINDOWS
+    use_sw = bool(static_windows) and pipelined and static_obj_hw is not None
+    meta = _fused_v3_meta(
+        obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW),
+        static_win=(
+            _static_window_extents(static_obj_hw, (mh_a, mw_a))
+            if use_sw else None
+        ),
+    )
     canvas_v = jnp.full(
         (boxes.shape[0], hp, wp), jnp.int32(bg_packed), jnp.int32
     )
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
-        pipelined, static_in_hw=static_obj_hw,
+        pipelined, static_in_hw=static_obj_hw, static_windows=use_sw,
     )
 
 
@@ -3684,6 +3845,7 @@ def render_solid_fused_v3_reuse_program(
     interpret: bool = False,
     static_obj_hw: Tuple[Tuple[int, int], ...] | None = None,
     pipelined: bool = False,
+    static_windows: bool | None = None,
 ) -> jnp.ndarray:
     """Framebuffer-reuse sibling of :func:`render_solid_fused_v3_program`
     (STATUS item 20): instead of synthesizing a fresh solid plane (a full
@@ -3713,15 +3875,20 @@ def render_solid_fused_v3_reuse_program(
         raise ValueError(
             f"prev_v plane {prev_v.shape[1:]} != expected {(hp, wp)}"
         )
-    meta = _fused_v3_meta(obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW))
+    if static_windows is None:
+        static_windows = STATIC_WINDOWS
+    use_sw = (
+        bool(static_windows) and pipelined and static_obj_hw is not None
+    )
+    meta = _fused_v3_meta(
+        obj_hw, boxes, canvas_hw, (hp, wp), (MH, MW),
+        static_win=(
+            _static_window_extents(static_obj_hw, (mh_a, mw_a))
+            if use_sw else None
+        ),
+    )
     if static_obj_hw is not None and prev_v.shape[0] >= 2:
-        static_win = tuple(
-            window_extents((
-                min(_round_up(max(int(h), 1), 8), mh_a),
-                min(_round_up(max(int(w), 1), 128), mw_a),
-            ))
-            for h, w in static_obj_hw
-        )
+        static_win = _static_window_extents(static_obj_hw, (mh_a, mw_a))
         prev_meta = _restore_meta_static(
             prev_boxes, canvas_hw, (hp, wp), static_win
         )
@@ -3738,7 +3905,7 @@ def render_solid_fused_v3_reuse_program(
         )
     return _pallas_fused_v3_impl(
         canvas_v, objs_p, meta, (hp, wp), (mh_a, mw_a), method, interpret,
-        pipelined, static_in_hw=static_obj_hw,
+        pipelined, static_in_hw=static_obj_hw, static_windows=use_sw,
     )
 
 

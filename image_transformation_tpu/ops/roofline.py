@@ -19,10 +19,12 @@ Model terms, steady-state framebuffer-reuse step (the bench loop):
    DMA per (batch, object) sized to that object's static window extents
    (STATUS item 22), started unconditionally.
 2. **render window I/O** — ``_make_fused_kernel_v3_pipelined``: each
-   (object, batch) step DMAs the full batch-max ``(MH, MW)`` window from
-   the plane into VMEM and writes it back (read + write), regardless of
-   the object's own size (the row-bounded blend bounds COMPUTE, not the
-   window DMA — a known headroom line this model makes visible).
+   (object, batch) step DMAs the object's window from the plane into
+   VMEM and writes it back (read + write). With ``static_windows``
+   (STATUS item 30) the window is sized to EACH object's static extents;
+   otherwise every step moves the full batch-max ``(MH, MW)`` window
+   regardless of the object's own size (the pre-item-30 headroom line
+   this model made visible — 79% of modeled traffic on the headline).
 3. **object reads** — one planar asset DMA of the full padded slot per
    grid step when objects are shared across the batch (STATUS item 24),
    per (batch, object) otherwise.
@@ -89,6 +91,7 @@ def solid_render_bytes_per_batch(
     shared_objs: bool = True,
     reuse: bool = True,
     stat: str = "fence",
+    static_windows: bool = False,
 ) -> Dict[str, float]:
     """HBM bytes one batched solid-render dispatch moves, by term.
 
@@ -116,8 +119,14 @@ def solid_render_bytes_per_batch(
     else:
         restore = float(B) * N * MH * MW * 4
 
-    # term 2: render window read + write, batch-max extents, every (b, k)
-    window_io = float(B) * N * 2 * MH * MW * 4
+    # term 2: render window read + write, every (b, k) — per-object
+    # extents when the kernel runs static windows (STATUS item 30),
+    # batch-max otherwise
+    if static_windows and static_obj_hw is not None:
+        wins = static_restore_windows(static_obj_hw, (mh_a, mw_a))
+        window_io = float(B) * 2 * 4 * sum(wh * ww for wh, ww in wins)
+    else:
+        window_io = float(B) * N * 2 * MH * MW * 4
 
     # term 3: planar object asset DMAs (u8, full padded slot)
     per_obj = 4.0 * ph_a * pw_a
