@@ -395,9 +395,28 @@ benchmarks/bisect_resize.py --clamped):
    source write keeps in-window overreach a no-op blend. Bitwise
    parity: tests/test_compose_pallas.py::test_static_windows_parity
    (downscale/identity/edge-clamp/off-canvas x fresh/reuse/producer
-   surfaces, interpret). Gated OFF by default (ITPU_STATIC_WINDOWS)
-   pending the hardware A/B (benchmarks/ab_static_windows.sh: headline
-   + identity cross-workload, the item-26c discipline).
+   surfaces, interpret). Measured (interleaved 3-trial A/B, quiet host,
+   1080p batch 768, /tmp/ab_r4): batch-max 34,862/34,966/35,001 ->
+   static 36,337/36,430/36,447 canvases/sec (+4.2%); identity bench at
+   the headline kernel config: scaled leg 25,457/25,570 -> 26,251/26,339
+   (+2.9%), identity leg 39,752/39,999 -> 41,709/41,914 (+4.5%) — both
+   workloads improve, no item-26c-style regression. Modeled HBM traffic
+   3.43 -> 2.13 GB/batch (window term 2.72 -> 1.42 GB). DEFAULT ON
+   (ITPU_STATIC_WINDOWS=0 restores batch-max windows).
+31. V-TABLE LIMB-SPLIT HOIST (2026-08-20): on the s8 path every
+   (channel, column-tile) V dot re-split the SAME per-row-chunk table's
+   byte limbs and re-reduced their rowsums inside _limb_dot_i8 (4 x
+   ch_w times per v_chunk). _split_limbs_i8 now computes limbs +
+   rowsums once per v_chunk and the dot calls consume them
+   (bitwise-identical — same ops, same order, just not repeated).
+   Compute model: VPU SOL 10.21 -> 9.09 ms/batch (v_tile 3.83 -> 2.55,
+   v_table 0.55 -> 0.70). Measured (same A/B session, sw=0 arms):
+   34,628/35,014 vs base 34,862/34,966/35,001 — NO wall effect; either
+   Mosaic already hoisted the loop-invariant splits or the v_tile VPU
+   stage is not serially binding (the sw=1 win landing in full argues
+   the wall is DMA-side). KEPT: it makes the traced model honest about
+   per-stage attribution and carries the fixup plumbing item 32 needs,
+   at zero measured cost.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -432,10 +451,13 @@ INT8_DOTS = os.environ.get("ITPU_INT8_DOTS", "1") == "1"
 # per-step window DMAs to EACH object's static extents instead of the
 # batch-max (MH, MW) — the item-22 treatment applied to the render
 # window, which the HBM roofline flagged as 79% of modeled traffic.
-# Default resolved by the fused-v3 programs when their ``static_windows``
-# argument is None; the hardware A/B flips this env var. Like INT8_DOTS,
-# jitted wrappers close over it — flip tests must jax.clear_caches().
-STATIC_WINDOWS = os.environ.get("ITPU_STATIC_WINDOWS", "0") == "1"
+# DEFAULT ON after the measured interleaved hardware A/B (+4.2%
+# headline, +2.9% scaled / +4.5% identity cross-workload — STATUS item
+# 30); ITPU_STATIC_WINDOWS=0 restores batch-max windows. Resolved by
+# the fused-v3 programs when their ``static_windows`` argument is None.
+# Like INT8_DOTS, jitted wrappers close over it — flip tests must
+# jax.clear_caches().
+STATIC_WINDOWS = os.environ.get("ITPU_STATIC_WINDOWS", "1") == "1"
 
 
 class _PerObjectCopy:
@@ -500,8 +522,29 @@ def _center_img_s8(img_u8_range):
     return (img_u8_range.astype(jnp.int32) - 128).astype(jnp.int8)
 
 
+def _split_limbs_i8(k_i32, contract_k: int):
+    """Pre-split a coefficient table for :func:`_limb_dot_i8`: the three
+    re-centered s8 limbs plus their int32 rowsums over ``contract_k``
+    and the static contraction length (STATUS item 31 — the V pass
+    reuses ONE table across 4 channels x ch_w column tiles, so the limb
+    split and rowsum reductions hoist out of the per-(channel, tile)
+    dot calls; values are computed by exactly the same ops, so results
+    stay bitwise identical)."""
+    hi = k_i32 >> 16
+    rem = k_i32 - (hi << 16)
+    mid = rem >> 8
+    lo = rem - (mid << 8)
+    hi8 = hi.astype(jnp.int8)
+    mid8 = (mid - 128).astype(jnp.int8)
+    lo8 = (lo - 128).astype(jnp.int8)
+    rs_hi = jnp.sum(hi8.astype(jnp.int32), axis=contract_k)
+    rs_mid = jnp.sum(mid8.astype(jnp.int32), axis=contract_k)
+    rs_lo = jnp.sum(lo8.astype(jnp.int32), axis=contract_k)
+    return hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, k_i32.shape[contract_k]
+
+
 def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
-                 k_first: bool, img_colsum=None):
+                 k_first: bool, img_colsum=None, k_limbs=None):
     """Exact integer matmul via three s8 MXU dots (s32 accumulation).
 
     Drop-in for :func:`_limb_dot` with the image side RE-CENTERED
@@ -521,14 +564,18 @@ def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
     Intermediates may wrap mod 2^32; the combined value is the true
     sum (< 2^30 for normalized tables), so the wrap is harmless —
     the same argument the bf16 path's (hi<<16)+(mid<<8)+lo relies on.
+
+    ``k_limbs`` (STATUS item 31): the table's pre-split limbs + rowsums
+    from :func:`_split_limbs_i8` — callers that contract MANY images
+    against ONE table (the V pass: 4 channels x ch_w tiles per row
+    chunk) compute them once instead of per call.
     """
-    hi = k_i32 >> 16
-    rem = k_i32 - (hi << 16)
-    mid = rem >> 8
-    lo = rem - (mid << 8)
-    hi8 = hi.astype(jnp.int8)
-    mid8 = (mid - 128).astype(jnp.int8)
-    lo8 = (lo - 128).astype(jnp.int8)
+    if k_limbs is not None:
+        hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, k_len = k_limbs
+    else:
+        hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, k_len = _split_limbs_i8(
+            k_i32, contract_k
+        )
 
     def dot(limb8):
         if k_first:
@@ -542,10 +589,6 @@ def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
             preferred_element_type=jnp.int32,
         )
 
-    k_len = k_i32.shape[contract_k]
-    rs_hi = jnp.sum(hi8.astype(jnp.int32), axis=contract_k)
-    rs_mid = jnp.sum(mid8.astype(jnp.int32), axis=contract_k)
-    rs_lo = jnp.sum(lo8.astype(jnp.int32), axis=contract_k)
     if img_colsum is None:
         img_colsum = jnp.sum(img_i8.astype(jnp.int32), axis=contract_img)
     if k_first:  # out axes: (k_other, img_other)
@@ -2759,6 +2802,11 @@ def _resample_chunked_into(
         kv_c = _coeff_table_in_kernel(
             in_h, out_h, 128, ph_k, method, True, o_offset=rc
         )
+        # STATUS item 31: ONE table serves every (channel, column tile)
+        # of this row chunk — split its limbs + rowsums once, not
+        # 4 x ch_w times inside the dot calls (bitwise-identical)
+        kv_limbs = _split_limbs_i8(kv_c, 0) if INT8_DOTS else None
+
         def v_tile(c, _):
             lc = pl.multiple_of(c * 128, 128)
             chans = []
@@ -2767,7 +2815,7 @@ def _resample_chunked_into(
                 if INT8_DOTS:
                     # t arrives centered s8 from the H pass (item 29)
                     ss_v = _limb_dot_i8(
-                        t, kv_c, 0, 0, k_first=True
+                        t, kv_c, 0, 0, k_first=True, k_limbs=kv_limbs
                     ) + _HALF
                 else:
                     ss_v = _limb_dot(t, kv_c, 0, 0, k_first=True) + _HALF

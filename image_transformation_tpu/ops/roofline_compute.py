@@ -150,10 +150,10 @@ def _stage_counts(
     img_dt = jnp.int8 if int8 else jnp.bfloat16
     scalar = s((), i32)
 
-    def dot(img, kc, ci, ck, k_first, colsum=None):
+    def dot(img, kc, ci, ck, k_first, colsum=None, k_limbs=None):
         if int8:
             return cp._limb_dot_i8(img, kc, ci, ck, k_first=k_first,
-                                   img_colsum=colsum)
+                                   img_colsum=colsum, k_limbs=k_limbs)
         return cp._limb_dot(img, kc, ci, ck, k_first=k_first)
 
     # H pass, one 128-wide output chunk (_resample_chunked_into.h_chunk):
@@ -184,23 +184,32 @@ def _stage_counts(
         else {"mxu_macs": 0.0, "vpu_ops": 0.0, "move_ops": 0.0}
     )
 
-    # V pass coefficient table, one 128-tall chunk
-    v_table = _trace_counts(
-        lambda in_h, out_h, off: cp._coeff_table_in_kernel(
+    # V pass coefficient table, one 128-tall chunk — plus, on the s8
+    # path, the hoisted per-chunk limb split + rowsums (STATUS item 31:
+    # computed once per v_chunk, shared by every (channel, tile) dot)
+    def v_table_stage(in_h, out_h, off):
+        kv_c = cp._coeff_table_in_kernel(
             in_h, out_h, 128, ph_k, method, True, o_offset=off
-        ),
-        scalar, scalar, scalar,
-    )
+        )
+        return cp._split_limbs_i8(kv_c, 0)[:6] if int8 else kv_c
+
+    v_table = _trace_counts(v_table_stage, scalar, scalar, scalar)
 
     # V pass, one 128x128 tile: 4 channels x 3 limb dots + the
     # unpremultiply/pack epilogue — pure mirror of
     # _resample_chunked_into.v_chunk.v_tile (the s8 intermediate arrives
-    # pre-centered from the H pass, item 29)
-    def v_tile(tmp4, kv_c):
+    # pre-centered from the H pass, item 29; the table's limbs arrive
+    # pre-split from the v_table stage, item 31)
+    def v_tile(tmp4, kv_c, hi8, mid8, lo8, rs_hi, rs_mid, rs_lo):
+        limbs = (
+            (hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, ph_k) if int8 else None
+        )
         chans = []
         for c4 in range(4):
             t = tmp4[c4]
-            chans.append(cp._clip8(dot(t, kv_c, 0, 0, True) + cp._HALF))
+            chans.append(
+                cp._clip8(dot(t, kv_c, 0, 0, True, k_limbs=limbs) + cp._HALF)
+            )
         resized_p = jnp.stack(chans, axis=0)
         ra = resized_p[3]
         rgb = jnp.minimum(
@@ -210,8 +219,11 @@ def _stage_counts(
         rgb = jnp.where((ra == 0)[None], resized_p[:3], rgb)
         return rgb[0] | (rgb[1] << 8) | (rgb[2] << 16) | (ra << 24)
 
+    i8 = jnp.int8
     vt = _trace_counts(
-        v_tile, s((4, ph_k, 128), img_dt), s((ph_k, 128), i32)
+        v_tile, s((4, ph_k, 128), img_dt), s((ph_k, 128), i32),
+        s((ph_k, 128), i8), s((ph_k, 128), i8), s((ph_k, 128), i8),
+        s((128,), i32), s((128,), i32), s((128,), i32),
     )
 
     # blend: masked source write over (mh_a, mw_a)
