@@ -417,6 +417,36 @@ benchmarks/bisect_resize.py --clamped):
    the wall is DMA-side). KEPT: it makes the traced model honest about
    per-stage attribution and carries the fixup plumbing item 32 needs,
    at zero measured cost.
+32. FOLDED LIMB-FIXUP VECTORS (2026-08-20, measured and REJECTED): fold
+   the s8 dots' three rowsum corrections plus both scalar 128^2.K
+   constants into ONE per-table row_fix vector ((rs_hi<<23) +
+   (rs_mid<<15) + (rs_lo<<7) + 257*16384K, exact mod 2^32) and the
+   colsum legs into one col_fix — bitwise identical by int32 wrap
+   distribution, parity suite green on the experiment tree. Compute
+   model: VPU SOL 9.09 -> 8.72 ms/batch (h_chunk 3.55 -> 3.39, v_tile
+   2.55 -> 2.35). Measured (interleaved 3-arm A/B vs HEAD, quiet host,
+   1080p batch 768, /tmp/ab_3arm + /tmp/ab_d32): base
+   36,234/36,305/36,407/36,477/35,992 vs folded
+   36,482/36,232/36,445 — wall-neutral within the run spread. NOT
+   adopted: no measured win to pay for the churn; the shipped kernel
+   stays the one the headline evidence was taken on.
+33. FOLDED TABLE-CHAIN FACTOR (2026-08-20, measured and REJECTED —
+   ROADMAP lever (b)): fold the coeff-table normalize / tail-mask /
+   fixed-point scale into one per-o factor (the f32 divide runs on the
+   n_out-lane reciprocal; two of three 2D multiplies drop), mirrored
+   in resize.build_coeffs_traced so the v3==v2 interpret pin holds.
+   Compute model: VPU SOL 9.09 -> 9.00 ms/batch. Measured (same 3-arm
+   A/B): 36,462/36,125 vs base — wall-neutral, AND quantized entries
+   can flip 1 ulp vs the unfolded order. Rejected: numerics churn for
+   zero measured win.
+   TOGETHER items 31-33 retire the VPU-op lever pool and ROADMAP lever
+   (c) (software-pipelining tables against dots): three independent
+   VPU-SOL cuts totalling ~1.7 ms of modeled compute moved the wall by
+   NOTHING, while item 30's DMA-bytes cut (modeled 1.3 GB/batch) won
+   +4.2% — the binding resource at 21 ms/batch is DMA issue/bytes and
+   overlap machinery, not per-lane compute, so overlapping two compute
+   stages has no ceiling to claim. Next attribution step:
+   component-shares stubs re-run on the s8/static-windows kernel.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
