@@ -25,6 +25,21 @@ tunnel, items 15-25 kernel):
 benchmarks/analyze_trace.py, not stubbable from here.) The stubs are
 NOT render-correct; this tool is for attribution only and never runs in
 CI or writes results files.
+
+Round-4 additions for the s8/static-windows kernel (items 27-31 made
+``onelimb`` a dead stub — it patches the bf16 ``_limb_dot`` the default
+path no longer calls):
+
+    mode          isolates
+    onelimb_i8    2 of 3 s8 MXU dots + ALL re-center fixup arithmetic
+    nodots_i8     the full s8 dot + fixup stage (VPU broadcast stand-in)
+    nosplit_i8    the v-table limb split + rowsums (STATUS item 31)
+    noblendall    the whole blend stage (window read/alpha_over/masked
+                  src write) — ``noblend`` only stubs the alpha_over math
+    nowindowdma   ALL per-step window DMAs, in AND back (patches
+                  _PerObjectCopy.start/wait to no-ops; requires the
+                  static-windows default) — the DMA bytes + issue share
+                  the item 31-33 wall-neutral results point at
 """
 
 from __future__ import annotations
@@ -45,7 +60,8 @@ import image_transformation_tpu.ops.compose_pallas as cp  # noqa: E402
 import image_transformation_tpu.ops.resize as rz  # noqa: E402
 
 MODES = (
-    "base", "consttable", "cheapfilter", "onelimb", "noblend", "noepilogue"
+    "base", "consttable", "cheapfilter", "onelimb", "noblend", "noepilogue",
+    "onelimb_i8", "nodots_i8", "nosplit_i8", "noblendall", "nowindowdma",
 )
 
 
@@ -85,6 +101,57 @@ def apply_stub(mode: str) -> None:
         cp._alpha_over_packed = lambda dst, src: dst ^ src
     elif mode == "noepilogue":
         cp._exact_div_i32 = lambda num, den: num >> 8
+    elif mode == "onelimb_i8":
+        def hi_only(img_i8, k_i32, contract_img, contract_k, k_first,
+                    img_colsum=None, k_limbs=None):
+            if k_limbs is not None:
+                hi8 = k_limbs[0]
+            else:
+                hi8 = (k_i32 >> 16).astype(jnp.int8)
+            if k_first:
+                lhs, rhs = hi8, img_i8
+                dims = (((contract_k,), (contract_img,)), ((), ()))
+            else:
+                lhs, rhs = img_i8, hi8
+                dims = (((contract_img,), (contract_k,)), ((), ()))
+            return jax.lax.dot_general(
+                lhs, rhs, dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            ) << 16
+
+        cp._limb_dot_i8 = hi_only
+    elif mode == "nodots_i8":
+        def no_dots(img_i8, k_i32, contract_img, contract_k, k_first,
+                    img_colsum=None, k_limbs=None):
+            # VPU-only stand-in of the right shape that keeps both
+            # operands live: rowsum(k) [+] colsum(img) broadcast
+            if k_limbs is not None:
+                rs_hi = k_limbs[3]
+            else:
+                rs_hi = jnp.sum(k_i32, axis=contract_k)
+            if img_colsum is None:
+                img_colsum = jnp.sum(
+                    img_i8.astype(jnp.int32), axis=contract_img
+                )
+            if k_first:
+                return rs_hi[:, None] + img_colsum[None, :]
+            return img_colsum[:, None] + rs_hi[None, :]
+
+        cp._limb_dot_i8 = no_dots
+    elif mode == "nosplit_i8":
+        def cheap_split(k_i32, contract_k):
+            k8 = k_i32.astype(jnp.int8)
+            rs = jnp.sum(k_i32, axis=contract_k) * 0
+            return k8, k8, k8, rs, rs, rs, k_i32.shape[contract_k]
+
+        cp._split_limbs_i8 = cheap_split
+    elif mode == "noblendall":
+        cp._blend_window_rows = lambda *a, **k: None
+    elif mode == "nowindowdma":
+        if not cp.STATIC_WINDOWS:
+            raise SystemExit("nowindowdma requires ITPU_STATIC_WINDOWS=1")
+        cp._PerObjectCopy.start = lambda self: None
+        cp._PerObjectCopy.wait = lambda self: None
     else:
         raise SystemExit(f"unknown mode {mode!r}; pick from {MODES}")
 
