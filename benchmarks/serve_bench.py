@@ -154,11 +154,88 @@ def main() -> None:
             **percentiles(lat),
             "coalescer_requests": after["requests"] - before["requests"],
             "coalescer_dispatches": after["dispatches"] - before["dispatches"],
+            "coalescer_deduped": after["deduped"] - before["deduped"],
             # under-load attribution (VERDICT r3 item 5): where the ~7x
             # p50 inflation vs single-request actually goes
             "phase_split": phase_split(ctimings, ps=(50, 95)),
+            # the same scenario measured r4 PRE-singleflight (64 identical
+            # requests merged but not deduped: every duplicate paid its
+            # own compose leg, row readback and PNG encode) — the
+            # before/after anchor for the dedup change
+            "before_singleflight": {
+                "p50_ms": 614.62, "p95_ms": 2956.8,
+                "requests_per_sec": 8.3, "coalescer_dispatches": 16,
+            },
         }
         log(f"concurrent_render: {results['concurrent_render']}")
+
+        # ---- concurrent DISTINCT-layout load (dedup can't help) ----
+        # every request solves to different placements (root padding
+        # varies per request), so this is the honest render-throughput-
+        # under-load figure; the identical-payload scenario above now
+        # measures singleflight. Warm bursts use a padding range disjoint
+        # from the measured one so merge sizes 2/4/8 compile without
+        # pre-populating the measured signatures.
+        def layout(i):
+            return {"root": {
+                "type": "flex", "direction": "row", "padding_px": int(i),
+                "children": [
+                    {"object_id": 1, "name": "logo"},
+                    {"object_id": 2, "name": "photo"},
+                    {"object_id": 3, "name": "text"},
+                    {"object_id": 4, "name": "cta"},
+                ],
+            }}
+
+        def distinct_payload(i):
+            return {"bundle": "squarespace", "ratio": "9:16",
+                    "layout": layout(i)}
+
+        for _ in range(2):
+            with concurrent.futures.ThreadPoolExecutor(args.workers) as pool:
+                list(pool.map(
+                    lambda i: post("/v1/render", distinct_payload(100 + i))[0],
+                    range(args.workers * 2),
+                ))
+
+        _, boxes_body = post("/v1/render", {
+            "bundle": "squarespace", "ratio": "9:16", "boxes_only": True,
+        })
+        canvas = json.loads(boxes_body)["canvas"]
+
+        before = svc.coalescing_stats()
+        dtimings: list = []
+        t0 = time.perf_counter()
+        with concurrent.futures.ThreadPoolExecutor(args.workers) as pool:
+            lat = list(pool.map(
+                lambda i: post(
+                    "/v1/render", distinct_payload(i % 100),
+                    timings_into=dtimings,
+                )[0],
+                range(args.requests),
+            ))
+        wall = time.perf_counter() - t0
+        after = svc.coalescing_stats()
+        n_unique = (after["requests"] - before["requests"]
+                    - (after["deduped"] - before["deduped"]))
+        results["concurrent_distinct"] = {
+            "requests": args.requests,
+            "workers": args.workers,
+            "wall_s": round(wall, 3),
+            "requests_per_sec": round(args.requests / wall, 1),
+            **percentiles(lat),
+            "coalescer_requests": after["requests"] - before["requests"],
+            "coalescer_dispatches": after["dispatches"] - before["dispatches"],
+            "coalescer_deduped": after["deduped"] - before["deduped"],
+            "phase_split": phase_split(dtimings, ps=(50, 95)),
+            # transfer floor: every unique render moves a full canvas
+            # over the dev tunnel — under load the scenario cannot beat
+            # readback_mb / tunnel rate no matter the scheduling
+            "readback_mb": round(
+                n_unique * canvas["width"] * canvas["height"] * 4 / 1e6, 1
+            ),
+        }
+        log(f"concurrent_distinct: {results['concurrent_distinct']}")
 
         # ---- batch endpoint throughput (3 ratios per request) ----
         payload = {"bundle": "squarespace", "ratios": ["9:16", "1:1", "16:9"]}
@@ -216,10 +293,14 @@ def main() -> None:
         "unit": "ms",
         "phase_split": results["render_solid"].get("phase_split"),
         "concurrent_rps": results["concurrent_render"]["requests_per_sec"],
+        "concurrent_distinct_rps": (
+            results["concurrent_distinct"]["requests_per_sec"]
+        ),
         "dispatch_merge": (
             results["concurrent_render"]["coalescer_dispatches"],
             results["concurrent_render"]["coalescer_requests"],
         ),
+        "deduped": results["concurrent_render"]["coalescer_deduped"],
     }))
 
 

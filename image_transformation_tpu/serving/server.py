@@ -108,9 +108,17 @@ class _Coalescer:
     A short-lived worker thread drains the queue (spawned on demand, exits
     when idle), so no request thread is drafted into serving later
     arrivals — under sustained load the first request's reply is never
-    held hostage by the queue behind it."""
+    held hostage by the queue behind it.
 
-    #: queued requests merged per dispatch (pow2-padded -> few compile keys)
+    Requests with identical placements are DEDUPED (singleflight, r4):
+    one compose leg, one row readback, and one shared PNG encode serve
+    every duplicate in the merge — an identical-request storm (the
+    cache-miss-stampede shape) costs one render per drain cycle. The
+    merge cap applies to UNIQUE placement sets, so a burst of duplicates
+    never splinters into many dispatches just to respect the cap."""
+
+    #: unique placement sets merged per dispatch (pow2-padded -> few
+    #: compile keys); duplicates ride free on top of the cap
     MAX_MERGE = 8
 
     def __init__(self, engine):
@@ -120,6 +128,14 @@ class _Coalescer:
         self._worker: Optional[threading.Thread] = None
         self.requests = 0
         self.dispatches = 0
+        self.deduped = 0
+
+    @staticmethod
+    def _placements_key(placements) -> str:
+        """Canonical identity of a placement set (dict order insensitive)."""
+        return json.dumps(
+            placements, sort_keys=True, separators=(",", ":"), default=str
+        )
 
     def render(self, placements) -> "object":
         """Compose one placement set; returns the np.uint8 [H, W, 4] image."""
@@ -134,13 +150,16 @@ class _Coalescer:
         device and readback times are per-dispatch: requests merged into
         one dispatch share the same figures."""
         ticket = {"event": threading.Event(), "enqueued": time.perf_counter()}
+        key = self._placements_key(placements)
         with self._lock:
             self.requests += 1
-            self._pending.append((placements, ticket))
+            self._pending.append((placements, ticket, key))
             # worker retirement happens under this same lock (see _drain),
             # so either it is live and will see our item, or it is None
             if self._worker is None:
-                self._worker = threading.Thread(target=self._drain, daemon=True)
+                self._worker = threading.Thread(
+                    target=self._drain, daemon=True, name="coalescer-drain"
+                )
                 self._worker.start()
         ticket["event"].wait()
         if "error" in ticket:
@@ -157,7 +176,14 @@ class _Coalescer:
         inflight = None
         while True:
             with self._lock:
-                batch = self._pending[: self.MAX_MERGE]
+                batch: List[tuple] = []
+                uniq: set = set()
+                for item in self._pending:
+                    if item[2] not in uniq:
+                        if len(uniq) >= self.MAX_MERGE:
+                            break
+                        uniq.add(item[2])
+                    batch.append(item)
                 del self._pending[: len(batch)]
                 if not batch and inflight is None:
                     self._worker = None  # retire atomically with the check
@@ -167,44 +193,62 @@ class _Coalescer:
                 try:
                     nxt = self._start(batch)
                 except BaseException as e:  # noqa: BLE001 - never strand
-                    self._settle_unsettled(batch, e)
+                    self._settle_unsettled(
+                        [t for _, t, _ in batch], e
+                    )
             if inflight is not None:
                 try:
                     self._complete(inflight)
                 except BaseException as e:  # noqa: BLE001 - never strand
-                    self._settle_unsettled(inflight[0], e)
+                    self._settle_unsettled(
+                        [t for g in inflight[0] for t in g[1]], e
+                    )
             inflight = nxt
 
     @staticmethod
-    def _settle_unsettled(batch, err) -> None:
+    def _settle_unsettled(tickets, err) -> None:
         # only tickets not already settled — a request whose render
         # completed (or failed on its own) must keep its real outcome
-        for _, ticket in batch:
+        for ticket in tickets:
             if "result" not in ticket and "error" not in ticket:
                 ticket["error"] = err
                 ticket["event"].set()
 
     def _start(self, batch: List[tuple]):
         """Validate and dispatch one merged compose; returns the in-flight
-        state ``(tickets, rows, probe, t0)`` or None if nothing survived
-        validation. Row host-copies start here (async), so the transfer
-        overlaps both this batch's compute tail and any previous batch's
-        completion."""
-        # per-request validation first (the engine's OWN check, so this
-        # isolation pass can never drift from what compose enforces): one
-        # malformed request must fail alone, not poison its batch-mates
-        checked = []
-        for placements, ticket in batch:
+        state ``(groups, rows, probe, t0)`` — groups is a list of
+        ``(placements, tickets)`` aligned with rows, each group one
+        UNIQUE placement set and every ticket that requested it — or
+        None if nothing survived validation. Row host-copies start here
+        (async), so the transfer overlaps both this batch's compute tail
+        and any previous batch's completion."""
+        # group duplicates first, then validate once per unique set (the
+        # engine's OWN check, so this isolation pass can never drift from
+        # what compose enforces): one malformed placement set must fail
+        # alone — with all its duplicates — not poison its batch-mates
+        order: List[str] = []
+        by_key: Dict[str, tuple] = {}
+        for placements, ticket, key in batch:
+            if key not in by_key:
+                order.append(key)
+                by_key[key] = (placements, [ticket])
+            else:
+                by_key[key][1].append(ticket)
+        groups = []
+        for key in order:
+            placements, tickets = by_key[key]
             try:
                 self.engine.validate_placements(placements)
-                checked.append((placements, ticket))
+                groups.append((placements, tickets))
             except Exception as e:  # noqa: BLE001
-                ticket["error"] = e
-                ticket["event"].set()
-        if not checked:
+                for ticket in tickets:
+                    ticket["error"] = e
+                    ticket["event"].set()
+        if not groups:
             return None
+        self.deduped += sum(len(t) - 1 for _, t in groups)
 
-        sets = [placements for placements, _ in checked]
+        sets = [placements for placements, _ in groups]
         try:
             t0 = time.perf_counter()
             if len(sets) == 1:
@@ -225,9 +269,9 @@ class _Coalescer:
                     r.copy_to_host_async()
                 except (AttributeError, RuntimeError):
                     pass  # fallback arrays transfer synchronously below
-            return (checked, rows, probe, t0)
+            return (groups, rows, probe, t0)
         except Exception as e:  # noqa: BLE001 - propagate to every waiter
-            self._settle_unsettled(checked, e)
+            self._settle_unsettled([t for _, ts in groups for t in ts], e)
             return None
 
     def _complete(self, inflight) -> None:
@@ -246,7 +290,7 @@ class _Coalescer:
         # ~1 MB, not after all 8. Under pipelined load t1 - t0 also
         # contains time queued behind the previous merge's compute (the
         # device is busy by design); queue_ms stays pre-dispatch wait.
-        checked, rows, probe, t0 = inflight
+        groups, rows, probe, t0 = inflight
         try:
             fence_done: List[float] = []
 
@@ -271,20 +315,31 @@ class _Coalescer:
             base = {
                 "dispatch_ms": round(min(floor_ms, raw_ms), 2),
                 "device_ms": round(max(0.0, raw_ms - floor_ms), 2),
-                "merged": len(checked),
+                "merged": sum(len(ts) for _, ts in groups),
+                "unique": len(groups),
             }
-            for i, (_, ticket) in enumerate(checked):
+            for i, (_, tickets) in enumerate(groups):
                 img = first if i == 0 else np.asarray(rows[i])
                 t_i = t_first if i == 0 else time.perf_counter()
-                ticket["result"] = img
-                ticket["timings"] = dict(
-                    base,
-                    readback_ms=round((t_i - t1) * 1e3, 2),
-                    queue_ms=round((t0 - ticket["enqueued"]) * 1e3, 2),
-                )
-                ticket["event"].set()
+                readback_ms = round((t_i - t1) * 1e3, 2)
+                # duplicates share one row readback AND one PNG encode:
+                # the handler encodes under the share's lock, followers
+                # reuse the bytes (the stampede costs one encode)
+                share = {"lock": threading.Lock()} if len(tickets) > 1 else None
+                for ticket in tickets:
+                    ticket["result"] = img
+                    ticket["timings"] = dict(
+                        base,
+                        readback_ms=readback_ms,
+                        queue_ms=round(
+                            (t0 - ticket["enqueued"]) * 1e3, 2
+                        ),
+                    )
+                    if share is not None:
+                        ticket["timings"]["_png_share"] = share
+                    ticket["event"].set()
         except Exception as e:  # noqa: BLE001 - propagate to every waiter
-            self._settle_unsettled(checked, e)
+            self._settle_unsettled([t for _, ts in groups for t in ts], e)
 
 
 class ComposeService:
@@ -431,12 +486,14 @@ class ComposeService:
             return self._coalescers[key]
 
     def coalescing_stats(self) -> Dict[str, int]:
-        """Totals across engines: requests served vs device dispatches."""
+        """Totals across engines: requests served vs device dispatches vs
+        requests that rode a duplicate's render (singleflight)."""
         with self._lock:
             cos = list(self._coalescers.values())
         return {
             "requests": sum(c.requests for c in cos),
             "dispatches": sum(c.dispatches for c in cos),
+            "deduped": sum(c.deduped for c in cos),
         }
 
     @staticmethod
@@ -1039,11 +1096,21 @@ def make_handler(service: ComposeService):
                     )
                 )
                 # native zlib-level-1 encoder (2x PIL at ~3% larger files —
-                # encode dominates the render latency), PIL fallback
+                # encode dominates the render latency), PIL fallback.
+                # Deduped requests share ONE encode: the coalescer hands
+                # every duplicate the same share dict; the first handler
+                # in encodes under its lock, the rest reuse the bytes.
                 from ..core.native_io import png_bytes
 
+                share = timings.pop("_png_share", None)
                 t_enc = time.perf_counter()
-                png = png_bytes(composed)
+                if share is None:
+                    png = png_bytes(composed)
+                else:
+                    with share["lock"]:
+                        png = share.get("png")
+                        if png is None:
+                            png = share["png"] = png_bytes(composed)
                 timings["encode_ms"] = round(
                     (time.perf_counter() - t_enc) * 1e3, 2
                 )

@@ -623,6 +623,103 @@ def test_concurrent_renders_coalesce_dispatches():
         assert np.array_equal(out, outs[0])
 
 
+def test_identical_requests_dedupe_to_one_compose_leg():
+    """Singleflight (r4): identical placements queued behind an in-flight
+    dispatch merge into ONE compose leg — the deduped counter counts the
+    free riders and every duplicate still gets the right pixels."""
+    import concurrent.futures
+    import time
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    engine = svc._engine("squarespace", canvas_size, "solid")
+    np.asarray(engine.compose(placements))  # warm
+
+    real_compose = engine.compose
+    real_many = engine.compose_many
+    many_calls = []
+
+    def spy_many(sets):
+        # only coalescer-issued batches count: the service's background
+        # merge-bucket warmer also calls compose_many on this engine
+        if threading.current_thread().name == "coalescer-drain":
+            many_calls.append(len(sets))
+        return real_many(sets)
+
+    engine.compose_many = spy_many
+
+    def slow_compose(p):
+        time.sleep(0.3)  # let followers pile into the coalescer queue
+        return real_compose(p)
+
+    engine.compose = slow_compose
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as pool:
+            outs = list(pool.map(
+                lambda _: svc.render("squarespace", "1:1")[2], range(6)
+            ))
+    finally:
+        engine.compose = real_compose
+        engine.compose_many = real_many
+    stats = svc.coalescing_stats()
+    assert stats["deduped"] >= 4, stats  # followers rode the leader's render
+    # identical sets never took the batched path: the merge collapsed to
+    # the single-compose leg (compose_many would betray a missed dedup)
+    assert many_calls == [], many_calls
+    for out in outs[1:]:
+        assert np.array_equal(out, outs[0])
+
+
+def test_distinct_requests_do_not_dedupe():
+    """Distinct placements in one merge each keep their own compose leg
+    (dedup keys on content, not arrival) and their own pixels."""
+    import concurrent.futures
+    import time
+
+    svc = ComposeService("data")
+    base_placements, canvas_size = svc.solve("squarespace", "1:1")
+    engine = svc._engine("squarespace", canvas_size, "solid")
+    variants = [
+        [{**p, "box": [v + i for v in p["box"]]} for p in base_placements]
+        for i in range(4)
+    ]
+    for v in variants:  # warm singles; compose_many warms on first merge
+        np.asarray(engine.compose(v))
+    np.asarray(engine.compose_many(variants))
+    expected = [np.asarray(engine.compose(v)) for v in variants]
+
+    real_compose = engine.compose
+
+    def slow_compose(p):
+        time.sleep(0.3)
+        return real_compose(p)
+
+    engine.compose = slow_compose
+    before = svc.coalescing_stats()
+    try:
+        coal = svc._coalescer("squarespace", canvas_size, "solid")
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            outs = list(pool.map(coal.render, variants))
+    finally:
+        engine.compose = real_compose
+    after = svc.coalescing_stats()
+    assert after["deduped"] == before["deduped"], (before, after)
+    for out, want in zip(outs, expected):
+        assert np.array_equal(out, want)
+
+
+def test_placements_key_ignores_dict_order():
+    """The dedup key canonicalizes dict field order — semantically equal
+    placement sets dedupe even if the JSON arrived with keys shuffled."""
+    from image_transformation_tpu.serving.server import _Coalescer
+
+    a = [{"object_id": 1, "box": [0, 0, 4, 4], "scale": 1.0}]
+    b = [{"scale": 1.0, "box": [0, 0, 4, 4], "object_id": 1}]
+    c = [{"object_id": 1, "box": [0, 0, 4, 5], "scale": 1.0}]
+    assert _Coalescer._placements_key(a) == _Coalescer._placements_key(b)
+    assert _Coalescer._placements_key(a) != _Coalescer._placements_key(c)
+
+
 def test_warm_start_rebuilds_recorded_steps(tmp_path):
     """A restarted service rebuilds manifest-recorded batch steps before
     traffic; the next request reuses the warmed entry."""
