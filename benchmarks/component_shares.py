@@ -40,6 +40,30 @@ path no longer calls):
                   _PerObjectCopy.start/wait to no-ops; requires the
                   static-windows default) — the DMA bytes + issue share
                   the item 31-33 wall-neutral results point at
+
+Round-4 measured shares of the 21.2 ms 1080p/768 batch (v5e, dev
+tunnel, items 27-31 kernel, /tmp/shares_r04.log):
+
+    mode          ms/batch   isolates
+    base            21.20    —
+    consttable      15.63    coeff tables: 5.57 ms (26%)
+    cheapfilter     19.79    ...of which Horner filter eval: 1.41 ms
+    onelimb_i8      16.69    2/3 s8 dots + all fixups: 4.51 ms (21%)
+    nosplit_i8      19.21    v-table limb split + rowsums: 1.99 ms
+    noblend         19.28    packed alpha_over math: 1.92 ms
+    noblendall      16.00*   whole blend stage: ~5.2 ms (staging ~3.3)
+    noepilogue      19.23*   unpremultiply epilogue: ~1.96 ms
+    nowindowdma     19.54    per-step window DMAs: 1.66 ms (8%)
+    nodots_i8       (does not lower on Mosaic at 900 s — share bounded
+                     by onelimb_i8)
+
+(* = measured on the item-34 folded-fixup kernel the same day; its base
+is within noise of 21.20.) The shares SUM to ~20.9 of the 21.2 ms wall:
+the pipelined kernel is essentially compute-serialized — window DMAs
+are well overlapped (1.66 ms exposed), and the binding resource is the
+serial VPU/MXU stage chain, NOT DMA issue/bytes as the item-31-33
+wall-neutral folds suggested (those folds were simply below the ~0.3 ms
+A/B noise floor).
 """
 
 from __future__ import annotations
@@ -126,23 +150,23 @@ def apply_stub(mode: str) -> None:
             # VPU-only stand-in of the right shape that keeps both
             # operands live: rowsum(k) [+] colsum(img) broadcast
             if k_limbs is not None:
-                rs_hi = k_limbs[3]
+                rs_k = k_limbs[3]
             else:
-                rs_hi = jnp.sum(k_i32, axis=contract_k)
+                rs_k = jnp.sum(k_i32, axis=contract_k)
             if img_colsum is None:
                 img_colsum = jnp.sum(
                     img_i8.astype(jnp.int32), axis=contract_img
                 )
             if k_first:
-                return rs_hi[:, None] + img_colsum[None, :]
-            return img_colsum[:, None] + rs_hi[None, :]
+                return rs_k[:, None] + img_colsum[None, :]
+            return img_colsum[:, None] + rs_k[None, :]
 
         cp._limb_dot_i8 = no_dots
     elif mode == "nosplit_i8":
         def cheap_split(k_i32, contract_k):
             k8 = k_i32.astype(jnp.int8)
             rs = jnp.sum(k_i32, axis=contract_k) * 0
-            return k8, k8, k8, rs, rs, rs, k_i32.shape[contract_k]
+            return k8, k8, k8, rs
 
         cp._split_limbs_i8 = cheap_split
     elif mode == "noblendall":

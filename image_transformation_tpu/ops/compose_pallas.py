@@ -554,12 +554,12 @@ def _center_img_s8(img_u8_range):
 
 def _split_limbs_i8(k_i32, contract_k: int):
     """Pre-split a coefficient table for :func:`_limb_dot_i8`: the three
-    re-centered s8 limbs plus their int32 rowsums over ``contract_k``
-    and the static contraction length (STATUS item 31 — the V pass
-    reuses ONE table across 4 channels x ch_w column tiles, so the limb
-    split and rowsum reductions hoist out of the per-(channel, tile)
-    dot calls; values are computed by exactly the same ops, so results
-    stay bitwise identical)."""
+    re-centered s8 limbs plus ONE int32 rowsum of the original table
+    over ``contract_k`` (STATUS item 31 — the V pass reuses ONE table
+    across 4 channels x ch_w column tiles, so the limb split and the
+    rowsum reduction hoist out of the per-(channel, tile) dot calls;
+    STATUS item 34 — the three per-limb rowsums the fixup used to need
+    collapse into this single table rowsum, see :func:`_limb_dot_i8`)."""
     hi = k_i32 >> 16
     rem = k_i32 - (hi << 16)
     mid = rem >> 8
@@ -567,10 +567,8 @@ def _split_limbs_i8(k_i32, contract_k: int):
     hi8 = hi.astype(jnp.int8)
     mid8 = (mid - 128).astype(jnp.int8)
     lo8 = (lo - 128).astype(jnp.int8)
-    rs_hi = jnp.sum(hi8.astype(jnp.int32), axis=contract_k)
-    rs_mid = jnp.sum(mid8.astype(jnp.int32), axis=contract_k)
-    rs_lo = jnp.sum(lo8.astype(jnp.int32), axis=contract_k)
-    return hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, k_i32.shape[contract_k]
+    rs_k = jnp.sum(k_i32, axis=contract_k)
+    return hi8, mid8, lo8, rs_k
 
 
 def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
@@ -582,30 +580,40 @@ def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
     The MXU's s8 path measured ~1.7x the bf16 dot rate on v5e (Mosaic
     lowers s8 x s8 -> s32 dot_general), but neither the byte limbs of
     the 23-bit fixed-point coefficients (mid/lo in [0, 255]) nor the
-    pixels fit s8 directly — so both are re-centered by 128 and the
-    exact integer identities restore the true sums:
+    pixels fit s8 directly — so both are re-centered by 128 and exact
+    integer identities restore the true sums. Per limb those are
 
         sum L.P  = sum L'.P' + 128.rowsum(L') + 128.colsum(P') + 128^2.K
         sum hi.P = sum hi.P' + 128.rowsum(hi)          (hi already s8)
 
     with K the static contraction length, rowsum contracting the limb,
-    colsum contracting the image (shared by the mid and lo limbs; pass
-    ``img_colsum`` to reuse it across chunks sharing one image).
-    Intermediates may wrap mod 2^32; the combined value is the true
-    sum (< 2^30 for normalized tables), so the wrap is harmless —
-    the same argument the bf16 path's (hi<<16)+(mid<<8)+lo relies on.
+    colsum contracting the image. Folding the three shifted corrections
+    together (STATUS item 34), rowsum(hi)<<16 + rowsum(mid')<<8 +
+    rowsum(lo') telescopes to rowsum(k) - 128.K.257 and the 128^2.K
+    terms cancel it exactly, leaving
 
-    ``k_limbs`` (STATUS item 31): the table's pre-split limbs + rowsums
-    from :func:`_split_limbs_i8` — callers that contract MANY images
-    against ONE table (the V pass: 4 channels x ch_w tiles per row
-    chunk) compute them once instead of per call.
+        T = (dot_hi<<16) + (dot_mid<<8) + dot_lo
+            + 128.rowsum(k) + 257.128.colsum(P')
+
+    — one i32 table reduction instead of three limb reductions, and two
+    broadcast adds over the output grid instead of four adds + extra
+    shifts. Every rearrangement is ring algebra mod 2^32 (shifts are
+    multiplications), and the combined value is the true sum (< 2^30
+    for normalized tables), so intermediate wraps stay harmless — the
+    same argument the bf16 path's (hi<<16)+(mid<<8)+lo relies on — and
+    results are bitwise identical to the unfolded form.
+
+    ``img_colsum``: colsum(P') over ``contract_img`` — pass it to reuse
+    across chunks sharing one image (the H pass). ``k_limbs`` (STATUS
+    item 31): the table's pre-split limbs + rowsum from
+    :func:`_split_limbs_i8` — callers that contract MANY images against
+    ONE table (the V pass: 4 channels x ch_w tiles per row chunk)
+    compute them once instead of per call.
     """
     if k_limbs is not None:
-        hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, k_len = k_limbs
+        hi8, mid8, lo8, rs_k = k_limbs
     else:
-        hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, k_len = _split_limbs_i8(
-            k_i32, contract_k
-        )
+        hi8, mid8, lo8, rs_k = _split_limbs_i8(k_i32, contract_k)
 
     def dot(limb8):
         if k_first:
@@ -621,17 +629,14 @@ def _limb_dot_i8(img_i8, k_i32, contract_img: int, contract_k: int,
 
     if img_colsum is None:
         img_colsum = jnp.sum(img_i8.astype(jnp.int32), axis=contract_img)
+    k_fix = rs_k << 7                                  # 128.rowsum(k)
+    img_fix = (img_colsum << 7) + (img_colsum << 15)   # 257.128.colsum
     if k_first:  # out axes: (k_other, img_other)
-        rs = lambda v: v[:, None]
-        cs = img_colsum[None, :]
+        fix_a, fix_b = k_fix[:, None], img_fix[None, :]
     else:  # out axes: (img_other, k_other)
-        rs = lambda v: v[None, :]
-        cs = img_colsum[:, None]
-    lp_fix = (cs << 7) + (16384 * k_len)  # 128.colsum(P') + 128^2.K
+        fix_a, fix_b = img_fix[:, None], k_fix[None, :]
     return (
-        ((dot(hi8) + (rs(rs_hi) << 7)) << 16)
-        + ((dot(mid8) + (rs(rs_mid) << 7) + lp_fix) << 8)
-        + (dot(lo8) + (rs(rs_lo) << 7) + lp_fix)
+        (((dot(hi8) << 8) + dot(mid8)) << 8) + dot(lo8) + fix_a + fix_b
     )
 
 

@@ -185,13 +185,14 @@ def _stage_counts(
     )
 
     # V pass coefficient table, one 128-tall chunk — plus, on the s8
-    # path, the hoisted per-chunk limb split + rowsums (STATUS item 31:
-    # computed once per v_chunk, shared by every (channel, tile) dot)
+    # path, the hoisted per-chunk limb split + table rowsum (STATUS
+    # item 31: computed once per v_chunk, shared by every (channel,
+    # tile) dot; item 34 folded the three limb rowsums into one)
     def v_table_stage(in_h, out_h, off):
         kv_c = cp._coeff_table_in_kernel(
             in_h, out_h, 128, ph_k, method, True, o_offset=off
         )
-        return cp._split_limbs_i8(kv_c, 0)[:6] if int8 else kv_c
+        return cp._split_limbs_i8(kv_c, 0) if int8 else kv_c
 
     v_table = _trace_counts(v_table_stage, scalar, scalar, scalar)
 
@@ -200,10 +201,8 @@ def _stage_counts(
     # _resample_chunked_into.v_chunk.v_tile (the s8 intermediate arrives
     # pre-centered from the H pass, item 29; the table's limbs arrive
     # pre-split from the v_table stage, item 31)
-    def v_tile(tmp4, kv_c, hi8, mid8, lo8, rs_hi, rs_mid, rs_lo):
-        limbs = (
-            (hi8, mid8, lo8, rs_hi, rs_mid, rs_lo, ph_k) if int8 else None
-        )
+    def v_tile(tmp4, kv_c, hi8, mid8, lo8, rs_k):
+        limbs = (hi8, mid8, lo8, rs_k) if int8 else None
         chans = []
         for c4 in range(4):
             t = tmp4[c4]
@@ -223,7 +222,7 @@ def _stage_counts(
     vt = _trace_counts(
         v_tile, s((4, ph_k, 128), img_dt), s((ph_k, 128), i32),
         s((ph_k, 128), i8), s((ph_k, 128), i8), s((ph_k, 128), i8),
-        s((128,), i32), s((128,), i32), s((128,), i32),
+        s((128,), i32),
     )
 
     # blend: masked source write over (mh_a, mw_a)
