@@ -25,7 +25,10 @@ Honesty machinery (VERDICT r2 items 1-2):
 * ``vs_baseline`` follows a pinned protocol: median of ``--pil-rounds``
   (default 5) single-threaded PIL rounds, with the spread and host load
   average recorded alongside (round-2's best-of-3 swung 72-232
-  canvases/sec across a single morning).
+  canvases/sec across a single morning). If the live baseline fails its
+  own contention gates after retries, the multiplier instead uses the
+  committed quiet-host reference (``PINNED_QUIET_PIL``) and the JSON
+  says so (``vs_baseline_source``).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 Usage: python bench.py [--batch 448] [--reps 20] [--sweep]
@@ -46,6 +49,20 @@ REPO = Path(__file__).parent.resolve()
 sys.path.insert(0, str(REPO))
 
 METRIC = "composited 1080p canvases/sec/chip"
+
+# Protocol-clean PIL reference, used as the vs_baseline denominator ONLY
+# when the live baseline fails its own contention gates after retries
+# (VERDICT r3 item 4: never publish a multiplier off a loaded host).
+# Conservative pick: the HIGHER of the two quiet-host runs (smaller
+# multiplier). Provenance: benchmarks/hw_refresh_r03.md run A,
+# median-of-5 single-threaded rounds, spread 0.066, loadavg 0.13
+# (second quiet run same day: 259.6, 10.7% apart).
+PINNED_QUIET_PIL = {
+    "median_canvases_per_sec": 288.91,
+    "source": "benchmarks/hw_refresh_r03.md run A (2026-08-19)",
+    "spread_vs_median": 0.066,
+    "loadavg_1m": 0.13,
+}
 
 
 def log(msg: str) -> None:
@@ -518,6 +535,20 @@ def main() -> None:
         time.sleep(5)
     pil_protocol["contended"] = contended
     log(f"pil reference: {pil:.2f} canvases/sec (protocol {pil_protocol})")
+    vs_baseline_source = "live"
+    if contended:
+        # Denominator failed its own gates after retries: fall back to
+        # the committed quiet-host reference so the published multiplier
+        # is never inflated by host load. The live (contended)
+        # measurement stays in baseline_protocol for the record.
+        pil = PINNED_QUIET_PIL["median_canvases_per_sec"]
+        vs_baseline_source = "pinned_quiet_host"
+        pil_protocol["pinned_reference"] = PINNED_QUIET_PIL
+        log(
+            f"pil baseline still contended after retries; vs_baseline "
+            f"uses pinned quiet-host reference {pil:.2f} canvases/sec "
+            f"({PINNED_QUIET_PIL['source']})"
+        )
 
     if args.sweep:
         phase("sweep")
@@ -537,6 +568,7 @@ def main() -> None:
         "value": round(ours, 2),
         "unit": "canvases/sec",
         "vs_baseline": round(ours / pil, 2),
+        "vs_baseline_source": vs_baseline_source,
         "baseline_protocol": pil_protocol,
         "phase_seconds": wd.history(),
     }

@@ -443,10 +443,22 @@ benchmarks/bisect_resize.py --clamped):
    (c) (software-pipelining tables against dots): three independent
    VPU-SOL cuts totalling ~1.7 ms of modeled compute moved the wall by
    NOTHING, while item 30's DMA-bytes cut (modeled 1.3 GB/batch) won
-   +4.2% — the binding resource at 21 ms/batch is DMA issue/bytes and
-   overlap machinery, not per-lane compute, so overlapping two compute
-   stages has no ceiling to claim. Next attribution step:
-   component-shares stubs re-run on the s8/static-windows kernel.
+   +4.2% — so this session concluded the binding resource at 21
+   ms/batch was DMA issue/bytes. ATTRIBUTION UPDATE (same day): the
+   component-shares stub re-run on this kernel
+   (benchmarks/component_shares.py, /tmp/shares_r04.log) measured the
+   opposite at stage granularity — the stubbable stage shares SUM to
+   ~20.9 of the 21.2 ms wall (tables 5.57, s8 dots+fixups >=4.51,
+   blend ~5.2, epilogue ~2.0, exposed window DMAs only 1.66 ms), i.e.
+   the kernel is a SERIALIZED stage chain with DMAs well overlapped.
+   Both observations stand: removing a whole stage moves the wall by
+   its share, but trimming op counts WITHIN a stage (items 31-33, and
+   the modeled VPU SOL generally) does not — each stage's cost tracks
+   its structure (issue/layout/dependency chains), not its lane-op
+   count. Practical consequence: the remaining levers are structural
+   (eliminate or overlap a STAGE, e.g. cross-step table prefetch into
+   scratch), not arithmetic folds; the VPU-SOL model under-ranks
+   structural cost and is kept for attribution only.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).

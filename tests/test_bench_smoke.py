@@ -33,3 +33,10 @@ def test_bench_falls_back_and_prints_one_json_line():
     assert payload["value"] > 0
     assert payload["unit"] == "canvases/sec"
     assert payload["vs_baseline"] > 0
+    # contention-gated denominator: the payload must say which baseline
+    # the multiplier used (live protocol-clean, or the committed
+    # quiet-host reference when the live one failed its gates)
+    assert payload["vs_baseline_source"] in ("live", "pinned_quiet_host")
+    if payload["vs_baseline_source"] == "pinned_quiet_host":
+        assert payload["baseline_protocol"]["contended"] is True
+        assert "pinned_reference" in payload["baseline_protocol"]
