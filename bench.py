@@ -125,6 +125,7 @@ def pil_baseline_canvases_per_sec(
         "max": round(rates[-1], 2),
         "spread_vs_median": round((rates[-1] - rates[0]) / median, 3),
         "loadavg_1m": round(load_before[0], 2),
+        "loadavg_5m": round(load_before[1], 2),
     }
     return median, protocol
 
@@ -521,9 +522,14 @@ def main() -> None:
             bundle, boxes, (H, W),
             n_canvases=args.pil_canvases, rounds=args.pil_rounds,
         )
+        # The 5-minute average catches a recently-busy host that the
+        # 1-minute one already forgave: observed post-suite legs with
+        # loadavg_1m 0.4/0.49 measuring PIL at 168-216 canvases/sec vs
+        # the true-idle 259-289 — 25% cross-run swing inside the old gate.
         contended = (
             pil_protocol["spread_vs_median"] > 0.15
             or pil_protocol["loadavg_1m"] > 0.5
+            or pil_protocol["loadavg_5m"] > 0.5
         )
         if not contended:
             break
@@ -569,6 +575,14 @@ def main() -> None:
         "unit": "canvases/sec",
         "vs_baseline": round(ours / pil, 2),
         "vs_baseline_source": vs_baseline_source,
+        # Always also publish the conservative multiplier against the
+        # committed quiet-host reference: the live PIL leg swings 25%
+        # with residual host load even inside the gates (168-216
+        # canvases/sec observed at loadavg<0.5 vs 259-289 true-idle),
+        # and this figure is immune to that.
+        "vs_baseline_quiet_ref": round(
+            ours / PINNED_QUIET_PIL["median_canvases_per_sec"], 2
+        ),
         "baseline_protocol": pil_protocol,
         "phase_seconds": wd.history(),
     }
