@@ -285,6 +285,21 @@ def main() -> None:
         server.shutdown()
         thread.join(timeout=5)
 
+    # Run-conditions stamp (the run_all.py practice): the single-request
+    # legs are dominated by the dev-tunnel round trip, whose calibrated
+    # per-process floor swung 26-89 ms across same-day runs — numbers
+    # from different batches are only comparable at similar floors. The
+    # concurrent legs amortize the tunnel and are robust across batches.
+    import os as _os
+    import time as _time
+
+    from image_transformation_tpu.serving import server as _srv
+
+    results["run_conditions"] = {
+        "utc": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
+        "loadavg": [round(v, 2) for v in _os.getloadavg()],
+        "dispatch_floor_ms": _srv._dispatch_floor_ms[0],
+    }
     Path(args.out).write_text(json.dumps(results, indent=2))
     log(f"wrote {args.out}")
     print(json.dumps({
