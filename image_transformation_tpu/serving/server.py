@@ -78,13 +78,24 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 _dispatch_floor_lock = threading.Lock()
 _dispatch_floor_ms: List[Optional[float]] = [None]
+_dispatch_floor_age: List[float] = [0.0]
+#: recalibrate at idle once the cached floor is older than this — the
+#: dev tunnel's RTT drifts across minutes (observed 26-89 ms floors in
+#: same-day serve_bench batches), and a stale floor silently books the
+#: drift as device_ms
+_DISPATCH_FLOOR_TTL_S = 60.0
 
 
-def _tunnel_dispatch_floor_ms() -> float:
+def _tunnel_dispatch_floor_ms(refresh: bool = False) -> float:
     """Min wall time of a no-op jitted dispatch + one-element fence —
-    the per-dispatch transport floor everything device-side rides on."""
+    the per-dispatch transport floor everything device-side rides on.
+    ``refresh=True`` re-measures a stale floor (callers should only ask
+    at idle: the ~6 no-op round trips would queue behind real work)."""
     with _dispatch_floor_lock:
-        if _dispatch_floor_ms[0] is None:
+        stale = (
+            time.perf_counter() - _dispatch_floor_age[0] > _DISPATCH_FLOOR_TTL_S
+        )
+        if _dispatch_floor_ms[0] is None or (refresh and stale):
             import jax
             import jax.numpy as jnp
             import numpy as np
@@ -98,7 +109,15 @@ def _tunnel_dispatch_floor_ms() -> float:
                 np.asarray(f(tiny)[0, 0])
                 best = min(best, time.perf_counter() - t0)
             _dispatch_floor_ms[0] = round(best * 1e3, 3)
+            _dispatch_floor_age[0] = time.perf_counter()
         return _dispatch_floor_ms[0]
+
+
+def _dispatch_floor_stale() -> bool:
+    return (
+        _dispatch_floor_ms[0] is not None
+        and time.perf_counter() - _dispatch_floor_age[0] > _DISPATCH_FLOOR_TTL_S
+    )
 
 
 class _Coalescer:
@@ -186,8 +205,20 @@ class _Coalescer:
                     batch.append(item)
                 del self._pending[: len(batch)]
                 if not batch and inflight is None:
-                    self._worker = None  # retire atomically with the check
-                    return
+                    if not _dispatch_floor_stale():
+                        self._worker = None  # retire atomically with the check
+                        return
+                    retire_after_refresh = True
+                else:
+                    retire_after_refresh = False
+            if retire_after_refresh:
+                # queue is empty and nothing is in flight: the idle
+                # moment is the one safe time to re-measure the tunnel
+                # floor (a request arriving mid-refresh just queues for
+                # ~6 no-op round trips, same as one extra merge cycle);
+                # loop again afterwards — retire only if still idle
+                _tunnel_dispatch_floor_ms(refresh=True)
+                continue
             nxt = None
             if batch:
                 try:
@@ -1264,6 +1295,14 @@ def _encode_renders(results: Dict) -> Dict:
 
 def serve(bundles_root, host: str = "127.0.0.1", port: int = 8601,
           service: Optional[ComposeService] = None):
+    """Build the HTTP daemon (caller runs ``serve_forever``). Applies the
+    same platform-env + compile-cache setup as the CLI ``main`` so an
+    in-process ``serve("data", port=0)`` honors ``JAX_PLATFORMS=cpu``
+    instead of silently initializing the sitecustomize-pinned hardware
+    backend (which hangs when the tunneled device server is wedged)."""
+    from ..core.cache import enable_compile_cache
+
+    enable_compile_cache()
     service = service or ComposeService(bundles_root)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     server.service = service

@@ -708,6 +708,38 @@ def test_distinct_requests_do_not_dedupe():
         assert np.array_equal(out, want)
 
 
+def test_dispatch_floor_refreshes_when_stale_at_idle():
+    """A stale transport-floor calibration is re-measured when the drain
+    worker goes idle (the dev tunnel's RTT drifts 26-89 ms across
+    minutes; a stale floor books the drift as device_ms), and the worker
+    still retires afterwards."""
+    import time
+
+    from image_transformation_tpu.serving import server as srv
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+    coal.render(placements)  # calibrates the floor on first dispatch
+
+    # plant an absurd, stale floor; the next idle transition must replace it
+    srv._dispatch_floor_ms[0] = 12345.0
+    srv._dispatch_floor_age[0] = (
+        time.perf_counter() - 2 * srv._DISPATCH_FLOOR_TTL_S
+    )
+    assert srv._dispatch_floor_stale()
+    coal.render(placements)
+    for _ in range(200):  # wait for the worker to refresh + retire
+        with coal._lock:
+            if coal._worker is None:
+                break
+        time.sleep(0.05)
+    with coal._lock:
+        assert coal._worker is None, "drain worker failed to retire"
+    assert srv._dispatch_floor_ms[0] != 12345.0
+    assert not srv._dispatch_floor_stale()
+
+
 def test_placements_key_ignores_dict_order():
     """The dedup key canonicalizes dict field order — semantically equal
     placement sets dedupe even if the JSON arrived with keys shuffled."""
