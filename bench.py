@@ -27,8 +27,32 @@ Honesty machinery (VERDICT r2 items 1-2):
   average recorded alongside (round-2's best-of-3 swung 72-232
   canvases/sec across a single morning). If the live baseline fails its
   own contention gates after retries, the multiplier instead uses the
-  committed quiet-host reference (``PINNED_QUIET_PIL``) and the JSON
-  says so (``vs_baseline_source``).
+  committed quiet-host reference history and the JSON says so
+  (``vs_baseline_source``).
+
+Degraded-tunnel survival (VERDICT r4 item 1 — the round-4 headline was
+lost to a 0.0 error record when a 300 s fixed upload deadline met a
+~9 s-first-transfer/64 MB/s tunnel):
+
+* after backend init the worker runs a small bounded TRANSFER probe and
+  classifies the tunnel (healthy / degraded); transfer-heavy phase
+  deadlines scale with the measured first-transfer latency and
+  bandwidth, and the classification rides the JSON (``tunnel_state``);
+* the default entry point is a thin SUPERVISOR (no JAX in-process) that
+  runs the measurement in a worker subprocess; on a watchdog stall or
+  any nonzero-value outcome it retries ONCE PER RUNG in a fresh process
+  at a reduced batch (768 -> 256 -> 64), waiting between attempts so
+  the dead worker's tunnel session can settle (fresh-process backend
+  init while the device is busy is a known wedge mode). The final JSON
+  carries ``batch_demoted_from`` + ``supervisor_attempts``; if every
+  rung fails, the error line includes the committed
+  ``last_known_good`` record so the driver never sees a bare 0.0;
+* the pinned quiet-host PIL reference is no longer a frozen constant:
+  a committed rolling history (``benchmarks/pil_quiet_history.json``)
+  is refreshed whenever a live baseline passes its own gates on TPU,
+  and the pinned fallback refuses entries older than
+  ``PIN_MAX_AGE_DAYS`` or from a different host (VERDICT r4 item 5 +
+  advisor note on host identity).
 
 Prints exactly ONE JSON line to stdout; diagnostics go to stderr.
 Usage: python bench.py [--batch 448] [--reps 20] [--sweep]
@@ -37,6 +61,7 @@ Usage: python bench.py [--batch 448] [--reps 20] [--sweep]
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import json
 import os
 import sys
@@ -50,23 +75,164 @@ sys.path.insert(0, str(REPO))
 
 METRIC = "composited 1080p canvases/sec/chip"
 
-# Protocol-clean PIL reference, used as the vs_baseline denominator ONLY
-# when the live baseline fails its own contention gates after retries
-# (VERDICT r3 item 4: never publish a multiplier off a loaded host).
-# Conservative pick: the HIGHER of the two quiet-host runs (smaller
-# multiplier). Provenance: benchmarks/hw_refresh_r03.md run A,
-# median-of-5 single-threaded rounds, spread 0.066, loadavg 0.13
-# (second quiet run same day: 259.6, 10.7% apart).
+#: rolling quiet-host PIL reference history (newest first), refreshed by
+#: any TPU run whose live baseline passes the contention gates
+HISTORY_PATH = REPO / "benchmarks" / "pil_quiet_history.json"
+#: last driver-grade successful headline (written by the supervisor on a
+#: TPU success; quoted in the error line when every retry rung fails)
+LAST_GOOD_PATH = REPO / "benchmarks" / "last_good_bench.json"
+#: a pinned quiet-host entry older than this is REFUSED as the
+#: vs_baseline denominator (host/Pillow conditions drift; VERDICT r4
+#: item 5) — the run then publishes the live contended measurement with
+#: an explicit source flag instead of a stale clean-looking multiplier
+PIN_MAX_AGE_DAYS = 3
+
+# Protocol-clean PIL reference of last resort, used ONLY if the committed
+# history file is missing (e.g. a stripped checkout). Provenance:
+# benchmarks/hw_refresh_r03.md run A, median-of-5 single-threaded rounds,
+# spread 0.066, loadavg 0.13. Host identity recorded so a different
+# machine never silently divides by this host's Pillow throughput.
 PINNED_QUIET_PIL = {
+    "date_utc": "2026-08-19",
     "median_canvases_per_sec": 288.91,
     "source": "benchmarks/hw_refresh_r03.md run A (2026-08-19)",
     "spread_vs_median": 0.066,
     "loadavg_1m": 0.13,
+    "host": {"hostname": "vm", "cpu": "Intel(R) Xeon(R) Processor @ 2.10GHz"},
 }
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def host_identity() -> dict:
+    """Hostname + CPU model: the identity a quiet-host PIL number is
+    only valid on (advisor r4: nothing detected a host mismatch)."""
+    import platform as _pf
+
+    cpu = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    cpu = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"hostname": _pf.node(), "cpu": cpu}
+
+
+# ---------------------------------------------------------------------------
+# Tunnel classification + batch demotion (pure; unit-tested in
+# tests/test_bench_supervisor.py)
+
+
+def classify_tunnel(first_transfer_s: float, round_trip_mbps: float):
+    """(state, deadline_scale) from a bounded transfer probe.
+
+    Healthy reference points: quiet tunnel first 1 MB round trip well
+    under 1 s, hundreds of MB/s. The round-4 loss was ~9 s / ~64 MB/s —
+    that day classifies degraded with scale 8 (upload deadline 300 ->
+    2400 s, which the observed 125.7 s upload rides out comfortably).
+    """
+    scale = max(
+        1.0, first_transfer_s / 1.0, 192.0 / max(round_trip_mbps, 1e-3)
+    )
+    scale = min(8.0, scale)
+    state = (
+        "healthy"
+        if first_transfer_s < 2.0 and round_trip_mbps >= 128.0
+        else "degraded"
+    )
+    return state, round(scale, 2)
+
+
+def demotion_ladder(batch: int) -> list:
+    """Fresh-process retry rungs: the requested batch, then the reduced
+    fallbacks (a degraded tunnel that stalls a 768-batch upload still
+    completed batch 64 the same day — VERDICT r4)."""
+    return [batch] + [b for b in (256, 64) if b < batch]
+
+
+# ---------------------------------------------------------------------------
+# Quiet-host PIL reference history (pure selection logic + file I/O)
+
+
+def load_quiet_history() -> list:
+    """Newest-first quiet-host entries; falls back to the baked constant
+    if the committed file is missing/unreadable."""
+    try:
+        data = json.loads(HISTORY_PATH.read_text())
+        entries = list(data.get("entries", []))
+        if entries:
+            return entries
+    except (OSError, ValueError):
+        pass
+    return [dict(PINNED_QUIET_PIL)]
+
+
+def select_quiet_pin(entries: list, host: dict, today: _dt.date):
+    """Newest same-host entry within PIN_MAX_AGE_DAYS, or (None, reason).
+
+    Refusal reasons are published verbatim (``quiet_ref`` in the JSON)
+    so an expired/foreign pin is a visible condition, not a silent one.
+    """
+    reason = "no quiet-host reference entries"
+    for e in entries:
+        eh = e.get("host") or {}
+        if eh.get("hostname") != host.get("hostname"):
+            reason = (
+                f"pin host {eh.get('hostname')!r} != current host "
+                f"{host.get('hostname')!r}"
+            )
+            continue
+        try:
+            age = (today - _dt.date.fromisoformat(e["date_utc"])).days
+        except (KeyError, ValueError):
+            reason = "pin entry missing a parseable date_utc"
+            continue
+        if age > PIN_MAX_AGE_DAYS:
+            reason = (
+                f"newest same-host pin is {age} days old "
+                f"(max {PIN_MAX_AGE_DAYS} without revalidation)"
+            )
+            continue
+        return e, age
+    return None, reason
+
+
+def record_quiet_entry(
+    entries: list, median: float, protocol: dict, host: dict, today: _dt.date
+) -> list:
+    """Prepend today's gate-passing quiet measurement (keeping the HIGHER
+    median for the same host+date — conservative: a higher denominator
+    means a smaller multiplier) and persist the rolling window."""
+    entry = {
+        "date_utc": today.isoformat(),
+        "median_canvases_per_sec": protocol["median_canvases_per_sec"],
+        "source": "bench.py live baseline (gates passed)",
+        "spread_vs_median": protocol["spread_vs_median"],
+        "loadavg_1m": protocol["loadavg_1m"],
+        "host": host,
+    }
+    same = [
+        e for e in entries
+        if e.get("date_utc") == entry["date_utc"]
+        and (e.get("host") or {}).get("hostname") == host.get("hostname")
+    ]
+    if same and same[0]["median_canvases_per_sec"] >= median:
+        return entries  # today's record already at least as conservative
+    entries = [e for e in entries if e not in same]
+    entries.insert(0, entry)
+    entries = entries[:6]
+    try:
+        tmp = HISTORY_PATH.with_suffix(".tmp")
+        tmp.write_text(json.dumps({"entries": entries}, indent=1) + "\n")
+        tmp.replace(HISTORY_PATH)
+    except OSError as e:  # noqa: BLE001 - persistence must not cost the run
+        log(f"quiet-history write failed ({e!r}); continuing")
+    return entries
 
 
 def emit_error_line(reason: str, extra: dict | None = None, code: int = 2) -> None:
@@ -130,7 +296,7 @@ def pil_baseline_canvases_per_sec(
     return median, protocol
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     # Batch sweep on v5e with the framebuffer-reuse pipelined kernel.
     # Round 2 plateaued at 448 (28.4k) because batch 512 hit the smem
@@ -167,7 +333,146 @@ def main() -> None:
             "windowed path"
         ),
     )
-    args = parser.parse_args()
+    parser.add_argument(
+        "--_worker", action="store_true", help=argparse.SUPPRESS
+    )
+    return parser
+
+
+# ---------------------------------------------------------------------------
+# Supervisor: fresh-process measurement with reduced-batch retry. No JAX
+# is imported on this path — a supervisor that initialized the backend
+# would hold a second tunnel session alongside every worker (a known
+# wedge mode when one side is mid-compile/dispatch).
+
+
+def _parse_last_json_line(text: str):
+    for line in reversed([ln for ln in text.splitlines() if ln.strip()]):
+        try:
+            return json.loads(line)
+        except ValueError:
+            continue
+    return None
+
+
+def _build_worker_cmd(args, batch: int) -> list:
+    cmd = [
+        sys.executable, str(REPO / "bench.py"), "--_worker",
+        "--batch", str(batch), "--reps", str(args.reps),
+        "--pil-canvases", str(args.pil_canvases),
+        "--pil-rounds", str(args.pil_rounds),
+        "--kernel", args.kernel,
+    ]
+    if args.sweep:
+        cmd.append("--sweep")
+    if args.profile:
+        cmd += ["--profile", args.profile]
+    if args.superbatch:
+        cmd += ["--superbatch", str(args.superbatch)]
+    return cmd
+
+
+def _default_runner(args, batch: int):
+    """Run one worker attempt; returns (rc, stdout_text). Worker stderr
+    streams through live; stdout (the one JSON line) is captured. The
+    backstop timeout only catches a watchdog that itself died — every
+    in-worker phase already has a deadline."""
+    import subprocess
+
+    backstop = float(os.environ.get("ITPU_BENCH_ATTEMPT_TIMEOUT_S", "5400"))
+    proc = subprocess.Popen(
+        _build_worker_cmd(args, batch),
+        stdout=subprocess.PIPE, text=True, cwd=str(REPO),
+    )
+    try:
+        out, _ = proc.communicate(timeout=backstop)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        return 124, out or ""
+    return proc.returncode, out or ""
+
+
+def _read_last_good():
+    try:
+        return json.loads(LAST_GOOD_PATH.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_last_good(payload: dict) -> None:
+    if payload.get("platform") != "tpu":
+        return  # CPU smoke runs must not masquerade as a hardware record
+    record = {
+        "date_utc": _dt.datetime.now(_dt.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "value": payload.get("value"),
+        "unit": payload.get("unit"),
+        "batch": payload.get("batch"),
+        "vs_baseline_quiet_ref": payload.get("vs_baseline_quiet_ref"),
+        "kernel_flags": payload.get("kernel_flags"),
+        "tunnel_state": payload.get("tunnel_state"),
+    }
+    try:
+        tmp = LAST_GOOD_PATH.with_suffix(".tmp")
+        tmp.write_text(json.dumps(record, indent=1) + "\n")
+        tmp.replace(LAST_GOOD_PATH)
+    except OSError as e:  # noqa: BLE001 - persistence must not cost the run
+        log(f"last-good write failed ({e!r}); continuing")
+
+
+def supervise(args, runner=_default_runner) -> int:
+    """Run the worker down the demotion ladder until one rung produces a
+    nonzero headline; print exactly ONE JSON line either way."""
+    attempts = []
+    for i, batch in enumerate(demotion_ladder(args.batch)):
+        if i:
+            settle = float(os.environ.get("ITPU_BENCH_RETRY_SLEEP_S", "15"))
+            log(
+                f"supervisor: retrying in a fresh process at batch {batch} "
+                f"(settling {settle:.0f}s first — the dead worker's tunnel "
+                f"session must wind down before a new backend init)"
+            )
+            time.sleep(settle)
+        rc, out = runner(args, batch)
+        payload = _parse_last_json_line(out)
+        if payload and payload.get("value", 0) > 0:
+            if attempts:
+                payload["batch_demoted_from"] = args.batch
+                payload["supervisor_attempts"] = attempts
+            print(json.dumps(payload), flush=True)
+            _write_last_good(payload)
+            return 0
+        attempt = {
+            "batch": batch,
+            "rc": rc,
+            "error": (payload or {}).get("error")
+            or f"worker exit {rc} with no parseable JSON line",
+        }
+        for carry in ("watchdog", "tunnel_state"):
+            if payload and payload.get(carry):
+                attempt[carry] = payload[carry]
+        attempts.append(attempt)
+        log(f"supervisor: batch {batch} attempt failed (rc {rc}): "
+            f"{attempt['error']}")
+    final = {
+        "metric": METRIC,
+        "value": 0.0,
+        "unit": "canvases/sec",
+        "vs_baseline": 0.0,
+        "error": attempts[-1]["error"],
+        "supervisor_attempts": attempts,
+    }
+    last_good = _read_last_good()
+    if last_good:
+        final["last_known_good"] = last_good
+    print(json.dumps(final), flush=True)
+    return attempts[-1]["rc"] or 3
+
+
+def main() -> None:
+    args = build_parser().parse_args()
 
     from image_transformation_tpu.core.cache import enable_compile_cache
 
@@ -239,13 +544,14 @@ def main() -> None:
     # plus the live-HBM model for this batch, then exits before any outer
     # `timeout` SIGKILL. Deadlines are TPU-tuned; CPU (the smoke test,
     # full fallback-chain compiles under CI contention) gets 4x; scale
-    # with ITPU_BENCH_DEADLINE_SCALE.
+    # with ITPU_BENCH_DEADLINE_SCALE. Transfer-heavy phases additionally
+    # scale with the tunnel probe below (VERDICT r4 item 1).
     scale = float(os.environ.get("ITPU_BENCH_DEADLINE_SCALE", "1"))
     if not on_tpu:
         scale *= 4.0
     DL = {
-        "data_prep": 300, "upload": 300, "trace": 300, "compile": 900,
-        "first_execute": 420, "warmup_reuse": 300,
+        "tunnel_probe": 300, "data_prep": 300, "upload": 300, "trace": 300,
+        "compile": 900, "first_execute": 420, "warmup_reuse": 300,
         "timed_loop": max(300, args.reps * 10),
         "superbatch_first": 900,
         "superbatch_timed": max(300, args.reps * 10),
@@ -289,6 +595,41 @@ def main() -> None:
 
     def phase(name: str) -> None:
         wd.phase(name, DL[name] * scale)
+
+    # --- bounded transfer probe (VERDICT r4 item 1): classify the tunnel
+    # BEFORE committing to fixed deadlines. Pure device_put + full host
+    # readback — no compile on this path, so it measures transport alone.
+    # A probe hang is itself caught by the watchdog (honest "tunnel_probe"
+    # stall line) and the supervisor's fresh-process retry takes over.
+    phase("tunnel_probe")
+    t0 = time.perf_counter()
+    x = jax.device_put(np.zeros((1 << 20,), np.uint8))
+    np.asarray(x)
+    first_s = time.perf_counter() - t0
+    mbps = 2.0 / max(first_s, 1e-9)  # 1 MB each way
+    if first_s < 30.0:
+        t0 = time.perf_counter()
+        x = jax.device_put(np.zeros((16 << 20,), np.uint8))
+        np.asarray(x)
+        mbps = 32.0 / max(time.perf_counter() - t0, 1e-9)
+    x = None
+    state, tscale = classify_tunnel(first_s, mbps)
+    tunnel = {
+        "state": state,
+        "first_transfer_s": round(first_s, 3),
+        "round_trip_mbps": round(mbps, 1),
+        "deadline_scale": tscale,
+    }
+    log(f"tunnel probe: {tunnel}")
+    if tscale > 1.0:
+        for k in ("upload", "trace", "compile", "first_execute",
+                  "warmup_reuse", "superbatch_first"):
+            DL[k] = DL[k] * tscale
+        log(
+            f"tunnel degraded: transfer/compile deadlines scaled x{tscale} "
+            f"(upload now {DL['upload'] * scale:.0f}s)"
+        )
+    wd.update_context(tunnel_state=tunnel)
 
     phase("data_prep")
     rng = np.random.default_rng(0)
@@ -541,20 +882,46 @@ def main() -> None:
         time.sleep(5)
     pil_protocol["contended"] = contended
     log(f"pil reference: {pil:.2f} canvases/sec (protocol {pil_protocol})")
+
+    # Quiet-host reference resolution (VERDICT r4 item 5): the pinned
+    # fallback is a committed rolling history with an age + host-identity
+    # contract, refreshed by every gate-passing TPU run, never a frozen
+    # constant. A clean live baseline both refreshes the history and
+    # serves as its own quiet reference.
+    host = host_identity()
+    today = _dt.datetime.now(_dt.timezone.utc).date()
+    entries = load_quiet_history()
+    if not contended and on_tpu:
+        entries = record_quiet_entry(entries, pil, pil_protocol, host, today)
+    quiet_pin, pin_or_reason = select_quiet_pin(entries, host, today)
+
     vs_baseline_source = "live"
     if contended:
-        # Denominator failed its own gates after retries: fall back to
-        # the committed quiet-host reference so the published multiplier
-        # is never inflated by host load. The live (contended)
-        # measurement stays in baseline_protocol for the record.
-        pil = PINNED_QUIET_PIL["median_canvases_per_sec"]
-        vs_baseline_source = "pinned_quiet_host"
-        pil_protocol["pinned_reference"] = PINNED_QUIET_PIL
-        log(
-            f"pil baseline still contended after retries; vs_baseline "
-            f"uses pinned quiet-host reference {pil:.2f} canvases/sec "
-            f"({PINNED_QUIET_PIL['source']})"
-        )
+        if quiet_pin is not None:
+            # Denominator failed its own gates after retries: fall back to
+            # the committed quiet-host reference so the published
+            # multiplier is never inflated by host load. The live
+            # (contended) measurement stays in baseline_protocol.
+            pil = quiet_pin["median_canvases_per_sec"]
+            vs_baseline_source = "pinned_quiet_host"
+            pil_protocol["pinned_reference"] = quiet_pin
+            pil_protocol["pinned_age_days"] = pin_or_reason
+            log(
+                f"pil baseline still contended after retries; vs_baseline "
+                f"uses pinned quiet-host reference {pil:.2f} canvases/sec "
+                f"({quiet_pin.get('source')}, age {pin_or_reason}d)"
+            )
+        else:
+            # Pin refused (stale or foreign host): publishing it would be
+            # a clean-looking multiplier off unverifiable conditions.
+            # Publish the live contended number with the source flagged.
+            vs_baseline_source = "live_contended_pin_invalid"
+            pil_protocol["pin_refused"] = pin_or_reason
+            log(
+                f"pil baseline contended AND quiet pin refused "
+                f"({pin_or_reason}); vs_baseline uses the live contended "
+                f"measurement, flagged"
+            )
 
     if args.sweep:
         phase("sweep")
@@ -573,19 +940,32 @@ def main() -> None:
         "metric": METRIC,
         "value": round(ours, 2),
         "unit": "canvases/sec",
+        "batch": B,
+        "platform": devices[0].platform,
         "vs_baseline": round(ours / pil, 2),
         "vs_baseline_source": vs_baseline_source,
-        # Always also publish the conservative multiplier against the
-        # committed quiet-host reference: the live PIL leg swings 25%
-        # with residual host load even inside the gates (168-216
-        # canvases/sec observed at loadavg<0.5 vs 259-289 true-idle),
-        # and this figure is immune to that.
-        "vs_baseline_quiet_ref": round(
-            ours / PINNED_QUIET_PIL["median_canvases_per_sec"], 2
-        ),
+        "tunnel_state": tunnel,
         "baseline_protocol": pil_protocol,
         "phase_seconds": wd.history(),
     }
+    # Always also publish the conservative multiplier against the
+    # quiet-host reference when a valid pin exists: the live PIL leg
+    # swings 25% with residual host load even inside the gates (168-216
+    # canvases/sec observed at loadavg<0.5 vs 259-289 true-idle), and
+    # this figure is immune to that.
+    if quiet_pin is not None:
+        payload["vs_baseline_quiet_ref"] = round(
+            ours / quiet_pin["median_canvases_per_sec"], 2
+        )
+        payload["quiet_ref"] = {
+            "median_canvases_per_sec": quiet_pin["median_canvases_per_sec"],
+            "date_utc": quiet_pin.get("date_utc"),
+            "age_days": pin_or_reason,
+            "source": quiet_pin.get("source"),
+        }
+    else:
+        payload["vs_baseline_quiet_ref"] = None
+        payload["quiet_ref"] = {"refused": pin_or_reason}
     if args.kernel == "pallas":
         from image_transformation_tpu.ops import compose_pallas as _cp2
 
@@ -608,16 +988,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except SystemExit:
-        raise
-    except BaseException as e:  # noqa: BLE001 - driver contract: 1 JSON line
-        # the batch-512 probe taught this: a RESOURCE_EXHAUSTED that
-        # escapes every fallback tier must still land as one honest JSON
-        # line (the full demotion chain is on stderr), not a bare
-        # traceback the driver can't parse
-        import traceback
+    if "--_worker" in sys.argv or os.environ.get("ITPU_BENCH_NO_SUPERVISE"):
+        try:
+            main()
+        except SystemExit:
+            raise
+        except BaseException as e:  # noqa: BLE001 - driver contract: 1 JSON line
+            # the batch-512 probe taught this: a RESOURCE_EXHAUSTED that
+            # escapes every fallback tier must still land as one honest JSON
+            # line (the full demotion chain is on stderr), not a bare
+            # traceback the driver can't parse
+            import traceback
 
-        traceback.print_exc(file=sys.stderr)
-        emit_error_line(f"{type(e).__name__}: {str(e)[:500]}", code=1)
+            traceback.print_exc(file=sys.stderr)
+            emit_error_line(f"{type(e).__name__}: {str(e)[:500]}", code=1)
+    else:
+        sys.exit(supervise(build_parser().parse_args()))

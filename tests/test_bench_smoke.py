@@ -34,9 +34,19 @@ def test_bench_falls_back_and_prints_one_json_line():
     assert payload["unit"] == "canvases/sec"
     assert payload["vs_baseline"] > 0
     # contention-gated denominator: the payload must say which baseline
-    # the multiplier used (live protocol-clean, or the committed
-    # quiet-host reference when the live one failed its gates)
-    assert payload["vs_baseline_source"] in ("live", "pinned_quiet_host")
+    # the multiplier used (live protocol-clean, the committed quiet-host
+    # reference when the live one failed its gates, or the flagged live
+    # contended number when the pin itself was refused as stale/foreign)
+    assert payload["vs_baseline_source"] in (
+        "live", "pinned_quiet_host", "live_contended_pin_invalid"
+    )
     if payload["vs_baseline_source"] == "pinned_quiet_host":
         assert payload["baseline_protocol"]["contended"] is True
         assert "pinned_reference" in payload["baseline_protocol"]
+        assert payload["baseline_protocol"]["pinned_age_days"] <= 3
+    # degraded-tunnel survival layer (VERDICT r4 item 1): every run
+    # carries the transfer-probe classification
+    assert payload["tunnel_state"]["state"] in ("healthy", "degraded")
+    assert payload["tunnel_state"]["deadline_scale"] >= 1.0
+    assert payload["platform"] == "cpu"
+    assert payload["batch"] == 2
