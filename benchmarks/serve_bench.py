@@ -36,6 +36,13 @@ def percentiles(samples):
     return percentiles_ms(samples, ndigits=2)
 
 
+def _readback_bytes_per_pixel() -> int:
+    """3 when the server's opaque-canvas RGB readback is active, else 4."""
+    from image_transformation_tpu.serving.server import _RGB_READBACK
+
+    return 3 if _RGB_READBACK else 4
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--requests", type=int, default=64)
@@ -72,10 +79,14 @@ def main() -> None:
 
     def phase_split(timings, ps=(50,)):
         """Fold per-request X-Render-Timings dicts into per-phase
-        percentiles (dispatch_ms is the calibrated transport floor the
-        server subtracts out of device_ms — VERDICT r3 item 1)."""
+        percentiles (dispatch_ms rides the rolling recalibrated
+        transport floor the server subtracts out of device_ms —
+        VERDICT r3 item 1; pipeline_wait_ms is time queued behind the
+        previous merge's device compute, split out of device_ms —
+        VERDICT r4 item 3)."""
         out = {}
-        for phase in ("solve_ms", "queue_ms", "dispatch_ms", "device_ms",
+        for phase in ("solve_ms", "queue_ms", "pipeline_wait_ms",
+                      "dispatch_ms", "device_ms",
                       "readback_ms", "encode_ms"):
             vals = sorted(t[phase] for t in timings if phase in t)
             for p in ps:
@@ -117,6 +128,29 @@ def main() -> None:
             if timings:
                 results[name]["phase_split"] = phase_split(timings)
             log(f"{name}: {results[name]}")
+
+        # floor snapshot AS OF the single-request legs (advisor r4: the
+        # end-of-run stamp may reflect a later idle recalibration, not
+        # the floor these legs actually subtracted)
+        from image_transformation_tpu.serving.server import dispatch_floor_info
+
+        results["dispatch_floor_after_single_legs"] = dispatch_floor_info()
+        log(f"floor after single legs: "
+            f"{results['dispatch_floor_after_single_legs']}")
+
+        # ---- raw-format fast path (no PNG encode; LAN clients) ----
+        raw_timings: list = []
+        raw_payload = {"bundle": "squarespace", "ratio": "9:16",
+                       "format": "raw"}
+        raw_samples = [
+            post("/v1/render", raw_payload, timings_into=raw_timings)[0]
+            for _ in range(20)
+        ]
+        results["render_raw"] = {
+            **percentiles(raw_samples),
+            "phase_split": phase_split(raw_timings),
+        }
+        log(f"render_raw: {results['render_raw']}")
 
         # warm the coalescer's pow2 merge sizes (2/4/8): compose_many
         # compiles lazily per merge size, and an unwarmed size otherwise
@@ -230,9 +264,12 @@ def main() -> None:
             "phase_split": phase_split(dtimings, ps=(50, 95)),
             # transfer floor: every unique render moves a full canvas
             # over the dev tunnel — under load the scenario cannot beat
-            # readback_mb / tunnel rate no matter the scheduling
+            # readback_mb / tunnel rate no matter the scheduling. With
+            # RGB-only readback (opaque canvases) that is 3 bytes/pixel,
+            # not 4 (VERDICT r4 item 6).
             "readback_mb": round(
-                n_unique * canvas["width"] * canvas["height"] * 4 / 1e6, 1
+                n_unique * canvas["width"] * canvas["height"]
+                * _readback_bytes_per_pixel() / 1e6, 1
             ),
         }
         log(f"concurrent_distinct: {results['concurrent_distinct']}")
@@ -293,12 +330,15 @@ def main() -> None:
     import os as _os
     import time as _time
 
-    from image_transformation_tpu.serving import server as _srv
+    from image_transformation_tpu.serving.server import dispatch_floor_info
 
     results["run_conditions"] = {
         "utc": _time.strftime("%Y-%m-%dT%H:%M:%SZ", _time.gmtime()),
         "loadavg": [round(v, 2) for v in _os.getloadavg()],
-        "dispatch_floor_ms": _srv._dispatch_floor_ms[0],
+        # public accessor (advisor r4): working floor + sample
+        # percentiles + age at END of run; the single-request legs'
+        # contemporaneous floor is dispatch_floor_after_single_legs
+        "dispatch_floor": dispatch_floor_info(),
     }
     Path(args.out).write_text(json.dumps(results, indent=2))
     log(f"wrote {args.out}")

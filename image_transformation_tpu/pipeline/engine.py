@@ -50,6 +50,16 @@ class ComposeEngine:
         self._id_to_idx = {
             int(oid): k for k, oid in enumerate(arrays.object_ids) if oid >= 0
         }
+        # Opaque base canvas => every composed pixel's alpha is exactly
+        # 255 (PIL alpha_composite identity: out_a = src_a +
+        # 255*(255-src_a)//255; the device replica is bit-exact vs PIL),
+        # so readers may transfer RGB planes only and re-attach alpha —
+        # the serving coalescer's 25%-fewer-readback-bytes path.
+        self.opaque_output = bool(
+            canvas_u8.ndim == 3
+            and canvas_u8.shape[-1] == 4
+            and bool((canvas_u8[..., 3] == 255).all())
+        )
         # Device-side per-call input cache: iterate loops re-solve similar
         # layouts, so identical (perm, boxes) signatures skip rebuilding and
         # re-uploading the coefficient tables (the dominant per-call cost

@@ -16,7 +16,10 @@ API:
         {"bundle": "<stem>", "ratio": "9:16",
          "layout": {"root": {...}}?,         # default: column of all objects
          "background": "solid"|"gradient"?,  # default solid
-         "boxes_only": false?}               # true -> JSON placements, no PNG
+         "boxes_only": false?,               # true -> JSON placements, no PNG
+         "format": "png"|"raw"?}             # raw -> octet-stream RGBA bytes
+                                             #   (X-Raw-Shape header; no PNG
+                                             #   encode — the LAN fast path)
     POST /v1/render_batch    -> JSON {ratio: {canvas, boxes, png_b64}}
         {"bundle": "<stem>", "ratios": ["9:16", "1:1", ...],
          "layout": {"root": {...}}?,
@@ -33,11 +36,13 @@ API:
         solve/encode work. Per-bundle failures are isolated.
     GET  /v1/stats           -> cache/coalescing counters + latency_ms
         (rolling p50/p95 per single-render phase: solve / queue /
-        dispatch / device / readback / encode — /v1/render responses
-        carry the same split per-request in an X-Render-Timings header;
-        dispatch_ms is the calibrated per-process transport floor, so
-        device_ms approximates true device compute even over the dev
-        tunnel)
+        pipeline_wait / dispatch / device / readback / encode —
+        /v1/render responses carry the same split per-request in an
+        X-Render-Timings header; dispatch_ms rides a rolling idle-time
+        recalibrated transport floor and pipeline_wait_ms is time spent
+        queued behind the previous merge's device compute, so device_ms
+        approximates true device compute even over the dev tunnel) +
+        dispatch_floor (the floor sample distribution + age)
 
 Concurrency/caching design:
 - step/engine/input construction is serialized per cache key (one thread
@@ -56,6 +61,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import threading
 import time
 from collections import deque
@@ -65,20 +71,33 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 
 # ---------------------------------------------------------------------------
-# Dispatch-floor calibration (VERDICT r3 item 1): over the dev tunnel a
-# dispatch + execution fence costs ~25 ms of pure round trips even for a
-# no-op program, and the old split booked all of it as "device_ms" — a
-# 369x657 render the engine measures at 1.4 ms warm-and-fenced reported
-# ~28 ms of "device" time. Calibrate the floor ONCE per process (min of
-# several no-op dispatch+fence round trips, same fencing convention as
-# the dispatch path) and subtract it, so device_ms approximates true
-# device compute and dispatch_ms carries the transport cost. On an
-# untunneled production host the floor collapses to ~0.1-0.3 ms and the
-# split degrades gracefully to the old one.
+# Dispatch-floor calibration (VERDICT r3 item 1, reworked r5 per VERDICT
+# r4 item 2 + advisor findings): over the dev tunnel a dispatch +
+# execution fence costs ~25 ms of pure round trips even for a no-op
+# program, and the old split booked all of it as "device_ms" — a 369x657
+# render the engine measures at 1.4 ms warm-and-fenced reported ~28 ms
+# of "device" time. The floor is now a ROLLING SAMPLE SET, not a frozen
+# per-process constant: each idle-time refresh appends fresh no-op
+# dispatch+fence round trips (same fencing convention as the dispatch
+# path), the working floor is the median of recent samples, and
+# ``dispatch_floor_info()`` exposes the sample percentiles + age so
+# benchmarks can stamp the floor that actually applied (the r4 artifact
+# booked ~49 ms of tunnel drift as device time off a stale constant).
+# Measurement happens OUTSIDE the lock (an idle engine's recalibration
+# must not delay another engine's reply settling), and a failed refresh
+# keeps the previous floor with its age bumped so a flaky tunnel is not
+# retried hot. On an untunneled production host the floor collapses to
+# ~0.1-0.3 ms and the split degrades gracefully to the old one.
 
-_dispatch_floor_lock = threading.Lock()
+_dispatch_floor_cond = threading.Condition()
 _dispatch_floor_ms: List[Optional[float]] = [None]
 _dispatch_floor_age: List[float] = [0.0]
+_dispatch_floor_refreshing: List[bool] = [False]
+#: recent no-op dispatch+fence samples (ms) — the floor distribution
+_dispatch_floor_samples: deque = deque(maxlen=64)
+#: the one no-op executable, compiled once per process (recompiling a
+#: fresh lambda per refresh would book compile time into the samples)
+_dispatch_floor_fn: List[Optional[object]] = [None]
 #: recalibrate at idle once the cached floor is older than this — the
 #: dev tunnel's RTT drifts across minutes (observed 26-89 ms floors in
 #: same-day serve_bench batches), and a stale floor silently books the
@@ -86,38 +105,128 @@ _dispatch_floor_age: List[float] = [0.0]
 _DISPATCH_FLOOR_TTL_S = 60.0
 
 
-def _tunnel_dispatch_floor_ms(refresh: bool = False) -> float:
-    """Min wall time of a no-op jitted dispatch + one-element fence —
-    the per-dispatch transport floor everything device-side rides on.
-    ``refresh=True`` re-measures a stale floor (callers should only ask
-    at idle: the ~6 no-op round trips would queue behind real work)."""
-    with _dispatch_floor_lock:
-        stale = (
-            time.perf_counter() - _dispatch_floor_age[0] > _DISPATCH_FLOOR_TTL_S
-        )
-        if _dispatch_floor_ms[0] is None or (refresh and stale):
-            import jax
-            import jax.numpy as jnp
-            import numpy as np
+def _measure_floor_samples(n: int = 5) -> List[float]:
+    """``n`` no-op jitted dispatch + one-element fence round trips (ms).
+    No lock held: these are real tunnel round trips (~26-89 ms each on a
+    degraded day)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-            tiny = jnp.zeros((8, 128), jnp.int32)
-            f = jax.jit(lambda x: x + 1)
-            np.asarray(f(tiny)[0, 0])  # compile + first dispatch
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                np.asarray(f(tiny)[0, 0])
-                best = min(best, time.perf_counter() - t0)
-            _dispatch_floor_ms[0] = round(best * 1e3, 3)
-            _dispatch_floor_age[0] = time.perf_counter()
+    if _dispatch_floor_fn[0] is None:
+        _dispatch_floor_fn[0] = jax.jit(lambda x: x + 1)
+    f = _dispatch_floor_fn[0]
+    tiny = jnp.zeros((8, 128), jnp.int32)
+    np.asarray(f(tiny)[0, 0])  # any (first) compile + warm dispatch
+    out = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(tiny)[0, 0])
+        out.append((time.perf_counter() - t0) * 1e3)
+    return out
+
+
+def _tunnel_dispatch_floor_ms(refresh: bool = False) -> float:
+    """Median of recent no-op dispatch+fence round trips — the
+    per-dispatch transport floor everything device-side rides on.
+    ``refresh=True`` re-measures a stale floor (callers should only ask
+    at idle: the ~6 no-op round trips would queue behind real work).
+
+    Concurrency: a caller that finds a refresh already in flight returns
+    the previous floor instead of blocking (only the very first
+    calibration, when no floor exists yet, waits). A refresh that raises
+    keeps the old floor and bumps its age so the flaky tunnel is not
+    hammered; the exception propagates only when there is no previous
+    floor to fall back to.
+    """
+    with _dispatch_floor_cond:
+        while True:
+            have = _dispatch_floor_ms[0]
+            stale = (
+                time.perf_counter() - _dispatch_floor_age[0]
+                > _DISPATCH_FLOOR_TTL_S
+            )
+            if have is not None and not (refresh and stale):
+                return have
+            if _dispatch_floor_refreshing[0]:
+                if have is not None:
+                    return have  # refresh in flight; use the previous floor
+                _dispatch_floor_cond.wait(timeout=1.0)
+                continue
+            _dispatch_floor_refreshing[0] = True
+            break
+    samples: List[float] = []
+    err: Optional[BaseException] = None
+    try:
+        samples = _measure_floor_samples()
+    except BaseException as e:  # noqa: BLE001 - handled under the lock below
+        err = e
+    with _dispatch_floor_cond:
+        _dispatch_floor_refreshing[0] = False
+        # age bumps on BOTH outcomes: a failed refresh must not be
+        # retried hot by the next staleness check (advisor r4, high)
+        _dispatch_floor_age[0] = time.perf_counter()
+        if samples:
+            _dispatch_floor_samples.extend(samples)
+            recent = sorted(list(_dispatch_floor_samples)[-15:])
+            _dispatch_floor_ms[0] = round(recent[len(recent) // 2], 3)
+        _dispatch_floor_cond.notify_all()
+        if _dispatch_floor_ms[0] is None:
+            raise err if err is not None else RuntimeError(
+                "dispatch-floor calibration produced no samples"
+            )
         return _dispatch_floor_ms[0]
 
 
+def dispatch_floor_info() -> Dict:
+    """Public snapshot of the floor state: working floor (ms), sample
+    percentiles, sample count, and seconds since the last refresh —
+    what serve_bench stamps into run_conditions instead of reaching into
+    module privates (advisor r4)."""
+    with _dispatch_floor_cond:
+        samples = list(_dispatch_floor_samples)
+        floor = _dispatch_floor_ms[0]
+        age = (
+            time.perf_counter() - _dispatch_floor_age[0]
+            if floor is not None else None
+        )
+    info: Dict = {
+        "floor_ms": floor,
+        "age_s": round(age, 1) if age is not None else None,
+        "samples": len(samples),
+    }
+    if samples:
+        s = sorted(samples)
+        info["p50_ms"] = round(s[len(s) // 2], 3)
+        info["p95_ms"] = round(s[min(len(s) - 1, int(len(s) * 0.95))], 3)
+    return info
+
+
 def _dispatch_floor_stale() -> bool:
+    # Deliberately lock-free: both cells are single-item lists mutated
+    # under the GIL, and the worst case of a torn read is one redundant
+    # refresh attempt that re-validates staleness under the condition
+    # variable in _tunnel_dispatch_floor_ms (advisor r4, low).
     return (
         _dispatch_floor_ms[0] is not None
         and time.perf_counter() - _dispatch_floor_age[0] > _DISPATCH_FLOOR_TTL_S
     )
+
+
+#: opaque-canvas renders read back RGB planes only (alpha provably 255,
+#: re-attached host-side) — 25% fewer tunnel bytes; set =0 to disable
+_RGB_READBACK = os.environ.get("ITPU_SERVING_RGB_READBACK", "1") != "0"
+
+
+def _rgba_from_rgb(rgb):
+    """Re-attach the constant alpha plane an opaque-canvas RGB readback
+    dropped (host memcpy, ~1 ms/MP — callers see identical RGBA)."""
+    import numpy as np
+
+    out = np.empty((*rgb.shape[:-1], 4), np.uint8)
+    out[..., :3] = rgb
+    out[..., 3] = 255
+    return out
 
 
 class _Coalescer:
@@ -148,6 +257,11 @@ class _Coalescer:
         self.requests = 0
         self.dispatches = 0
         self.deduped = 0
+        # completion-fence time of the previous merge (worker thread
+        # only): under pipelined load merge k+1's device work cannot
+        # start before merge k's compute finishes, and that wait must be
+        # labeled pipeline_wait_ms, not device_ms (VERDICT r4 item 3)
+        self._prev_done: Optional[float] = None
 
     @staticmethod
     def _placements_key(placements) -> str:
@@ -217,7 +331,15 @@ class _Coalescer:
                 # floor (a request arriving mid-refresh just queues for
                 # ~6 no-op round trips, same as one extra merge cycle);
                 # loop again afterwards — retire only if still idle
-                _tunnel_dispatch_floor_ms(refresh=True)
+                try:
+                    _tunnel_dispatch_floor_ms(refresh=True)
+                except BaseException:  # noqa: BLE001 - never strand the worker
+                    # a failed refresh keeps the old floor (age already
+                    # bumped inside, so it is not retried hot); the worker
+                    # MUST survive to drain/retire, or every future
+                    # render() enqueues onto a dead queue forever
+                    # (advisor r4, high)
+                    pass
                 continue
             nxt = None
             if batch:
@@ -295,6 +417,15 @@ class _Coalescer:
                 dev = self.engine.compose_many(padded)
                 rows = [dev[i] for i in range(len(sets))]
                 probe = dev[0, 0, 0, 0]
+            if _RGB_READBACK and getattr(self.engine, "opaque_output", False):
+                # Opaque canvas: the PIL alpha_composite identity
+                # (out_a = src_a + 255*(255-src_a)/255 = 255 when the
+                # base is opaque) provably leaves alpha == 255 on every
+                # pixel, so only the RGB planes cross the tunnel — 25%
+                # fewer readback bytes on the distinct-concurrent path
+                # (VERDICT r4 item 6). _complete re-attaches the alpha
+                # plane host-side; callers still receive identical RGBA.
+                rows = [r[..., :3] for r in rows]
             for r in rows:
                 try:
                     r.copy_to_host_async()
@@ -318,10 +449,15 @@ class _Coalescer:
         # and cost ~17 ms single-render p50 when it landed (round-3
         # refresh). Tickets settle PER ROW as their transfers land, so
         # in a merge of 8 the first request stops waiting after its own
-        # ~1 MB, not after all 8. Under pipelined load t1 - t0 also
-        # contains time queued behind the previous merge's compute (the
-        # device is busy by design); queue_ms stays pre-dispatch wait.
+        # ~1 MB, not after all 8. Under pipelined load the device cannot
+        # start this merge before the PREVIOUS merge's compute finishes
+        # (the pipelining is the point) — that interval is split out as
+        # pipeline_wait_ms using the previous merge's completion fence,
+        # so device_ms approximates THIS merge's compute + transport
+        # residual rather than wearing the queue wait (VERDICT r4
+        # item 3); queue_ms stays pre-dispatch wait.
         groups, rows, probe, t0 = inflight
+        prev_done = self._prev_done
         try:
             fence_done: List[float] = []
 
@@ -337,21 +473,30 @@ class _Coalescer:
             fencer.join()
             t_first = time.perf_counter()
             t1 = min(fence_done[0], t_first) if fence_done else t_first
+            self._prev_done = t1
             self.dispatches += 1
+            if first.shape[-1] == 3:  # RGB readback: re-attach alpha
+                first = _rgba_from_rgb(first)
             # transport floor vs device compute (floor cached after the
             # first dispatch calibrates it; that one-time ~5-round-trip
             # cost rides the first request, which already pays compile)
             floor_ms = _tunnel_dispatch_floor_ms()
-            raw_ms = (t1 - t0) * 1e3
+            start_eff = t0 if prev_done is None else max(t0, prev_done)
+            raw_ms = (t1 - start_eff) * 1e3
             base = {
                 "dispatch_ms": round(min(floor_ms, raw_ms), 2),
                 "device_ms": round(max(0.0, raw_ms - floor_ms), 2),
+                "pipeline_wait_ms": round(
+                    max(0.0, (start_eff - t0) * 1e3), 2
+                ),
                 "merged": sum(len(ts) for _, ts in groups),
                 "unique": len(groups),
             }
             for i, (_, tickets) in enumerate(groups):
                 img = first if i == 0 else np.asarray(rows[i])
                 t_i = t_first if i == 0 else time.perf_counter()
+                if img.shape[-1] == 3:  # RGB readback: re-attach alpha
+                    img = _rgba_from_rgb(img)
                 readback_ms = round((t_i - t1) * 1e3, 2)
                 # duplicates share one row readback AND one PNG encode:
                 # the handler encodes under the share's lock, followers
@@ -398,8 +543,8 @@ class ComposeService:
         self._latency_lock = threading.Lock()
         self._latency: Dict[str, deque] = {
             k: deque(maxlen=512)
-            for k in ("solve", "queue", "dispatch", "device", "readback",
-                      "encode")
+            for k in ("solve", "queue", "pipeline_wait", "dispatch",
+                      "device", "readback", "encode")
         }
         env_manifest = os.environ.get("ITPU_SERVING_MANIFEST")
         self.manifest_path = Path(
@@ -588,6 +733,7 @@ class ComposeService:
         self.record_latency(
             solve=solve_ms,
             queue=timings.get("queue_ms"),
+            pipeline_wait=timings.get("pipeline_wait_ms"),
             dispatch=timings.get("dispatch_ms"),
             device=timings.get("device_ms"),
             readback=timings.get("readback_ms"),
@@ -909,6 +1055,7 @@ class ComposeService:
             }
         counters.update(self.coalescing_stats())
         counters["latency_ms"] = self.latency_stats()
+        counters["dispatch_floor"] = dispatch_floor_info()
         return counters
 
     def latency_stats(self) -> Dict[str, Dict[str, float]]:
@@ -1126,6 +1273,21 @@ def make_handler(service: ComposeService):
                         background=req.get("background", "solid"),
                     )
                 )
+                if req.get("format") == "raw":
+                    # raw-RGBA response for LAN/colocated clients: skips
+                    # the PNG encode entirely (encode dominates single-
+                    # render latency) and ships H*W*4 bytes verbatim;
+                    # shape/dtype ride headers (VERDICT r4 item 6)
+                    timings.pop("_png_share", None)
+                    h, w, c = composed.shape
+                    return self._send(
+                        200, composed.tobytes(), "application/octet-stream",
+                        extra_headers={
+                            "X-Raw-Shape": f"{h},{w},{c}",
+                            "X-Raw-Dtype": "uint8",
+                            "X-Render-Timings": json.dumps(timings),
+                        },
+                    )
                 # native zlib-level-1 encoder (2x PIL at ~3% larger files —
                 # encode dominates the render latency), PIL fallback.
                 # Deduped requests share ONE encode: the coalescer hands

@@ -422,8 +422,8 @@ def test_render_latency_split(server):
         assert r.status == 200
         timings = json.loads(r.headers["X-Render-Timings"])
         r.read()
-    for phase in ("solve_ms", "queue_ms", "dispatch_ms", "device_ms",
-                  "readback_ms", "encode_ms"):
+    for phase in ("solve_ms", "queue_ms", "pipeline_wait_ms", "dispatch_ms",
+                  "device_ms", "readback_ms", "encode_ms"):
         assert phase in timings, phase
         assert timings[phase] >= 0
     assert timings["merged"] >= 1
@@ -432,11 +432,17 @@ def test_render_latency_split(server):
     assert timings["dispatch_ms"] > 0
 
     with urllib.request.urlopen(server + "/v1/stats") as r:
-        latency = json.loads(r.read())["latency_ms"]
-    for phase in ("solve", "queue", "dispatch", "device", "readback",
-                  "encode"):
+        stats = json.loads(r.read())
+    latency = stats["latency_ms"]
+    for phase in ("solve", "queue", "pipeline_wait", "dispatch", "device",
+                  "readback", "encode"):
         assert latency[phase]["count"] >= 1, phase
         assert latency[phase]["p95_ms"] >= latency[phase]["p50_ms"] >= 0
+    # the floor sample distribution is public (advisor r4): benchmarks
+    # stamp it instead of reaching into module privates
+    floor = stats["dispatch_floor"]
+    assert floor["floor_ms"] is not None and floor["samples"] >= 1
+    assert floor["p95_ms"] >= floor["p50_ms"] > 0
 
 
 def test_render_batch_user_errors_do_not_latch():
@@ -738,6 +744,84 @@ def test_dispatch_floor_refreshes_when_stale_at_idle():
         assert coal._worker is None, "drain worker failed to retire"
     assert srv._dispatch_floor_ms[0] != 12345.0
     assert not srv._dispatch_floor_stale()
+
+
+def test_render_raw_format(server):
+    """format:'raw' skips the PNG encode and ships raw RGBA bytes with
+    shape/dtype headers — byte-identical pixels to the PNG response
+    (the LAN fast path, VERDICT r4 item 6)."""
+    req = urllib.request.Request(
+        server + "/v1/render",
+        data=json.dumps({"bundle": "squarespace", "ratio": "9:16",
+                         "format": "raw"}).encode(),
+        method="POST", headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/octet-stream"
+        shape = tuple(int(v) for v in r.headers["X-Raw-Shape"].split(","))
+        timings = json.loads(r.headers["X-Render-Timings"])
+        raw = np.frombuffer(r.read(), np.uint8).reshape(shape)
+    assert shape == (657, 369, 4)
+    assert "encode_ms" not in timings  # no PNG encode on this path
+    status, body, _ = _post(server, "/v1/render",
+                            {"bundle": "squarespace", "ratio": "9:16"})
+    assert status == 200
+    png = np.asarray(Image.open(io.BytesIO(body)).convert("RGBA"))
+    assert np.array_equal(raw, png)
+
+
+def test_rgb_readback_off_matches_on(monkeypatch):
+    """The opaque-canvas RGB readback (25% fewer tunnel bytes) is a pure
+    transport optimization: disabling it must produce byte-identical
+    render() output, and the delivered alpha plane is exactly 255."""
+    from image_transformation_tpu.serving import server as srv
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+    assert coal.engine.opaque_output  # solid canvas: provably opaque
+    on = coal.render(placements)
+    assert on.shape[-1] == 4 and bool((on[..., 3] == 255).all())
+    monkeypatch.setattr(srv, "_RGB_READBACK", False)
+    off = coal.render(placements)
+    assert np.array_equal(on, off)
+
+
+def test_floor_refresh_failure_never_strands_worker(monkeypatch):
+    """Advisor r4 (high): a raising idle-time floor refresh must not kill
+    the drain worker — the old floor survives with its age bumped (so the
+    flaky tunnel is not retried hot) and subsequent renders complete."""
+    import time as _time
+
+    from image_transformation_tpu.serving import server as srv
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+    coal.render(placements)  # calibrates the floor on first dispatch
+    floor_before = srv._dispatch_floor_ms[0]
+
+    def boom(n=5):
+        raise RuntimeError("tunnel wedged")
+
+    monkeypatch.setattr(srv, "_measure_floor_samples", boom)
+    srv._dispatch_floor_age[0] = (
+        _time.perf_counter() - 2 * srv._DISPATCH_FLOOR_TTL_S
+    )
+    assert srv._dispatch_floor_stale()
+    out = coal.render(placements)  # drain hits the raising refresh at idle
+    for _ in range(200):
+        with coal._lock:
+            if coal._worker is None:
+                break
+        _time.sleep(0.05)
+    with coal._lock:
+        assert coal._worker is None, "drain worker stranded by refresh failure"
+    assert srv._dispatch_floor_ms[0] == floor_before  # old floor kept
+    assert not srv._dispatch_floor_stale()  # age bumped: not retried hot
+    out2 = coal.render(placements)  # the coalescer still serves
+    assert np.array_equal(out, out2)
 
 
 def test_placements_key_ignores_dict_order():
