@@ -459,6 +459,36 @@ benchmarks/bisect_resize.py --clamped):
    (eliminate or overlap a STAGE, e.g. cross-step table prefetch into
    scratch), not arithmetic folds; the VPU-SOL model under-ranks
    structural cost and is kept for attribution only.
+35. CROSS-CHUNK TABLE PREFETCH (2026-08-21, measured and REJECTED —
+   VERDICT r4 item 3, the last lever with a modeled ceiling): software-
+   pipeline the resample's per-chunk coeff-table builds one iteration
+   ahead of their MXU dots (ITPU_PIPELINE_TABLES: both fori loops carry
+   chunk c+1's table — the V pass carries the limb-split pair too — so
+   each body's table scaffold has no data dependence on the dot it is
+   scheduled next to and Mosaic may overlap them; clamped offset makes
+   the final iteration's rebuild a dead carry). Bit-exact by
+   construction, parity pinned across s8/bf16 x solid/batch surfaces
+   (tests/test_compose_pallas.py::test_pipeline_tables_parity).
+   Measured (single-process interleaved 3-round A/B at the headline
+   config, 1080p batch 768, quiet host, healthy tunnel,
+   benchmarks/ab_pipeline_tables.py -> benchmarks/
+   ab_pipeline_tables_r05.json): scaled OFF 20.795/20.834/20.887
+   ms/batch vs ON 22.203/22.253/22.712 — a 6.8% REGRESSION; identity
+   10.31-10.48 vs 10.38-10.53, unchanged (the prefetch sits on the
+   resample path identity skips). REJECTED, default OFF: the carried
+   live table (+ limb pair) raises register/VMEM pressure across the
+   loop back-edge and the clamped rebuild adds one redundant
+   table-chunk per pass, while item 33's attribution already showed
+   the stage chain does not reward in-stream reordering — the ~2-5 ms
+   ceiling ROADMAP modeled for "genuine stage overlap" is not
+   reachable by dependency-breaking alone. The flag and parity pin
+   stay in-tree as the reproducible record. With items 26c/28/31/32/
+   33/35 all measured-and-rejected and 27/29/30/34 adopted, the
+   kernel's lever pool is EMPTY at stage granularity: every remaining
+   structural change (true double-buffered cross-GRID-step prefetch
+   would need the table stage hoisted into scratch DMAs Mosaic
+   schedules asynchronously, which in-kernel computed tables cannot
+   express) exceeds what the 21 ms wall can repay.
 The XLA windowed path (ops.compose) remains the default for library calls;
 bench.py embeds the single-program solid render (framebuffer-reuse mode
 between dispatches, pipelined kernel).
@@ -500,6 +530,19 @@ INT8_DOTS = os.environ.get("ITPU_INT8_DOTS", "1") == "1"
 # Like INT8_DOTS, jitted wrappers close over it — flip tests must
 # jax.clear_caches().
 STATIC_WINDOWS = os.environ.get("ITPU_STATIC_WINDOWS", "1") == "1"
+
+# STATUS item 35 (VERDICT r4 item 3): software-pipeline the in-kernel
+# coeff-table builds against the MXU limb dots — each resample chunk
+# builds the NEXT chunk's table (straight-line, clamped offset; carried
+# through the fori loop) before running its own dot, so the VPU table
+# scaffold has no data dependence on the dot it is scheduled next to and
+# Mosaic MAY co-issue them. Bit-exact by construction (same table
+# values, same dot order). Costs one redundant table-chunk build per
+# pass per object-step (the clamp rebuilds the last chunk's table).
+# MEASURED AND REJECTED (2026-08-21): -6.8% on the scaled headline
+# (20.83 -> 22.25 ms/batch, 3-round interleaved A/B), identity
+# unchanged — DEFAULT OFF; see STATUS item 35 for the full record.
+PIPELINE_TABLES = os.environ.get("ITPU_PIPELINE_TABLES", "0") == "1"
 
 
 class _PerObjectCopy:
@@ -2819,11 +2862,12 @@ def _resample_chunked_into(
                    else _center_img_s8(prem2d))
         prem_cs = jnp.sum(prem_i8.astype(jnp.int32), axis=1)
 
-    def h_chunk(c, _):
-        lc = pl.multiple_of(c * 128, 128)
-        kh_c = _coeff_table_in_kernel(
-            in_w, out_w, 128, pw_k, method, False, o_offset=lc
+    def build_kh(off):
+        return _coeff_table_in_kernel(
+            in_w, out_w, 128, pw_k, method, False, o_offset=off
         )
+
+    def h_dot_store(lc, kh_c):
         if INT8_DOTS:
             ss = _limb_dot_i8(prem_i8, kh_c, 1, 1, k_first=False,
                               img_colsum=prem_cs) + _HALF
@@ -2840,20 +2884,37 @@ def _resample_chunked_into(
             tmp_ref[: 4 * ph_k, pl.ds(lc, 128)] = (
                 _clip8(ss).astype(jnp.bfloat16)
             )
-        return ()
 
-    jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
+    if PIPELINE_TABLES:
+        # STATUS item 35: the carried table was built in the PREVIOUS
+        # iteration, so this body's table scaffold (for chunk c+1) has no
+        # data dependence on this body's dot (chunk c) — straight-line,
+        # clamped offset (the last iteration rebuilds its own table into
+        # a dead carry), bitwise-identical dot inputs.
+        def h_chunk_pipe(c, kh_c):
+            kh_next = build_kh(jnp.minimum(c + 1, ch_w - 1) * 128)
+            h_dot_store(pl.multiple_of(c * 128, 128), kh_c)
+            return kh_next
 
-    def v_chunk(r, _):
-        rc = pl.multiple_of(r * 128, 128)
-        kv_c = _coeff_table_in_kernel(
-            in_h, out_h, 128, ph_k, method, True, o_offset=rc
+        jax.lax.fori_loop(0, ch_w, h_chunk_pipe, build_kh(0), unroll=False)
+    else:
+        def h_chunk(c, _):
+            lc = pl.multiple_of(c * 128, 128)
+            h_dot_store(lc, build_kh(lc))
+            return ()
+
+        jax.lax.fori_loop(0, ch_w, h_chunk, (), unroll=False)
+
+    def build_kv(off):
+        kv = _coeff_table_in_kernel(
+            in_h, out_h, 128, ph_k, method, True, o_offset=off
         )
         # STATUS item 31: ONE table serves every (channel, column tile)
         # of this row chunk — split its limbs + rowsums once, not
         # 4 x ch_w times inside the dot calls (bitwise-identical)
-        kv_limbs = _split_limbs_i8(kv_c, 0) if INT8_DOTS else None
+        return kv, (_split_limbs_i8(kv, 0) if INT8_DOTS else None)
 
+    def v_chunk_body(rc, kv_c, kv_limbs):
         def v_tile(c, _):
             lc = pl.multiple_of(c * 128, 128)
             chans = []
@@ -2887,9 +2948,29 @@ def _resample_chunked_into(
             return ()
 
         jax.lax.fori_loop(0, ch_w, v_tile, (), unroll=False)
-        return ()
 
-    jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
+    if PIPELINE_TABLES:
+        # STATUS item 35 (V pass): build + limb-split row chunk r+1's
+        # table before running row chunk r's tile dots (carried pair;
+        # clamped offset rebuilds the last chunk's table into a dead
+        # carry). Bitwise-identical dot inputs.
+        def v_chunk_pipe(r, carry):
+            kv_c, kv_limbs = carry
+            nxt = build_kv(jnp.minimum(r + 1, ch_h - 1) * 128)
+            v_chunk_body(pl.multiple_of(r * 128, 128), kv_c, kv_limbs)
+            return nxt
+
+        jax.lax.fori_loop(
+            0, ch_h, v_chunk_pipe, build_kv(0), unroll=False
+        )
+    else:
+        def v_chunk(r, _):
+            rc = pl.multiple_of(r * 128, 128)
+            kv_c, kv_limbs = build_kv(rc)
+            v_chunk_body(rc, kv_c, kv_limbs)
+            return ()
+
+        jax.lax.fori_loop(0, ch_h, v_chunk, (), unroll=False)
 
 
 def _emit_resample_branches(k, not_same_thunk, static_in_hw, obj_pad_hw,

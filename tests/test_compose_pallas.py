@@ -1184,3 +1184,93 @@ def test_static_windows_parity(monkeypatch):
                 plane, op, meta, (Hc, Wc), (mh_a, mw_a), "lanczos",
                 True, pipe, st, True,
             )
+
+def test_pipeline_tables_parity(monkeypatch):
+    """Cross-chunk table prefetch (STATUS item 35): software-pipelining
+    the in-kernel coeff-table builds against the MXU dots (next chunk's
+    table built before this chunk's dot, carried through the fori loop)
+    must be bitwise identical to the in-order kernel — across downscales,
+    identity placements, edge-clamped and off-canvas boxes, on both the
+    shared-object solid render and the per-canvas batch surface, under
+    both dot paths (s8 and bf16).
+
+    CACHE DISCIPLINE (same as the INT8 flip test): the flag is a module
+    global the jitted wrappers close over — every flip clears the jit
+    caches or the stale executable silently serves."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_transformation_tpu.ops import compose_pallas as cp
+
+    rng = np.random.default_rng(35)
+    Hc, Wc = 64, 200
+    B, N = 3, 3
+    # >128-wide and >128-tall objects so ch_w/ch_h exceed 1 and the
+    # carried-table path actually pipelines across chunks
+    hw_row = np.array([[24, 140], [9, 17], [16, 130]], np.int32)
+    ph, pw = int(hw_row[:, 0].max()), int(hw_row[:, 1].max())
+    objs = rng.integers(0, 256, (1, N, ph, pw, 4), dtype=np.uint8)
+    for k in range(N):
+        h, w = hw_row[k]
+        objs[:, k, h:] = 0
+        objs[:, k, :, w:] = 0
+    hw = jnp.asarray(np.broadcast_to(hw_row, (B, N, 2)).copy())
+    static_hw = tuple((int(h), int(w)) for h, w in hw_row)
+    op = cp.planarize_objects(jnp.asarray(objs))
+    bg = cp.pack_rgba_scalar((50, 60, 70, 255))
+
+    def rboxes(seed):
+        r = np.random.default_rng(seed)
+        bx = np.zeros((B, N, 4), np.int32)
+        for b in range(B):
+            for k in range(N):
+                h, w = int(hw_row[k][0]), int(hw_row[k][1])
+                mode = r.integers(0, 4)
+                if mode == 0:
+                    x1 = int(r.integers(0, Wc - 2))
+                    y1 = int(r.integers(0, Hc - 2))
+                    bx[b, k] = (x1, y1, x1 + w, y1 + h)
+                elif mode == 1:
+                    bx[b, k] = (-w, -h, 0, 0)
+                elif mode == 2:
+                    w2, h2 = min(w, Wc), min(h, Hc)
+                    bx[b, k] = (Wc - w2, Hc - h2, Wc, Hc)
+                else:
+                    s = float(r.uniform(0.2, 1.0))
+                    w2 = max(1, int(w * s))
+                    h2 = max(1, int(h * s))
+                    x1 = int(r.integers(0, Wc))
+                    y1 = int(r.integers(0, Hc))
+                    bx[b, k] = (x1, y1, x1 + w2, y1 + h2)
+        return jnp.asarray(bx)
+
+    objs_b = jnp.asarray(
+        np.broadcast_to(objs[0], (B, N, ph, pw, 4)).copy()
+    )
+    canvases = np.zeros((B, Hc, Wc, 4), np.uint8)
+    canvases[..., :3] = 90
+    canvases[..., 3] = 255
+    cv = jnp.asarray(canvases)
+
+    for int8 in (True, False):
+        monkeypatch.setattr(cp, "INT8_DOTS", int8)
+        for trial in range(2):
+            bx = rboxes(100 + trial)
+            outs = {}
+            batch_outs = {}
+            for flag in (False, True):
+                monkeypatch.setattr(cp, "PIPELINE_TABLES", flag)
+                jax.clear_caches()
+                outs[flag] = np.asarray(cp.render_solid_fused_v3_program(
+                    op, hw, bx, (Hc, Wc), bg, interpret=True,
+                    pipelined=True, static_obj_hw=static_hw,
+                ))
+                batch_outs[flag] = np.asarray(cp.composite_batch_fused_v3(
+                    cv, objs_b, hw, bx, interpret=True,
+                ))
+            assert np.array_equal(outs[True], outs[False]), (
+                f"solid render diverged (int8={int8}, trial {trial})"
+            )
+            assert np.array_equal(batch_outs[True], batch_outs[False]), (
+                f"batch surface diverged (int8={int8}, trial {trial})"
+            )
