@@ -86,7 +86,7 @@ def main() -> None:
         VERDICT r4 item 3)."""
         out = {}
         for phase in ("solve_ms", "queue_ms", "pipeline_wait_ms",
-                      "dispatch_ms", "device_ms",
+                      "dispatch_ms", "device_ms", "device_residual_ms",
                       "readback_ms", "encode_ms"):
             vals = sorted(t[phase] for t in timings if phase in t)
             for p in ps:
@@ -94,6 +94,26 @@ def main() -> None:
                     idx = min(len(vals) - 1, int(len(vals) * p / 100))
                     out[phase.replace("_ms", f"_p{p}_ms")] = vals[idx]
         return out
+
+    def get_stats():
+        with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
+            return json.loads(r.read())
+
+    def wait_calibrated(key_prefix: str, timeout: float = 60.0):
+        """Block until the idle drain worker has published an amortized
+        device calibration for a merge-program key starting with
+        ``key_prefix`` (VERDICT r4 item 2: the calibrated number IS the
+        honest device_ms; measuring before it exists would publish the
+        floor-drift residual and re-create the r4 artifact)."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < timeout:
+            for entries in get_stats().get("device_calibration", {}).values():
+                for k, ent in entries.items():
+                    if k.startswith(key_prefix) and ent.get("device_ms"):
+                        return ent
+            time.sleep(0.5)
+        log(f"calibration for {key_prefix!r} did not appear in {timeout}s")
+        return None
 
     results = {}
     try:
@@ -107,6 +127,9 @@ def main() -> None:
             path = "/v1/render_batch" if "ratios" in payload else "/v1/render"
             dt, _ = post(path, payload)
             log(f"warm {path} {list(payload)[1]}: {dt:.1f}s")
+
+        cal = wait_calibrated("single")
+        log(f"single-program device calibration: {cal}")
 
         # ---- sequential latency ----
         for name, payload in (
@@ -164,6 +187,9 @@ def main() -> None:
                     })[0],
                     range(args.workers * 2),
                 ))
+        # (post-singleflight these identical bursts dedupe into merges of
+        # ONE unique set — the single-program path; the ("many", N)
+        # merge programs are created by the DISTINCT warmup below)
 
         # ---- concurrent render load (coalescing) ----
         svc = server.service
@@ -231,6 +257,11 @@ def main() -> None:
                     lambda i: post("/v1/render", distinct_payload(100 + i))[0],
                     range(args.workers * 2),
                 ))
+        # the distinct bursts created the ("many", N) merge-program keys;
+        # wait for their idle calibrations so the distinct leg publishes
+        # honest device_ms figures rather than floor-drift residuals
+        cal_many = wait_calibrated("many")
+        log(f"merge-program device calibration: {cal_many}")
 
         _, boxes_body = post("/v1/render", {
             "bundle": "squarespace", "ratio": "9:16", "boxes_only": True,
@@ -315,9 +346,15 @@ def main() -> None:
         log(f"render_batch_3ratio_stream: {results['render_batch_3ratio_stream']}")
 
         # ---- daemon-side rolling latency split (/v1/stats) ----
-        with urllib.request.urlopen(base + "/v1/stats", timeout=60) as r:
-            results["stats_latency_ms"] = json.loads(r.read())["latency_ms"]
+        final_stats = get_stats()
+        results["stats_latency_ms"] = final_stats["latency_ms"]
         log(f"stats latency_ms: {results['stats_latency_ms']}")
+        # the amortized per-program device calibrations that served
+        # device_ms this run (VERDICT r4 item 2)
+        results["device_calibration"] = final_stats.get(
+            "device_calibration", {}
+        )
+        log(f"device_calibration: {results['device_calibration']}")
     finally:
         server.shutdown()
         thread.join(timeout=5)

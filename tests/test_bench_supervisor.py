@@ -57,10 +57,13 @@ def test_slow_bandwidth_alone_scales():
 
 
 def test_demotion_ladder():
-    assert bench.demotion_ladder(768) == [768, 256, 64]
-    assert bench.demotion_ladder(256) == [256, 64]
-    assert bench.demotion_ladder(64) == [64]
-    assert bench.demotion_ladder(2) == [2]  # smoke-test batch: no rungs below
+    # requested batch twice (tunnel stalls are windows that clear after a
+    # settle — the same-batch retry recovers the full headline), then the
+    # reduced rungs
+    assert bench.demotion_ladder(768) == [768, 768, 256, 64]
+    assert bench.demotion_ladder(256) == [256, 256, 64]
+    assert bench.demotion_ladder(64) == [64, 64]
+    assert bench.demotion_ladder(2) == [2, 2]  # smoke batch: no rungs below
 
 
 # --- quiet-pin freshness ---------------------------------------------------
@@ -147,14 +150,40 @@ def test_supervisor_demotes_after_stall(tmp_path, monkeypatch, capsys):
 
     rc = bench.supervise(_args(768), runner=runner)
     assert rc == 0
-    assert calls == [768, 256]
+    assert calls == [768, 768, 256]  # same-batch retry first, then demote
     lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
     assert len(lines) == 1  # ONE JSON line contract holds through retries
     payload = json.loads(lines[0])
     assert payload["value"] == 9000.0
     assert payload["batch_demoted_from"] == 768
+    assert len(payload["supervisor_attempts"]) == 2
     assert payload["supervisor_attempts"][0]["batch"] == 768
     assert payload["supervisor_attempts"][0]["watchdog"]["stalled_phase"] == "upload"
+
+
+def test_supervisor_same_batch_recovery_is_not_a_demotion(
+    tmp_path, monkeypatch, capsys
+):
+    """A stall whose same-batch retry succeeds (the tunnel window
+    cleared after the settle) reports supervisor_attempts but NOT
+    batch_demoted_from — the headline ran at the requested batch."""
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", tmp_path / "lg.json")
+    monkeypatch.setenv("ITPU_BENCH_RETRY_SLEEP_S", "0")
+    seen = []
+
+    def runner(args, batch):
+        seen.append(batch)
+        if len(seen) == 1:
+            return 3, _stall_line(batch, phase="tunnel_probe") + "\n"
+        return 0, _good_line(batch, value=36900.0) + "\n"
+
+    rc = bench.supervise(_args(768), runner=runner)
+    assert rc == 0
+    assert seen == [768, 768]
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["value"] == 36900.0
+    assert "batch_demoted_from" not in payload
+    assert len(payload["supervisor_attempts"]) == 1
 
 
 def test_supervisor_success_first_try_is_unannotated(tmp_path, monkeypatch, capsys):
@@ -179,7 +208,7 @@ def test_supervisor_total_failure_quotes_last_known_good(
     assert len(lines) == 1
     payload = json.loads(lines[0])
     assert payload["value"] == 0.0
-    assert len(payload["supervisor_attempts"]) == 3
+    assert len(payload["supervisor_attempts"]) == 4  # 768 x2, 256, 64
     assert payload["last_known_good"]["value"] == 36700.0
 
 

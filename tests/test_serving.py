@@ -824,6 +824,72 @@ def test_floor_refresh_failure_never_strands_worker(monkeypatch):
     assert np.array_equal(out, out2)
 
 
+def test_device_calibration_publishes_honest_device_ms():
+    """VERDICT r4 item 2: after the drain worker's idle pass, device_ms
+    is the amortized per-program calibration (reps back-to-back
+    dispatches, one fence — floor drift divides by reps), not the
+    single-shot round-trip residual; the residual stays published as
+    device_residual_ms and /v1/stats exposes the calibration table."""
+    import time as _time
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+    _, first = coal.render_timed(placements)
+    # before any idle pass the split falls back to the residual
+    assert first["device_source"] == "residual"
+    assert first["device_ms"] == first["device_residual_ms"]
+    for _ in range(400):  # idle pass: floor (maybe) + calibration, retire
+        with coal._lock:
+            if coal._worker is None:
+                break
+        _time.sleep(0.05)
+    info = coal.calibration_info()
+    key = "singlex1"
+    assert key in info and info[key]["device_ms"] is not None
+    assert info[key]["reps"] >= 16 and not info[key]["failed"]
+    _, timings = coal.render_timed(placements)
+    assert timings["device_source"] == "calibrated"
+    assert timings["device_ms"] == info[key]["device_ms"]
+    assert "device_residual_ms" in timings
+    assert timings["calibration_age_s"] >= 0.0
+    stats = svc.stats()
+    assert any(
+        key in entries for entries in stats["device_calibration"].values()
+    )
+
+
+def test_calibration_failure_keeps_worker_and_residual(monkeypatch):
+    """A raising idle-time device calibration must not strand the drain
+    worker (advisor r4 high, same contract as the floor refresh); the
+    key's age is bumped so a flaky tunnel is not retried hot, and
+    renders keep publishing the residual split."""
+    import time as _time
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+
+    def boom(sets, reps=48, floor_ms=0.0):
+        raise RuntimeError("tunnel wedged mid-calibration")
+
+    monkeypatch.setattr(coal.engine, "measure_device_ms", boom)
+    out, timings = coal.render_timed(placements)
+    for _ in range(400):
+        with coal._lock:
+            if coal._worker is None:
+                break
+        _time.sleep(0.05)
+    with coal._lock:
+        assert coal._worker is None, "drain worker stranded by calibration"
+    info = coal.calibration_info()
+    assert info["singlex1"]["failed"] and info["singlex1"]["device_ms"] is None
+    assert coal._stale_calib_key() is None  # age bumped: not retried hot
+    out2, timings2 = coal.render_timed(placements)
+    assert np.array_equal(out, out2)
+    assert timings2["device_source"] == "residual"
+
+
 def test_placements_key_ignores_dict_order():
     """The dedup key canonicalizes dict field order — semantically equal
     placement sets dedupe even if the JSON arrived with keys shuffled."""
