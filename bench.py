@@ -180,12 +180,24 @@ def load_quiet_history() -> list:
 
 
 def select_quiet_pin(entries: list, host: dict, today: _dt.date):
-    """Newest same-host entry within PIN_MAX_AGE_DAYS, or (None, reason).
+    """HIGHEST-median same-host entry within PIN_MAX_AGE_DAYS, or
+    (None, reason).
+
+    Highest, not newest: the quiet reference means "what PIL achieves on
+    this host at its demonstrated best", and a fresher-but-depressed
+    reading must never lower it — a gate-passing live leg measured
+    169.68 canvases/sec at loadavg 0.14 on a host whose same-window best
+    is 288.91 (VM steal / frequency throttle are invisible to loadavg),
+    and selecting it as the reference inflated the published multiplier
+    219x vs the honest 129x. Transport-style reasoning applies:
+    interference can only LOWER a PIL measurement, so max-over-window
+    converges to the true quiet throughput from below.
 
     Refusal reasons are published verbatim (``quiet_ref`` in the JSON)
     so an expired/foreign pin is a visible condition, not a silent one.
     """
     reason = "no quiet-host reference entries"
+    best, best_age = None, None
     for e in entries:
         eh = e.get("host") or {}
         if eh.get("hostname") != host.get("hostname"):
@@ -205,7 +217,12 @@ def select_quiet_pin(entries: list, host: dict, today: _dt.date):
                 f"(max {PIN_MAX_AGE_DAYS} without revalidation)"
             )
             continue
-        return e, age
+        if best is None or (
+            e["median_canvases_per_sec"] > best["median_canvases_per_sec"]
+        ):
+            best, best_age = e, age
+    if best is not None:
+        return best, best_age
     return None, reason
 
 
@@ -232,7 +249,17 @@ def record_quiet_entry(
         return entries  # today's record already at least as conservative
     entries = [e for e in entries if e not in same]
     entries.insert(0, entry)
-    entries = entries[:6]
+    if len(entries) > 6:
+        # never evict the rolling window's best median: it IS the quiet
+        # reference (select_quiet_pin is max-over-window), and a run of
+        # depressed-host days must not age it out of the window
+        keep = entries[:6]
+        best = max(
+            entries, key=lambda e: e.get("median_canvases_per_sec", 0.0)
+        )
+        if best not in keep:
+            keep[-1] = best
+        entries = keep
     try:
         tmp = HISTORY_PATH.with_suffix(".tmp")
         tmp.write_text(json.dumps({"entries": entries}, indent=1) + "\n")
@@ -906,6 +933,25 @@ def main() -> None:
     quiet_pin, pin_or_reason = select_quiet_pin(entries, host, today)
 
     vs_baseline_source = "live"
+    if not contended and quiet_pin is not None and pil < 0.75 * quiet_pin[
+        "median_canvases_per_sec"
+    ]:
+        # Below-band: the live leg passed the loadavg/spread gates yet
+        # sits far under the host's demonstrated quiet throughput —
+        # VM steal / frequency throttling the gates cannot see (observed
+        # 169.68 at loadavg 0.14 vs a 288.91 window best). Publishing
+        # the live denominator would inflate the multiplier; use the
+        # quiet reference and say so. The live reading stays in
+        # baseline_protocol (and in the history, where max-selection
+        # ignores it).
+        pil_protocol["below_band"] = True
+        pil = quiet_pin["median_canvases_per_sec"]
+        vs_baseline_source = "pinned_quiet_host_band"
+        log(
+            f"pil baseline below the quiet band "
+            f"({pil_protocol['median_canvases_per_sec']:.2f} vs window best "
+            f"{pil:.2f}); vs_baseline uses the quiet reference"
+        )
     if contended:
         if quiet_pin is not None:
             # Denominator failed its own gates after retries: fall back to

@@ -38,7 +38,8 @@ def test_bench_falls_back_and_prints_one_json_line():
     # reference when the live one failed its gates, or the flagged live
     # contended number when the pin itself was refused as stale/foreign)
     assert payload["vs_baseline_source"] in (
-        "live", "pinned_quiet_host", "live_contended_pin_invalid"
+        "live", "pinned_quiet_host", "pinned_quiet_host_band",
+        "live_contended_pin_invalid",
     )
     if payload["vs_baseline_source"] == "pinned_quiet_host":
         assert payload["baseline_protocol"]["contended"] is True

@@ -97,6 +97,41 @@ def test_pin_skips_foreign_then_takes_same_host():
     assert pin is not None and pin["median_canvases_per_sec"] == 288.9
 
 
+def test_pin_selects_window_best_not_newest():
+    """A fresher-but-depressed gate-passing reading (VM steal is
+    invisible to loadavg: 169.68 measured at loadavg 0.14 on a host
+    whose best is 288.91) must not become the quiet reference —
+    max-over-window converges to true quiet throughput from below."""
+    entries = [
+        _entry("2026-08-20", 169.68),  # newest, depressed
+        _entry("2026-08-19", 288.91),
+        _entry("2026-08-19", 259.6),
+    ]
+    pin, age = bench.select_quiet_pin(entries, HOST, TODAY)
+    assert pin["median_canvases_per_sec"] == 288.91
+    assert age == 1
+
+
+def test_record_quiet_entry_trim_never_evicts_window_best(
+    tmp_path, monkeypatch
+):
+    """Six depressed days must not age the window's best median out of
+    the rolling history — it IS the quiet reference."""
+    monkeypatch.setattr(bench, "HISTORY_PATH", tmp_path / "h.json")
+    entries = [_entry("2026-08-19", 288.91)]
+    proto = {"median_canvases_per_sec": 170.0, "spread_vs_median": 0.05,
+             "loadavg_1m": 0.1}
+    for day in range(14, 20):
+        e = dict(proto)
+        entries = bench.record_quiet_entry(
+            entries, 170.0, e, HOST, dt.date(2026, 8, day)
+        )
+    assert len(entries) <= 6
+    assert max(
+        x["median_canvases_per_sec"] for x in entries
+    ) == 288.91
+
+
 def test_record_quiet_entry_keeps_higher_same_day(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "HISTORY_PATH", tmp_path / "h.json")
     entries = [_entry("2026-08-20", 288.9)]
