@@ -158,8 +158,10 @@ def demotion_ladder(batch: int) -> list:
     later hit 36.9k/s. One settle-then-same-batch retry recovers the
     full headline in that case; the reduced rungs (a degraded tunnel
     that stalls a 768-batch upload still completed batch 64 the same
-    day — VERDICT r4) remain the hard fallback."""
-    return [batch, batch] + [b for b in (256, 64) if b < batch]
+    day — VERDICT r4) remain the hard fallback. 768 (the r2-r4 default,
+    proven across every round) cushions the drop from the 1280 default
+    before the deep rungs."""
+    return [batch, batch] + [b for b in (768, 256, 64) if b < batch]
 
 
 # ---------------------------------------------------------------------------
@@ -338,7 +340,14 @@ def build_parser() -> argparse.ArgumentParser:
     # 29,491 @ 512 -> 29,688 @ 640 -> 30,163 @ 768 -> 30,170 @ 896.
     # 768 adopted: the 896 gain is noise and its two reuse planes cost
     # ~2.5 GB more HBM.
-    parser.add_argument("--batch", type=int, default=768)
+    # 1280 default (r5 batch ladder, benchmarks/batch_ladder.py): the
+    # round-3 smem fix removed the 512 wall and round-4 static windows
+    # cut HBM/batch 38%, so throughput keeps climbing past the old 768
+    # default — single-process interleaved ladder measured 768: 36,776 /
+    # 896: 37,062 / 1024: 37,651 / 1280: 38,099 / 1536: 38,231
+    # canvases/sec (plateau; 1536's 12.7 GB plane is too close to HBM
+    # for the fresh/reuse swap). Full supervisor run at 1280: 37,957.
+    parser.add_argument("--batch", type=int, default=1280)
     parser.add_argument("--reps", type=int, default=20)
     parser.add_argument("--pil-canvases", type=int, default=8)
     parser.add_argument("--pil-rounds", type=int, default=5)

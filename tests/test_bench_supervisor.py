@@ -60,6 +60,7 @@ def test_demotion_ladder():
     # requested batch twice (tunnel stalls are windows that clear after a
     # settle — the same-batch retry recovers the full headline), then the
     # reduced rungs
+    assert bench.demotion_ladder(1280) == [1280, 1280, 768, 256, 64]
     assert bench.demotion_ladder(768) == [768, 768, 256, 64]
     assert bench.demotion_ladder(256) == [256, 256, 64]
     assert bench.demotion_ladder(64) == [64, 64]
@@ -243,7 +244,7 @@ def test_supervisor_total_failure_quotes_last_known_good(
     assert len(lines) == 1
     payload = json.loads(lines[0])
     assert payload["value"] == 0.0
-    assert len(payload["supervisor_attempts"]) == 4  # 768 x2, 256, 64
+    assert len(payload["supervisor_attempts"]) == 4  # 768 x2, 256, 64 (no 768 rung below itself)
     assert payload["last_known_good"]["value"] == 36700.0
 
 
