@@ -10,7 +10,10 @@ device compose (bit-exact host-table path) + PNG encode.
         --bundles-root data [--host 127.0.0.1] [--port 8601]
 
 API:
-    GET  /healthz            -> {"ok": true, "device": "...", "bundles": N}
+    GET  /healthz            -> {"ok": bool, "device": "...", "bundles": N,
+        "backlog_age_s": S} — ok flips false while the oldest queued
+        render exceeds the render deadline (a wedged device RPC strands
+        the drain worker; renders 503 with RenderStuckError meanwhile)
     GET  /v1/bundles         -> [{"stem", "objects", "original": [w, h]}]
     POST /v1/render          -> image/png
         {"bundle": "<stem>", "ratio": "9:16",
@@ -125,6 +128,22 @@ _CALIB_TTL_S = 120.0
 _CALIB_REPS_MAX = 128
 _CALIB_REPS_MIN = 16
 _CALIB_BUDGET_MS = 250.0
+
+#: bounded render wait (r5): the dev tunnel's observed wedge windows
+#: block a single RPC for 19+ minutes, and an unbounded
+#: ticket.wait() would strand every caller (and its HTTP handler
+#: thread) behind the stuck merge. Callers get a RenderStuckError
+#: (mapped to HTTP 503) after this long; the drain worker itself
+#: cannot be interrupted (Python threads aren't killable), so
+#: /healthz reports ok=false with the backlog age while the wedge
+#: lasts — the signal a balancer/operator needs to fail over. 300 s
+#: never fires on production-LAN latencies.
+_RENDER_WAIT_S = float(os.environ.get("ITPU_SERVING_RENDER_TIMEOUT_S", "300"))
+
+
+class RenderStuckError(RuntimeError):
+    """A render waited past _RENDER_WAIT_S: the device pipeline is wedged
+    (stuck tunnel RPC) or overloaded far beyond its deadline."""
 
 
 def _measure_floor_samples(n: int = 5) -> List[float]:
@@ -329,10 +348,34 @@ class _Coalescer:
                     target=self._drain, daemon=True, name="coalescer-drain"
                 )
                 self._worker.start()
-        ticket["event"].wait()
+        if not ticket["event"].wait(timeout=_RENDER_WAIT_S):
+            # the merge serving this ticket is stuck (wedged tunnel RPC —
+            # observed 19+ min windows) or the queue is hopelessly
+            # backlogged; free THIS caller (and its handler thread) with
+            # a diagnosable error. A late completion still settles the
+            # ticket dict harmlessly — nobody reads it.
+            with self._lock:
+                depth = len(self._pending)
+                alive = self._worker is not None
+            raise RenderStuckError(
+                f"render not settled within {_RENDER_WAIT_S:.0f}s "
+                f"(queue depth {depth}, drain worker "
+                f"{'alive' if alive else 'retired'}, backlog age "
+                f"{self.backlog_age_s():.0f}s) — device pipeline wedged "
+                "or overloaded"
+            )
         if "error" in ticket:
             raise ticket["error"]
         return ticket["result"], ticket.get("timings", {})
+
+    def backlog_age_s(self) -> float:
+        """Age of the oldest unsettled queued request (0.0 when empty) —
+        the wedge signal /healthz and /v1/stats publish."""
+        now = time.perf_counter()
+        with self._lock:
+            if not self._pending:
+                return 0.0
+            return max(now - t["enqueued"] for _, t, _ in self._pending)
 
     def _drain(self) -> None:
         # ONE merge pipelined against the previous completion (VERDICT r3
@@ -825,6 +868,13 @@ class ComposeService:
             "deduped": sum(c.deduped for c in cos),
         }
 
+    def backlog_age_s(self) -> float:
+        """Oldest unsettled queued render across every engine (0.0 when
+        all queues are empty) — the device-pipeline wedge signal."""
+        with self._lock:
+            cos = list(self._coalescers.values())
+        return max((c.backlog_age_s() for c in cos), default=0.0)
+
     @staticmethod
     def _resolve_layout(bundle, layout: Optional[Dict]) -> Dict:
         """Default column-of-all-objects layout + 'root' validation (shared
@@ -1219,6 +1269,7 @@ class ComposeService:
             for key, co in cos
         }
         counters["device_calibration"] = {k: v for k, v in calibs.items() if v}
+        counters["backlog_age_s"] = round(self.backlog_age_s(), 1)
         return counters
 
     def latency_stats(self) -> Dict[str, Dict[str, float]]:
@@ -1388,10 +1439,16 @@ def make_handler(service: ComposeService):
                 if self.path == "/healthz":
                     import jax
 
+                    # a backlog older than the render deadline means the
+                    # drain worker is stuck on a wedged device RPC (the
+                    # thread cannot be interrupted) — report unhealthy so
+                    # a balancer fails over while the wedge lasts
+                    backlog = service.backlog_age_s()
                     return self._json({
-                        "ok": True,
+                        "ok": backlog <= _RENDER_WAIT_S,
                         "device": str(jax.devices()[0]),
                         "bundles": len(service.list_bundles()),
+                        "backlog_age_s": round(backlog, 1),
                     })
                 if self.path == "/v1/bundles":
                     return self._json(service.list_bundles())
@@ -1484,6 +1541,10 @@ def make_handler(service: ComposeService):
                 return self._error_reply(f"missing field {e}", 400)
             except FileNotFoundError as e:
                 return self._error_reply(str(e), 404)
+            except RenderStuckError as e:
+                # wedged device pipeline: a retryable service condition,
+                # not a caller error — 503 so clients/balancers back off
+                return self._error_reply(str(e), 503)
             except Exception as e:  # noqa: BLE001
                 return self._error_reply(str(e), 500)
 

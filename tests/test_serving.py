@@ -890,6 +890,49 @@ def test_calibration_failure_keeps_worker_and_residual(monkeypatch):
     assert timings2["device_source"] == "residual"
 
 
+def test_render_stuck_error_frees_caller_and_flags_health(monkeypatch):
+    """A wedged device RPC (observed: 19+ min tunnel windows) must not
+    strand callers forever: the bounded ticket wait raises
+    RenderStuckError naming queue depth and backlog age, the service's
+    backlog_age_s reports the wedge, and once the wedge clears the
+    coalescer serves again (the stuck merge's late settle is harmless)."""
+    import threading as _threading
+    import time as _time
+
+    from image_transformation_tpu.serving import server as srv
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+    baseline = coal.render(placements)  # warm + calibrate the real path
+
+    wedge = _threading.Event()
+    real_compose = coal.engine.compose
+
+    def wedged_compose(p):
+        wedge.wait()  # block like a stuck tunnel RPC
+        return real_compose(p)
+
+    monkeypatch.setattr(coal.engine, "compose", wedged_compose)
+    monkeypatch.setattr(srv, "_RENDER_WAIT_S", 1.5)
+    t0 = _time.perf_counter()
+    try:
+        coal.render(placements)
+        raise AssertionError("expected RenderStuckError")
+    except srv.RenderStuckError as e:
+        assert "queue depth" in str(e) and "wedged" in str(e)
+    assert _time.perf_counter() - t0 < 10.0  # freed promptly, not stranded
+    assert svc.backlog_age_s() >= 0.0  # wedge observable while stuck
+    wedge.set()  # clear the wedge; the stuck merge settles its ticket
+    monkeypatch.setattr(coal.engine, "compose", real_compose)
+    for _ in range(100):  # wait for the drain worker to finish the wedge
+        if coal.backlog_age_s() == 0.0:
+            break
+        _time.sleep(0.05)
+    out = coal.render(placements)
+    assert np.array_equal(out, baseline)
+
+
 def test_placements_key_ignores_dict_order():
     """The dedup key canonicalizes dict field order — semantically equal
     placement sets dedupe even if the JSON arrived with keys shuffled."""
