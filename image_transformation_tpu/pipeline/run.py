@@ -153,6 +153,18 @@ def run_macro_only(
     client = get_api_client(api_type, api_key=api_key)
 
     with timer.time_step("prepare"):
+        # First device contact happens HERE, deliberately: backend init +
+        # the first host->device transfer cost 0.1 s on a healthy dev
+        # tunnel but minutes in its degraded windows, and before this
+        # warmup the whole bill landed on whichever step touched the
+        # device first — time_log.txt showed "contact_sheet: 183-385 s"
+        # for ~2 s of actual thumbnail work. A one-element round trip
+        # pins that cost to prepare, where an operator reading the log
+        # expects environment setup to live.
+        import jax
+        import numpy as _np
+
+        _np.asarray(jax.device_put(_np.zeros((1,), _np.uint8)))
         ow, oh = bundle.background.size
         canvas_size = compute_canvas_size((ow, oh), ratio)
         sizes = bundle.sizes()
