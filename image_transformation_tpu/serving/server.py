@@ -316,6 +316,11 @@ class _Coalescer:
         # snapshot under the GIL (values are replaced whole).
         self._calib: Dict[tuple, dict] = {}
         self._calib_pending: Dict[tuple, list] = {}
+        # dispatch times of merges still in flight (worker thread appends
+        # in _start, removes when the merge settles or dies): a ticket
+        # swallowed by a WEDGED merge has already left _pending, so the
+        # backlog-age wedge signal must count unfinished merges too
+        self._merge_t0s: List[float] = []
 
     @staticmethod
     def _placements_key(placements) -> str:
@@ -369,13 +374,14 @@ class _Coalescer:
         return ticket["result"], ticket.get("timings", {})
 
     def backlog_age_s(self) -> float:
-        """Age of the oldest unsettled queued request (0.0 when empty) —
-        the wedge signal /healthz and /v1/stats publish."""
+        """Age of the oldest unsettled work — queued requests AND merges
+        dispatched but never completed (the wedged-RPC case) — 0.0 when
+        idle; the wedge signal /healthz and /v1/stats publish."""
         now = time.perf_counter()
         with self._lock:
-            if not self._pending:
-                return 0.0
-            return max(now - t["enqueued"] for _, t, _ in self._pending)
+            ages = [now - t["enqueued"] for _, t, _ in self._pending]
+            ages += [now - t0 for t0 in self._merge_t0s]
+        return max(ages, default=0.0)
 
     def _drain(self) -> None:
         # ONE merge pipelined against the previous completion (VERDICT r3
@@ -572,8 +578,11 @@ class _Coalescer:
         self.deduped += sum(len(t) - 1 for _, t in groups)
 
         sets = [placements for placements, _ in groups]
+        t0 = None
         try:
             t0 = time.perf_counter()
+            with self._lock:
+                self._merge_t0s.append(t0)
             if len(sets) == 1:
                 ckey = ("single", 1)
                 self._note_calib_target(ckey, [sets[0]])
@@ -608,7 +617,16 @@ class _Coalescer:
             return (groups, rows, probe, t0, ckey)
         except Exception as e:  # noqa: BLE001 - propagate to every waiter
             self._settle_unsettled([t for _, ts in groups for t in ts], e)
+            if t0 is not None:
+                self._drop_merge_t0(t0)
             return None
+
+    def _drop_merge_t0(self, t0: float) -> None:
+        with self._lock:
+            try:
+                self._merge_t0s.remove(t0)
+            except ValueError:
+                pass
 
     def _complete(self, inflight) -> None:
         import numpy as np
@@ -632,6 +650,14 @@ class _Coalescer:
         # item 3); queue_ms stays pre-dispatch wait.
         groups, rows, probe, t0, ckey = inflight
         prev_done = self._prev_done
+        try:
+            self._complete_inner(groups, rows, probe, t0, ckey, prev_done)
+        finally:
+            self._drop_merge_t0(t0)
+
+    def _complete_inner(self, groups, rows, probe, t0, ckey, prev_done):
+        import numpy as np
+
         try:
             fence_done: List[float] = []
 

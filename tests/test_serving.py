@@ -922,7 +922,10 @@ def test_render_stuck_error_frees_caller_and_flags_health(monkeypatch):
     except srv.RenderStuckError as e:
         assert "queue depth" in str(e) and "wedged" in str(e)
     assert _time.perf_counter() - t0 < 10.0  # freed promptly, not stranded
-    assert svc.backlog_age_s() >= 0.0  # wedge observable while stuck
+    # the stuck ticket already left _pending (it is inside the wedged
+    # merge) — the backlog signal must count unfinished merges, or
+    # /healthz would report ok while the worker is wedged
+    assert svc.backlog_age_s() > 1.0
     wedge.set()  # clear the wedge; the stuck merge settles its ticket
     monkeypatch.setattr(coal.engine, "compose", real_compose)
     for _ in range(100):  # wait for the drain worker to finish the wedge
