@@ -140,11 +140,10 @@ def classify_tunnel(first_transfer_s: float, round_trip_mbps: float):
         1.0, first_transfer_s / 1.0, 192.0 / max(round_trip_mbps, 1e-3)
     )
     scale = min(8.0, scale)
-    state = (
-        "healthy"
-        if first_transfer_s < 2.0 and round_trip_mbps >= 128.0
-        else "degraded"
-    )
+    # the state label and the scale must agree: consumers key on
+    # tunnel_state.state, and "healthy with scaled deadlines" is a
+    # contradiction (review r5) — any scaling IS the degraded call
+    state = "healthy" if scale <= 1.0 else "degraded"
     return state, round(scale, 2)
 
 
@@ -195,11 +194,23 @@ def select_quiet_pin(entries: list, host: dict, today: _dt.date):
     interference can only LOWER a PIL measurement, so max-over-window
     converges to the true quiet throughput from below.
 
+    Freshness gates CORROBORATION, not the max (review r5): requiring
+    the selected entry itself to be <= PIN_MAX_AGE_DAYS old would let
+    the window-best age out and hand the reference to a fresher
+    DEPRESSED entry — the exact inflation this function exists to
+    prevent. Instead, at least one fresh same-host entry must exist
+    (proof the host is alive and recently measured under the gates);
+    given that, the reference is the max over ALL same-host entries
+    regardless of age — an older HIGHER reading is strictly
+    conservative as a denominator, because interference only lowers a
+    PIL measurement and hosts do not get faster with age.
+
     Refusal reasons are published verbatim (``quiet_ref`` in the JSON)
     so an expired/foreign pin is a visible condition, not a silent one.
     """
     reason = "no quiet-host reference entries"
     best, best_age = None, None
+    freshest_age = None
     for e in entries:
         eh = e.get("host") or {}
         if eh.get("hostname") != host.get("hostname"):
@@ -213,17 +224,18 @@ def select_quiet_pin(entries: list, host: dict, today: _dt.date):
         except (KeyError, ValueError):
             reason = "pin entry missing a parseable date_utc"
             continue
-        if age > PIN_MAX_AGE_DAYS:
-            reason = (
-                f"newest same-host pin is {age} days old "
-                f"(max {PIN_MAX_AGE_DAYS} without revalidation)"
-            )
-            continue
+        if freshest_age is None or age < freshest_age:
+            freshest_age = age
         if best is None or (
             e["median_canvases_per_sec"] > best["median_canvases_per_sec"]
         ):
             best, best_age = e, age
     if best is not None:
+        if freshest_age > PIN_MAX_AGE_DAYS:
+            return None, (
+                f"newest same-host pin is {freshest_age} days old "
+                f"(max {PIN_MAX_AGE_DAYS} without revalidation)"
+            )
         return best, best_age
     return None, reason
 

@@ -36,11 +36,17 @@ def percentiles(samples):
     return percentiles_ms(samples, ndigits=2)
 
 
-def _readback_bytes_per_pixel() -> int:
-    """3 when the server's opaque-canvas RGB readback is active, else 4."""
+def _readback_bytes_per_pixel(service) -> int:
+    """3 only when the RGB readback actually applies to the engine the
+    scenario hits (env flag AND provably-opaque canvas — the server's
+    own condition; keying off the flag alone would understate the
+    transfer floor for non-opaque canvases, review r5), else 4."""
     from image_transformation_tpu.serving.server import _RGB_READBACK
 
-    return 3 if _RGB_READBACK else 4
+    with service._lock:
+        engines = [c.engine for c in service._coalescers.values()]
+    opaque = all(getattr(e, "opaque_output", False) for e in engines)
+    return 3 if (_RGB_READBACK and engines and opaque) else 4
 
 
 def main() -> None:
@@ -109,7 +115,11 @@ def main() -> None:
         while time.perf_counter() - t0 < timeout:
             for entries in get_stats().get("device_calibration", {}).values():
                 for k, ent in entries.items():
-                    if k.startswith(key_prefix) and ent.get("device_ms"):
+                    # `is not None`, not truthiness: a legitimate 0.0
+                    # calibration (fast program, clean window vs a
+                    # congested-window floor) IS published (review r5)
+                    if (k.startswith(key_prefix)
+                            and ent.get("device_ms") is not None):
                         return ent
             time.sleep(0.5)
         log(f"calibration for {key_prefix!r} did not appear in {timeout}s")
@@ -300,7 +310,7 @@ def main() -> None:
             # not 4 (VERDICT r4 item 6).
             "readback_mb": round(
                 n_unique * canvas["width"] * canvas["height"]
-                * _readback_bytes_per_pixel() / 1e6, 1
+                * _readback_bytes_per_pixel(svc) / 1e6, 1
             ),
         }
         log(f"concurrent_distinct: {results['concurrent_distinct']}")

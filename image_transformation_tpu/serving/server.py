@@ -615,7 +615,12 @@ class _Coalescer:
                 except (AttributeError, RuntimeError):
                     pass  # fallback arrays transfer synchronously below
             return (groups, rows, probe, t0, ckey)
-        except Exception as e:  # noqa: BLE001 - propagate to every waiter
+        except BaseException as e:  # noqa: BLE001 - propagate to every
+            # waiter AND drop the in-flight marker: an escaping
+            # non-Exception here would leak the appended t0 (the drain
+            # loop's outer catch cannot know it), leaving backlog_age_s
+            # climbing forever and /healthz permanently unhealthy
+            # (review r5)
             self._settle_unsettled([t for _, ts in groups for t in ts], e)
             if t0 is not None:
                 self._drop_merge_t0(t0)
@@ -675,8 +680,8 @@ class _Coalescer:
             t1 = min(fence_done[0], t_first) if fence_done else t_first
             self._prev_done = t1
             self.dispatches += 1
-            if first.shape[-1] == 3:  # RGB readback: re-attach alpha
-                first = _rgba_from_rgb(first)
+            # (RGB-readback alpha re-attach happens in the per-row loop
+            # below — ONE conversion site for every row including row 0)
             # transport floor vs device compute (floor cached after the
             # first dispatch calibrates it; that one-time ~5-round-trip
             # cost rides the first request, which already pays compile)
@@ -690,11 +695,13 @@ class _Coalescer:
             # single-shot residual. The residual is always published too:
             # on the dev tunnel it is floor drift + device and can run
             # 20x the true compose time (VERDICT r4 items 2-3).
+            # a refresh failure KEEPS the old value (age bumped) exactly
+            # so it can still be served — failed only matters when there
+            # is no retained figure at all (review r5: nulling a kept
+            # 0.48 ms calibration for one flaky refresh reverted
+            # device_ms to the 20-50x residual for a whole TTL)
             calib = self._calib.get(ckey)
-            calibrated = (
-                calib.get("device_ms") if calib and not calib.get("failed")
-                else None
-            )
+            calibrated = calib.get("device_ms") if calib else None
             base = {
                 "dispatch_ms": round(min(floor_ms, raw_ms), 2),
                 "device_ms": (

@@ -98,6 +98,27 @@ def test_pin_skips_foreign_then_takes_same_host():
     assert pin is not None and pin["median_canvases_per_sec"] == 288.9
 
 
+def test_pin_old_window_best_survives_with_fresh_corroboration():
+    """Freshness gates corroboration, not the max (review r5): once a
+    fresh same-host entry exists, the window best serves as the
+    reference even past PIN_MAX_AGE_DAYS — an older HIGHER reading is
+    strictly conservative (interference only lowers PIL), while handing
+    the reference to the fresher depressed entry would re-open the
+    inflation path."""
+    entries = [
+        _entry("2026-08-20", 169.68),  # fresh, depressed
+        _entry("2026-08-10", 288.91),  # 10 days old, window best
+    ]
+    pin, age = bench.select_quiet_pin(entries, HOST, TODAY)
+    assert pin["median_canvases_per_sec"] == 288.91
+    assert age == 10
+    # but with NO fresh corroboration the old best is refused
+    pin2, reason = bench.select_quiet_pin(
+        [_entry("2026-08-10", 288.91)], HOST, TODAY
+    )
+    assert pin2 is None and "10 days old" in reason
+
+
 def test_pin_selects_window_best_not_newest():
     """A fresher-but-depressed gate-passing reading (VM steal is
     invisible to loadavg: 169.68 measured at loadavg 0.14 on a host

@@ -890,6 +890,48 @@ def test_calibration_failure_keeps_worker_and_residual(monkeypatch):
     assert timings2["device_source"] == "residual"
 
 
+def test_calibration_kept_value_served_after_failed_refresh(monkeypatch):
+    """A transient refresh failure keeps the OLD calibration (age
+    bumped) — and that kept value must still be SERVED: nulling it would
+    revert device_ms to the 20-50x floor-drift residual for a whole TTL,
+    the artifact the calibration exists to prevent (review r5)."""
+    import time as _time
+
+    from image_transformation_tpu.serving import server as srv
+
+    svc = ComposeService("data")
+    placements, canvas_size = svc.solve("squarespace", "1:1")
+    coal = svc._coalescer("squarespace", canvas_size, "solid")
+    coal.render(placements)
+    for _ in range(400):  # idle pass: first calibration lands, retire
+        with coal._lock:
+            if coal._worker is None:
+                break
+        _time.sleep(0.05)
+    good = coal.calibration_info()["singlex1"]["device_ms"]
+    assert good is not None
+
+    def boom(sets, reps=48, floor_ms=0.0):
+        raise RuntimeError("tunnel wedged mid-refresh")
+
+    monkeypatch.setattr(coal.engine, "measure_device_ms", boom)
+    coal._calib[("single", 1)]["at"] -= 2 * srv._CALIB_TTL_S  # force stale
+    coal.render(placements)
+    for _ in range(400):  # idle pass: refresh fails, age bumps, retire
+        with coal._lock:
+            if coal._worker is None:
+                break
+        _time.sleep(0.05)
+    info = coal.calibration_info()["singlex1"]
+    assert info["failed"] and info["device_ms"] == good
+    monkeypatch.setattr(coal.engine, "measure_device_ms",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            RuntimeError("still wedged")))
+    _, timings = coal.render_timed(placements)
+    assert timings["device_source"] == "calibrated"
+    assert timings["device_ms"] == good
+
+
 def test_render_stuck_error_frees_caller_and_flags_health(monkeypatch):
     """A wedged device RPC (observed: 19+ min tunnel windows) must not
     strand callers forever: the bounded ticket wait raises
